@@ -1,0 +1,150 @@
+"""Named query registry — the driver-facing surface of the engine.
+
+Every implemented operator from SURVEY.md §2 is exposed here as a named
+query: ``QUERIES[name]`` is a ``(spark, sf_dir) -> DataFrame`` callable
+and ``ORACLE_SQL[name]`` (when the semantics are SQL-expressible) is the
+equivalent ANSI SQL that DuckDB runs on the same parquet tables. The
+driver hash-compares the two at sf0.01 — column names are aliased
+identically on both sides, floats are rounded in-query on both sides,
+and timestamps are surfaced as epoch BIGINT to avoid cross-engine
+formatting drift.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.migration import classify_actions
+from sync_cosmos_db_spark.session import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Migration kernel (flagship) — O1, O3, O6, O7, O10, O11, O12, O21, O22
+# ---------------------------------------------------------------------------
+
+def _derived_source_target(spark: SparkSession, sf_dir: str):
+    """Deterministic source/target pair derived from ``documents``:
+    target is missing every doc_id % 3 == 0 (→ insert) and has stale text
+    for doc_id % 5 == 0 (→ update); the rest are identical (→ skip)."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs
+    tgt = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" [stale]")))
+            .otherwise(F.col("text")),
+        )
+    )
+    return src, tgt
+
+
+_MIGRATE_ORACLE_CTE = """
+WITH src AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+), tgt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [stale]' ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents WHERE doc_id % 3 <> 0
+), tagged AS (
+  SELECT s.doc_id,
+         CASE WHEN t.doc_id IS NULL THEN 'insert'
+              WHEN s.text <> t.text OR s.lang <> t.lang
+                   OR s.source <> t.source OR s.n_chars <> t.n_chars THEN 'update'
+              ELSE 'skip' END AS action
+  FROM src s LEFT JOIN tgt t USING (doc_id)
+)
+"""
+
+
+@query(
+    "migrate_classify_counts",
+    _MIGRATE_ORACLE_CTE
+    + "SELECT action, count(*) AS n FROM tagged GROUP BY action ORDER BY action",
+)
+def migrate_classify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: per-action counter quadruple of the migration classifier —
+    the set-at-a-time form of the reference's whole inner loop
+    (``src/migration.py:117-148``)."""
+    src, tgt = _derived_source_target(spark, sf_dir)
+    tagged = classify_actions(src, tgt, keys=["doc_id"])
+    return (tagged.groupBy("action").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("action"))
+
+
+@query(
+    "migrate_actions_detail",
+    _MIGRATE_ORACLE_CTE + "SELECT doc_id, action FROM tagged",
+)
+def migrate_actions_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level classifier output (O12): every source doc tagged."""
+    src, tgt = _derived_source_target(spark, sf_dir)
+    return classify_actions(src, tgt, keys=["doc_id"]).select("doc_id", "action")
+
+
+@query(
+    "verify_counts",
+    _MIGRATE_ORACLE_CTE.replace(", tagged AS (", ", _unused AS (")
+    + """SELECT (SELECT count(*) FROM src) AS source_count,
+               (SELECT count(*) FROM tgt) AS target_count,
+               (SELECT count(*) FROM src) = (SELECT count(*) FROM tgt) AS counts_match""",
+)
+def verify_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O21 verification as a query: source vs target counts + match flag
+    (reference ``src/migration.py:182-211``)."""
+    src, tgt = _derived_source_target(spark, sf_dir)
+    return (
+        src.agg(F.count(F.lit(1)).alias("source_count"))
+        .crossJoin(tgt.agg(F.count(F.lit(1)).alias("target_count")))
+        .withColumn("counts_match",
+                    F.col("source_count") == F.col("target_count"))
+    )
+
+
+@query("count_lineitem", "SELECT count(*) AS n FROM lineitem")
+def count_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — COUNT(*) aggregate, pushed down to the parquet footer
+    (reference server-side ``SELECT VALUE COUNT(1)``, ``src/migration.py:62``)."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "doc_content_hash",
+    "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+)
+def doc_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 — content hashing parity: identical sha256 hex in both engines."""
+    return (load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha")))
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # import for registration side effects
+    from sync_cosmos_db_spark import queries_relational  # noqa: F401
+    from sync_cosmos_db_spark import queries_llm  # noqa: F401
+    return dict(QUERIES)
+
+
+def get_oracle_sql() -> dict[str, str]:
+    from sync_cosmos_db_spark import queries_relational  # noqa: F401
+    from sync_cosmos_db_spark import queries_llm  # noqa: F401
+    return dict(ORACLE_SQL)

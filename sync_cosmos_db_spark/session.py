@@ -1,0 +1,66 @@
+"""SparkSession construction tuned for this engine.
+
+In the test/bench harness we run ``local[N]`` (single JVM); in production
+the same conf block is what we'd hand to a 1000-executor cluster, minus
+the driver-memory override. The knobs that matter at 100 TB:
+
+* ``spark.sql.adaptive.enabled`` — AQE re-plans joins at runtime
+  (broadcast conversion, skew-join splitting, partition coalescing).
+* ``spark.sql.shuffle.partitions`` — sized to cores locally; on a real
+  cluster AQE's coalescing makes the initial number much less critical.
+* ``spark.sql.files.maxPartitionBytes`` — keeps scan partitions at a size
+  that fits executor memory (default 128 MiB is right for 100 TB parquet).
+* Arrow enabled — every Pandas-UDF crossing is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sync_cosmos_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard conf."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one harness table (`/root/testdata/sf*/NAME.parquet`).
+
+    This is the harness stand-in for the production source (O1 in
+    SURVEY.md §2 — the reference's full-container scan at
+    ``src/migration.py:78-82``); in production the same call site uses
+    the Cosmos Spark connector (see ``sources/cosmos.py``).
+    """
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
