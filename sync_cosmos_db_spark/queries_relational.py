@@ -1,10 +1,23 @@
 """Relational coverage queries (SURVEY.md §2.2 categories A1-A6).
 
-The reference implements none of these (absence record in SURVEY §2.2);
-they exist so the engine demonstrably supplies the standard relational
-surface via Catalyst — aggregations, joins of every flavor, windows,
-sorts/top-k, set ops, rollup, scalar functions. Floats rounded
-in-query on both sides; timestamps surfaced as epoch BIGINT.
+The reference implements none of these (absence record in SURVEY §2.2 —
+its only query strings are COUNT(1) and SELECT * pushed to the Cosmos
+server); they exist so the engine demonstrably supplies the standard
+relational surface via Catalyst:
+
+* A1 joins   — inner/left/semi/anti, broadcast-hinted dims, multi-way
+* A2 aggs    — sum/avg/min/max, distinct, rollup/cube, conditional pivot
+* A3 windows — ranking + running frames
+* A4 sorts   — order-by/limit top-k with deterministic tie-breaks
+* A5 set ops — union/intersect/except
+* A6 scalars — string/date/math/json/array function parity
+
+Oracle-parity rules: floats rounded in-query on BOTH sides, timestamps
+surfaced as epoch BIGINT, every computed column aliased identically.
+
+Scale notes are on each query: what shuffles, what broadcasts, what
+prunes — the plan we'd want on a 1000-executor cluster, not just the one
+that passes at sf0.01.
 """
 
 from __future__ import annotations
@@ -36,6 +49,9 @@ from sync_cosmos_db_spark.session import load_table
     """,
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape. Scale: partial (map-side) aggregation over ~6 groups
+    means the shuffle carries only per-partition partials; the shipdate
+    filter pushes to the parquet scan."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -50,4 +66,502 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- A1: multi-way join + group + top-k (TPC-H Q3 shape) -------------------
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           epoch(o.o_orderdate)::BIGINT AS orderdate_epoch,
+           o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. Scale: customer (filtered on segment) is the small
+    side → broadcast into orders; orders⋈lineitem shuffles on orderkey
+    once and the groupBy reuses that partitioning. Top-k via TakeOrdered,
+    not a global sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+            "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+                  JOIN customer c ON c.c_nationkey = n.n_nationkey
+                  JOIN orders o ON o.o_custkey = c.c_custkey
+                  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                                  AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (6-way join). Scale: region/nation/supplier/customer
+    are dimension-sized → broadcast; only orders⋈lineitem is a real
+    shuffle, keyed on orderkey."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "join_semi_orders_with_big_items",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o.o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 left-semi (EXISTS). Scale: the semi join ships only orderkeys of
+    qualifying lineitems; filter pushes to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 left-anti (NOT EXISTS): customers with no large order. Scale: the
+    orders side is filtered then pruned to the single o_custkey column
+    before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_totalprice") > 300000).select("o_custkey"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "join_broadcast_part_brand",
+    """
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice), 2) AS total_price,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand ORDER BY p_brand
+    """,
+)
+def join_broadcast_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 broadcast dim join: part is dimension-sized at any SF ratio →
+    explicit broadcast hint removes the shuffle on the fact side entirely;
+    the aggregate then needs only its own exchange over ~25 brands."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
+
+
+# --- A3: window functions ---------------------------------------------------
+
+@query(
+    "window_topk_orders_per_customer",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey,
+             round(o_totalprice, 2) AS totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 ranking window: top-3 orders per customer. Scale: one shuffle on
+    o_custkey; deterministic tie-break on o_orderkey. At 100 TB a skewed
+    customer is bounded by the rank cutoff (rn<=3 short-circuits in the
+    window operator's sort buffer)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey",
+                F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+@query(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 analytic frame: per-customer running total, deterministically
+    ordered (orderdate, orderkey)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+
+
+@query(
+    "window_lag_gap_days",
+    """
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate)::BIGINT AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 lag(): days between consecutive orders per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"))
+
+
+# --- A4: sort / limit top-k -------------------------------------------------
+
+@query(
+    "topk_expensive_lineitems",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 20
+    """,
+)
+def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 global top-k. Scale: orderBy+limit compiles to TakeOrderedAndProject
+    — per-partition heaps + driver merge of k rows, never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  F.round("l_extendedprice", 2).alias("price"))
+        .orderBy(F.desc("price"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
+
+
+# --- A5: set operations -----------------------------------------------------
+
+@query(
+    "setop_except_custkeys",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 EXCEPT: customers with open orders but no finished ones."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"))
+    fin = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey"))
+    return open_.subtract(fin).orderBy("custkey")
+
+
+@query(
+    "setop_intersect_custkeys",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY custkey
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"))
+    fin = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey"))
+    return open_.intersect(fin).orderBy("custkey")
+
+
+@query(
+    "setop_union_nations",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT DISTINCT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+# --- A2: rollup / cube / distinct aggregates -------------------------------
+
+@query(
+    "agg_rollup_flag_status",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 hierarchical totals via ROLLUP (subtotal + grand-total rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"),
+                 F.asc_nulls_first("l_linestatus"))
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(sum(o_totalprice), 2) AS total, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"),
+                 F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@query(
+    "agg_distinct_suppliers_per_flag",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 multi-distinct aggregation (expand + two-phase under the hood)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"),
+             F.countDistinct("l_partkey").alias("n_parts"),
+             F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_pivot_qty",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 pivot — expressed as conditional aggregation so the oracle is
+    plain ANSI; Spark's .pivot() compiles to the same plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+        .orderBy("l_returnflag")
+    )
+
+
+# --- A6: scalar function parity --------------------------------------------
+
+@query(
+    "scalar_string_date_math",
+    """
+    SELECT o_orderkey,
+           upper(o_orderpriority) AS prio_upper,
+           substr(o_orderstatus, 1, 1) AS status_c,
+           length(o_orderpriority) AS prio_len,
+           concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+           year(o_orderdate)::INT AS order_year,
+           month(o_orderdate)::INT AS order_month,
+           round(abs(o_totalprice - 100000.0), 2) AS dist_100k,
+           o_orderkey % 7 AS key_mod7,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 50000 THEN 'mid'
+                ELSE 'small' END AS bucket
+    FROM orders
+    """,
+)
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 scalar library parity: string/date/math/conditional expressions
+    all JVM-side, all inside whole-stage codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderstatus", 1, 1).alias("status_c"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("small").alias("bucket"),
+    )
+
+
+@query(
+    "scalar_json_extract",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           json_extract_string(props, '$.k')::BIGINT AS k_num
+    FROM events
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/O8 dynamic-path JSON extraction (``get_json_object``) — the
+    load-bearing primitive for schemaless Cosmos documents (SURVEY §1.3)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.select("event_id", k.alias("k_str"),
+                     k.cast("long").alias("k_num"))
+
+
+@query(
+    "scalar_date_trunc_monthly",
+    """
+    SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS month_total
+    FROM orders GROUP BY 1 ORDER BY month_epoch
+    """,
+)
+def scalar_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
+                  .alias("month_epoch"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("month_total"))
+        .orderBy("month_epoch")
+    )
+
+
+@query(
+    "array_embedding_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(list_aggregate(embedding, 'sum')::DOUBLE, 4) AS vec_sum,
+           round(sqrt(list_aggregate(list_transform(embedding, x -> x*x), 'sum'))::DOUBLE, 4) AS vec_norm
+    FROM embeddings
+    """,
+)
+def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 higher-order array functions over ARRAY<FLOAT> — the X3 building
+    blocks (aggregate/transform stay JVM-side, no UDF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vec_sum = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x)
+    vec_sq = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(vec_sum, 4).alias("vec_sum"),
+        F.round(F.sqrt(vec_sq), 4).alias("vec_norm"),
     )

@@ -62,5 +62,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     SURVEY.md §2 — the reference's full-container scan at
     ``src/migration.py:78-82``); in production the same call site uses
     the Cosmos Spark connector (see ``sources/cosmos.py``).
+
+    TIMESTAMP(NANOS) parquet columns (the ``events`` table) are illegal
+    for Spark's vectorized reader; we read them as long nanos via the
+    legacy conf and rebuild a proper TIMESTAMP column. The testdata has
+    no sub-microsecond components, so the conversion is lossless.
     """
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from pyspark.sql import functions as F
+
+    path = f"{sf_dir}/{name}.parquet"
+    if name != "events":
+        return spark.read.parquet(path)
+
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    for fld in df.schema.fields:
+        if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
