@@ -1,0 +1,294 @@
+"""Deduplication operators (X1 exact, X2 near-dup).
+
+No reference implementation exists (SURVEY.md §2.3 — mandated by
+BASELINE.json's north star); the closest reference concept is the
+content-equality dedup short-circuit at ``src/migration.py:124-131``,
+which X1 generalizes from pairwise to corpus-wide.
+
+Scale design (100 TB):
+
+* Exact dedup is one hash-shuffle on the content digest — never on the
+  full text. Map-side partial aggregation keeps the shuffle at
+  (digest, min_id, count) triples.
+* Near-dup never does the n² self-join: MinHash signatures are banded
+  (LSH) so candidate pairs only form inside a band-bucket; candidates
+  are then verified with exact Jaccard. Bucket explosion from skew is
+  bounded by ``max_bucket`` (drop + log pathological buckets, the
+  standard trade at web scale).
+* SimHash gives a 64-bit fingerprint whose Hamming distance bounds
+  cosine distance of the token multiset — cheap blocking for
+  fuzzy-match pipelines.
+
+Everything below is built-in-function Column algebra (split/transform/
+aggregate/xxhash64) — zero Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens (the corpus is single-space separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings.
+
+    ``sequence(1, len-n+1)`` start positions → ``slice`` → join — stays
+    in codegen. For n=1 returns the token array itself.
+    """
+    w = words(col)
+    if n == 1:
+        return w
+    starts = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    # guard: sequence(1, x<1) would DESCEND in Spark — short docs get []
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard similarity of two string arrays (distinct semantics)."""
+    da, db = F.array_distinct(a), F.array_distinct(b)
+    inter = F.size(F.array_intersect(da, db))
+    union = F.size(F.array_union(da, db))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str,
+                keep: str = "min") -> DataFrame:
+    """Keep one deterministic representative per distinct content.
+
+    GroupBy the sha2 content digest, keep min(id): one shuffle keyed on
+    a 64-hex digest, deterministic (unlike ``dropDuplicates``, which
+    keeps an arbitrary row). Returns (id_col, n_copies, <content via
+    rejoin is intentionally NOT done — join back by id if needed>).
+    """
+    digest = F.sha2(F.to_json(F.struct(*[F.col(c) for c in sorted(content_cols)])), 256)
+    keeper = F.min(id_col) if keep == "min" else F.max(id_col)
+    return (
+        df.withColumn("__digest", digest)
+        .groupBy("__digest")
+        .agg(keeper.alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__digest")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-dup: exact n-gram Jaccard (verification / small blocks)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float, n: int = 1,
+                  block_col: str | None = None) -> DataFrame:
+    """All pairs with shingle-Jaccard ≥ threshold.
+
+    With ``block_col`` the self-join runs only inside blocks (e.g.,
+    language) — at 100 TB use :func:`minhash_lsh_pairs` instead, where
+    the LSH band IS the block. Output: (id_a, id_b, jaccard_sim),
+    id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, n)).alias("__sh"),
+        *( [F.col(block_col)] if block_col else [] ))
+    a = sh.select(*[F.col(c).alias(f"{c}_a") for c in sh.columns])
+    b = sh.select(*[F.col(c).alias(f"{c}_b") for c in sh.columns])
+    cond = F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    if block_col:
+        cond = cond & (F.col(f"{block_col}_a") == F.col(f"{block_col}_b"))
+    sim = jaccard(F.col("__sh_a"), F.col("__sh_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("jaccard_sim", sim)
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select(F.col(f"{id_col}_a").alias("id_a"),
+                F.col(f"{id_col}_b").alias("id_b"),
+                F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-dup at scale: MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, num_hashes: int = 64,
+                      seed: int = 42) -> Column:
+    """MinHash signature as array<bigint>: for hash function i, the min
+    over shingles of xxhash64(shingle, salt_i). Deterministic via the
+    seed-derived salts; entirely JVM-side."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingles,
+            lambda s, i=i: F.xxhash64(s, F.lit(seed * 1_000_003 + i))))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with
+    exact shingle-Jaccard.
+
+    Pipeline: shingle → signature (num_hashes) → split into ``bands``
+    bands of r=num_hashes/bands rows → bucket key = hash(band slice) →
+    shuffle ONLY on (band, bucket) → pairs within bucket → dedup pairs →
+    verify with exact Jaccard ≥ threshold.
+
+    100 TB: no n² join anywhere; cost ∝ Σ bucket², bounded by
+    ``max_bucket`` (oversized buckets dropped — they are near-certain
+    spam/boilerplate clusters and handled by exact dedup anyway).
+    """
+    r = num_hashes // bands
+    base = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
+    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+
+    banded = base.select(
+        id_col, "__sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.col("__sig")[b * r + j].cast("string")
+                                for j in range(r)])).alias("bucket"))
+            for b in range(bands)
+        ])).alias("__bb"),
+    ).select(id_col, "__sh", "__bb.band", "__bb.bucket")
+
+    # bound pathological buckets (boilerplate clusters)
+    bucket_counts = (banded.groupBy("band", "bucket")
+                     .agg(F.count(F.lit(1)).alias("__n"))
+                     .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket)))
+    banded = banded.join(F.broadcast(bucket_counts.select("band", "bucket")),
+                         ["band", "bucket"])
+
+    a = banded.select(F.col("band"), F.col("bucket"),
+                      F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = banded.select(F.col("band"), F.col("bucket"),
+                      F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — SimHash (64-bit fingerprint blocking)
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens: Column, seed: int = 42) -> Column:
+    """SimHash of a token array as a bigint (63 effective bits; the sign
+    bit stays 0 so the ANSI-mode fold below can't overflow).
+
+    One pass: per-token bit vector from the ``bin()`` string of
+    ``xxhash64`` (shift amounts must be Python ints in PySpark, so bits
+    come from the binary *string* instead), ±1 counters accumulated via
+    ``aggregate``+``zip_with``, sign bits folded into a long with
+    ``acc*2 + bit``. All higher-order built-ins — no UDF."""
+    def bitvec(t: Column) -> Column:
+        bstr = F.lpad(F.bin(F.xxhash64(t, F.lit(seed))), 64, "0")
+        # chars 2..64 → 63 low bits, MSB dropped
+        return F.transform(F.slice(F.split(bstr, ""), 2, 63),
+                           lambda ch: ch.cast("long"))
+
+    counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 63),
+        lambda acc, t: F.zip_with(acc, bitvec(t),
+                                  lambda a, bit: a + 2 * bit - 1),
+    )
+    return F.aggregate(
+        counts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 2 + F.when(c > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints (bigint)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3, prefix_bits: int = 16,
+                      seed: int = 42) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` bits
+    (at most-hamming-3, most dup pairs share a 16-bit prefix band),
+    compare within blocks. Scale: shuffle keyed on the prefix, n² only
+    inside prefix buckets."""
+    fp = df.select(F.col(id_col),
+                   simhash64(words(text_col), seed).alias("__fp"))
+    fp = fp.withColumn("__block", F.shiftrightunsigned(F.col("__fp"),
+                                                       64 - prefix_bits))
+    a = fp.select("__block", F.col(id_col).alias("id_a"),
+                  F.col("__fp").alias("__fp_a"))
+    b = fp.select("__block", F.col(id_col).alias("id_b"),
+                  F.col("__fp").alias("__fp_b"))
+    return (
+        a.join(b, "__block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming64(F.col("__fp_a"), F.col("__fp_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2 — embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
+                        threshold: float = 0.95,
+                        block_col: str | None = None) -> DataFrame:
+    """Pairs whose embedding cosine ≥ threshold. With ``block_col``
+    (e.g., an LSH bucket or cluster id) the join is block-local; without,
+    it is the exact n² baseline for small corpora / verification."""
+    from sync_cosmos_db_spark.operators.similarity import cosine
+
+    cols = [F.col(id_col), F.col(vec_col)] + (
+        [F.col(block_col)] if block_col else [])
+    v = df.select(*cols)
+    a = v.select(*[F.col(c).alias(f"{c}_a") for c in v.columns])
+    b = v.select(*[F.col(c).alias(f"{c}_b") for c in v.columns])
+    cond = F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    if block_col:
+        cond = cond & (F.col(f"{block_col}_a") == F.col(f"{block_col}_b"))
+    return (
+        a.join(b, cond)
+        .withColumn("cosine_sim",
+                    cosine(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(F.col(f"{id_col}_a").alias("id_a"),
+                F.col(f"{id_col}_b").alias("id_b"),
+                F.round("cosine_sim", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (X3 exact, X4 top-k + approx).
+
+No reference implementation (SURVEY.md §2.3; mandated by BASELINE.json).
+
+Two tiers, matching the north star's "brute-force baseline + scale path":
+
+* **Exact brute force** — pure Column algebra (``zip_with`` dot product +
+  ranking window). Correctness baseline; also the right tool whenever
+  the query set is small (broadcast) even if the corpus is huge, since
+  the corpus is only scanned once and never shuffled.
+* **Approximate at scale** — random-hyperplane LSH bucketing (signs of
+  projections onto seeded pseudo-random planes, derived from xxhash64 so
+  they're deterministic without any driver-side randomness). Neighbors
+  are only scored inside matching buckets; multi-probe via several
+  independent tables keeps recall up. This is the IVF/LSH shape that
+  survives 100 TB: shuffle keys are (table, bucket), never vector pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Vector algebra as Column expressions (JVM-side, no UDF)
+# ---------------------------------------------------------------------------
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(_dbl(a), lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_normalize(a: Column) -> Column:
+    n = norm(a)
+    return F.transform(_dbl(a), lambda x: x / n)
+
+
+# ---------------------------------------------------------------------------
+# X3/X4 — exact brute-force top-k
+# ---------------------------------------------------------------------------
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Plan: broadcast the (small) query set against the corpus — the
+    corpus is scanned once, never shuffled; only (query_id, corpus_id,
+    score) triples flow into the per-query ranking window. Deterministic
+    tie-break on neighbor id.
+
+    Output: (query_id, neighbor_id, rank, cosine_sim rounded 4).
+    """
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col(query_id_col) != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("__qvec"), F.col("__cvec")))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
+                                            F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank",
+                F.round("cosine_sim", 4).alias("cosine_sim"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4 — approximate top-k via seeded random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def _hyperplane(dim: int, table: int, plane: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random unit-ish hyperplane components from a
+    splitmix-style integer hash — no RNG state, reproducible anywhere."""
+    comps = []
+    for j in range(dim):
+        h = (seed * 0x9E3779B97F4A7C15 + table * 0xBF58476D1CE4E5B9
+             + plane * 0x94D049BB133111EB + j * 0x2545F4914F6CDD1D) & (2**64 - 1)
+        h ^= h >> 33
+        h = (h * 0xFF51AFD7ED558CCD) & (2**64 - 1)
+        h ^= h >> 33
+        comps.append((h / 2**63) - 1.0)  # [-1, 1)
+    return comps
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 12,
+               table: int = 0, seed: int = 42) -> Column:
+    """Bucket id = packed sign bits of projections onto n_planes seeded
+    hyperplanes. Column-only: each projection is a literal-weighted sum."""
+    bits = []
+    v = _dbl(vec)
+    for p in range(n_planes):
+        w = _hyperplane(dim, table, p, seed)
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(x) for x in w]), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = 10,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only pairs sharing an LSH bucket
+    in at least one of ``n_tables`` independent tables (multi-probe by
+    table union). Scale: corpus is exploded ×n_tables but shuffled on
+    (table, bucket) only; no broadcast of the corpus, no n² join.
+
+    Output schema matches :func:`brute_force_topk` for drop-in use.
+    """
+    def with_buckets(df: DataFrame, idc: str, alias: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(alias), F.col(vec_col).alias(f"__{alias}_vec"),
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("tbl"),
+                         lsh_bucket(F.col(vec_col), dim, n_planes, t, seed)
+                         .alias("bucket"))
+                for t in range(n_tables)
+            ])).alias("__tb"),
+        ).select(alias, f"__{alias}_vec", "__tb.tbl", "__tb.bucket")
+
+    qb = with_buckets(queries, id_col, query_id_col)
+    cb = with_buckets(corpus, id_col, "neighbor_id")
+    cand = (
+        cb.join(qb, ["tbl", "bucket"])
+        .filter(F.col(query_id_col) != F.col("neighbor_id"))
+        .select(query_id_col, "neighbor_id",
+                f"__{query_id_col}_vec", "__neighbor_id_vec")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine_sim",
+        cosine(F.col(f"__{query_id_col}_vec"), F.col("__neighbor_id_vec")))
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
+                                            F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank",
+                F.round("cosine_sim", 4).alias("cosine_sim"))
+    )

@@ -1,0 +1,114 @@
+"""Text analysis operators (X6): tokenization stats, quality scoring,
+language ID, document fingerprinting.
+
+No reference implementation (SURVEY.md §2.3; mandated by BASELINE.json).
+All pure Column expressions over the ``documents`` table — the whole
+module stays inside whole-stage codegen, which is what makes these
+viable as per-document passes over 100 TB of text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# language-ID heuristic. Deliberately small: the heuristic is argmax of
+# overlap counts, and parity with the SQL oracle requires a fixed list.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "una", "por", "con"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Lexical diversity: |distinct tokens| / |tokens| — near-zero for
+    boilerplate/spam, the classic quality signal."""
+    t = tokens(col)
+    return F.size(F.array_distinct(t)) / F.size(t)
+
+
+def mean_token_len(col: Column | str) -> Column:
+    """Mean token length, computed arithmetically from char/space counts
+    (single-space corpus): (len - (n-1)) / n — avoids an array pass and
+    is trivially SQL-portable."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    return (F.length(c) - (n - 1)) / n
+
+
+def alpha_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters or space — a
+    noise/punctuation signal."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z ]", "")
+    return F.when(F.length(c) == 0, F.lit(0.0)).otherwise(
+        (F.length(c) - F.length(stripped)) / F.length(c))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    0.4·min(1, tokens/100) + 0.3·distinct_ratio + 0.3·min(1, mean_len/8).
+
+    The exact mix is a policy choice; what matters architecturally is
+    that it is one codegen'd projection, usable as a pushed-down filter
+    in a 100 TB curation pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_term = F.least(F.lit(1.0), token_count(c) / F.lit(100.0))
+    div_term = distinct_token_ratio(c)
+    wlen_term = F.least(F.lit(1.0), mean_token_len(c) / F.lit(8.0))
+    return F.lit(0.4) * len_term + F.lit(0.3) * div_term + F.lit(0.3) * wlen_term
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Stopword-overlap score per language: |distinct tokens ∩ stopwords|."""
+    t = F.array_distinct(tokens(col))
+    return {
+        lang: F.size(F.array_intersect(
+            t, F.array(*[F.lit(w) for w in wordlist])))
+        for lang, wordlist in STOPWORDS.items()
+    }
+
+
+def lang_id(col: Column | str) -> Column:
+    """Predicted language = argmax of stopword overlap; 'und' when every
+    score is 0. Deterministic tie-break: language-code sort order."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    # iterate in REVERSE sorted order so alphabetically-earlier languages
+    # win ties (the last .when(...) wrap is evaluated first)
+    expr = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        expr = F.when((scores[lang] > 0) & (scores[lang] == best),
+                      F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint_sha(col: Column | str) -> Column:
+    """Full-document fingerprint: sha256 of the normalized text."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Compact 64-bit fingerprint (xxhash64 of normalized text) — the
+    cheap join/cluster key for dedup pipelines."""
+    return F.xxhash64(normalize_text(col))

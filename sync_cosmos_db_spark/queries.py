@@ -25,6 +25,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+def fround(c, n: int):
+    """Deterministic cross-engine rounding: ``floor(x·10ⁿ + 0.5)/10ⁿ``.
+
+    Spark's ``round()`` (BigDecimal HALF_UP on the exact double) and
+    DuckDB's ``round()`` (decimal-string based) disagree on doubles
+    whose shortest repr is an exact tie (e.g. 0.491249999999999964 →
+    Spark 0.4912, DuckDB 0.4913). This formula is plain IEEE arithmetic,
+    so both engines compute it bit-identically from the same input.
+    SQL twin: ``floor(x * 10^n + 0.5) / 10^n``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    s = 10 ** n
+    return F.floor(c * s + F.lit(0.5)) / s
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query (and optionally its DuckDB oracle SQL)."""
     def deco(fn):

@@ -1,7 +1,460 @@
 """LLM-data-pipeline extension queries (SURVEY.md §2.3, X1-X8).
 
-Filled in as operators land: dedup, similarity search, text analysis,
-event windows, sketches.
+Each query exercises one extension operator end-to-end on the harness
+tables. Where the corpus lacks the phenomenon (no exact/near duplicates
+exist in ``documents``), a deterministic derived corpus is built
+IN-QUERY on both sides (Spark and oracle) — e.g., union with copied or
+perturbed rows — so the operator has real work to do and the oracle
+stays exact.
+
+Approximate operators (MinHash LSH, SimHash, random-hyperplane LSH,
+sketches) have no oracle entry → the driver records rows-only checks;
+their quality (recall vs the exact operator) is asserted in
+tests/test_dedup.py and tests/test_similarity.py instead.
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators import dedup as D
+from sync_cosmos_db_spark.operators import multimodal as M
+from sync_cosmos_db_spark.operators import similarity as S
+from sync_cosmos_db_spark.operators import text as X
+from sync_cosmos_db_spark.queries import fround, query
+from sync_cosmos_db_spark.session import load_table
+from sync_cosmos_db_spark.streaming import windows as SW
+
+
+# ---------------------------------------------------------------------------
+# Derived corpora (deterministic, mirrored in oracle CTEs)
+# ---------------------------------------------------------------------------
+
+def _corpus_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies of every doc_id % 7 == 0 (ids +100000)."""
+    docs = load_table(spark, sf_dir, "documents")
+    copies = (docs.filter(F.col("doc_id") % 7 == 0)
+              .withColumn("doc_id", F.col("doc_id") + 100000))
+    return docs.unionByName(copies)
+
+
+_EXACT_DUP_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def _corpus_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies of every doc_id % 11 == 0: two words
+    appended (ids +200000)."""
+    docs = load_table(spark, sf_dir, "documents")
+    near = (docs.filter(F.col("doc_id") % 11 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz yy"))))
+    return docs.unionByName(near)
+
+
+_NEAR_DUP_CTE = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' zz yy' AS text, lang
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_content",
+    _EXACT_DUP_CTE + """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM corpus GROUP BY text
+    """,
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: hash-groupBy exact dedup keeping the min id per distinct
+    content. Scale: shuffles 64-hex digests, not documents."""
+    corpus = _corpus_with_exact_dups(spark, sf_dir).select("doc_id", "text")
+    return D.exact_dedup(corpus, content_cols=["text"], id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# X2 — near-dup dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_jaccard_pairs",
+    _NEAR_DUP_CTE + """
+    , sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           floor((len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(list_concat(a.shingles, b.shingles)))) * 10000 + 0.5) / 10000
+             AS jaccard_sim
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact baseline: 3-gram shingle Jaccard ≥ 0.5, blocked by lang.
+    The n² form — correct but not the scale path (that's MinHash LSH
+    below, which must find the same high-similarity pairs)."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    return D.jaccard_pairs(corpus, id_col="doc_id", text_col="text",
+                           threshold=0.5, n=3, block_col="lang")
+
+
+@query("dedup_minhash_lsh")  # approx — rows-only check; recall tested in pytest
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path: MinHash (64 hashes) + 16-band LSH + exact verify.
+    No n² join: candidates only form inside band-buckets."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    return D.minhash_lsh_pairs(corpus, id_col="doc_id", text_col="text",
+                               shingle_n=3, num_hashes=64, bands=16,
+                               threshold=0.5)
+
+
+@query("dedup_simhash_pairs")  # approx — rows-only check
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: 64-bit SimHash fingerprints, prefix-blocked Hamming ≤ 3."""
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    return D.simhash_dup_pairs(corpus, id_col="doc_id", text_col="text",
+                               max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    """
+    WITH corpus AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id,
+             list_transform(embedding::DOUBLE[], x -> x * 1.01) AS v
+      FROM embeddings WHERE vec_id % 13 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           floor((list_cosine_similarity(a.v, b.v)) * 10000 + 0.5) / 10000 AS cosine_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: embedding-cosine near-dup — corpus ∪ scaled copies (×1.01,
+    cosine exactly 1 with the original), exact pairwise ≥ 0.99."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = (emb.filter(F.col("vec_id") % 13 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 100000)
+              .withColumn("embedding",
+                          F.transform(F.col("embedding"),
+                                      lambda x: x.cast("double") * 1.01)))
+    corpus = emb.withColumn(
+        "embedding", F.transform(F.col("embedding"),
+                                 lambda x: x.cast("double"))
+    ).unionByName(scaled)
+    return D.embedding_dup_pairs(corpus, id_col="vec_id", vec_col="embedding",
+                                 threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# X3/X4 — similarity search
+# ---------------------------------------------------------------------------
+
+@query(
+    "sim_topk_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cs
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank,
+             floor((cs) * 10000 + 0.5) / 10000 AS cosine_sim
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 exact ANN baseline: brute-force cosine top-3 for every
+    query vector (vec_id % 50 == 0). Corpus scanned once, queries
+    broadcast, ranking window per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk(emb, queries, k=3)
+
+
+@query("sim_topk_lsh")  # approx — rows-only check; recall tested in pytest
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 scale path: seeded random-hyperplane LSH (4 tables × 10 bits),
+    scoring only bucket-collided pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_topk(emb, queries, dim=64, k=3, n_planes=10, n_tables=4)
+
+
+# ---------------------------------------------------------------------------
+# X6 — text analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           floor(((length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+                 / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS mean_token_len,
+           floor((len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS distinct_ratio,
+           floor(((length(text) - length(regexp_replace(text, '[A-Za-z ]', '', 'g')))::DOUBLE
+                 / length(text)) * 10000 + 0.5) / 10000 AS alpha_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: per-document token statistics — one codegen'd projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        fround(X.mean_token_len("text"), 4).alias("mean_token_len"),
+        fround(X.distinct_token_ratio("text"), 4).alias("distinct_ratio"),
+        fround(X.alpha_ratio("text"), 4).alias("alpha_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n,
+             (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')) AS ml,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS dr
+      FROM documents)
+    SELECT doc_id,
+           floor((0.4 * least(1.0, n / 100.0)
+                 + 0.3 * dr
+                 + 0.3 * least(1.0, ml / 8.0)) * 10000 + 0.5) / 10000 AS quality
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: composite quality score — usable as a pushed-down curation
+    filter at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       fround(X.quality_score("text"), 4).alias("quality"))
+
+
+_LANG_CASE = []
+for _lang, _words in sorted(X.STOPWORDS.items()):
+    _lst = ", ".join(f"'{w}'" for w in _words)
+    _LANG_CASE.append(
+        f"WHEN s_{_lang} > 0 AND s_{_lang} = best THEN '{_lang}'")
+_LANG_SCORES_SQL = ",\n".join(
+    f"len(list_intersect(list_distinct(string_split(text, ' ')), "
+    f"[{', '.join(repr(w) for w in ws)}])) AS s_{lang}"
+    for lang, ws in sorted(X.STOPWORDS.items()))
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH scores AS (
+      SELECT doc_id, lang, {_LANG_SCORES_SQL}
+      FROM documents
+    ), best AS (
+      SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best FROM scores
+    )
+    SELECT doc_id, lang,
+           CASE {' '.join(_LANG_CASE)} ELSE 'und' END AS predicted_lang
+    FROM best
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: stopword-overlap language ID (argmax, deterministic
+    alphabetical tie-break). The synthetic corpus shares one vocabulary,
+    so predictions skew 'en'/'und' — the operator semantics, not the
+    corpus, are what the oracle checks."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang",
+                       X.lang_id("text").alias("predicted_lang"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_sha
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: canonical document fingerprint (sha256 of normalized text);
+    the 64-bit xxhash64 variant is rows-only (no DuckDB twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_sha("text").alias("fp_sha"))
+
+
+@query("text_fingerprint64")  # xxhash64 has no DuckDB twin — rows-only
+def text_fingerprint64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint64("text").alias("fp64"))
+
+
+# ---------------------------------------------------------------------------
+# X7 — event-time windows (batch-mode forms; streaming twins in
+# streaming/windows.py, parity-tested in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "events_tumbling_hourly",
+    """
+    SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
+           event_type, count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: tumbling 1-hour event-time windows per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.tumbling_counts(ev, "1 hour", ["event_type"])
+
+
+@query(
+    "events_sliding_1h_30m",
+    """
+    WITH starts AS (
+      SELECT unnest(generate_series(TIMESTAMP '2023-01-01 00:00:00',
+                                    TIMESTAMP '2027-01-01 00:00:00',
+                                    INTERVAL 30 MINUTE)) AS ws)
+    SELECT epoch(s.ws)::BIGINT AS window_start, e.event_type,
+           count(*) AS n_events, floor((sum(e.value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events e JOIN starts s
+      ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: sliding 1h/30m windows — every event lands in 2 windows;
+    Spark aligns window origins to the epoch, which the generate_series
+    oracle reproduces."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.sliding_counts(ev, "1 hour", "30 minutes", ["event_type"])
+
+
+@query(
+    "events_session_5m",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM lagged)
+    SELECT floor(epoch(min(ts)))::BIGINT AS session_start, user_id,
+           count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: session windows (5-minute inactivity gap) per user — Spark's
+    native session_window vs the gaps-and-islands oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return SW.session_counts(ev, "5 minutes", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# X8 — sketches (approximate → rows-only) + exact percentile twin
+# ---------------------------------------------------------------------------
+
+@query("sketch_profile")  # approximate by construction — rows-only check
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: HLL distinct + quantile sketch profile of events — the
+    constant-memory profiling pass for 100 TB curation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"),
+             fround(F.percentile_approx("value", 0.5), 2).alias("approx_p50"),
+             fround(F.percentile_approx("value", 0.99), 2).alias("approx_p99"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "percentile_exact_value",
+    """
+    SELECT event_type,
+           floor((quantile_cont(value, 0.5)) * 10000 + 0.5) / 10000::DOUBLE AS p50,
+           floor((quantile_cont(value, 0.9)) * 10000 + 0.5) / 10000::DOUBLE AS p90
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def percentile_exact_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 exact twin: linear-interpolated percentiles (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(fround(F.percentile("value", 0.5), 4).alias("p50"),
+             fround(F.percentile("value", 0.9), 4).alias("p90"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X5 — multimodal binary columns
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_stats",
+    """
+    SELECT doc_id AS asset_id,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+)
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: metadata-only pass over binary payloads (length + sha256) —
+    no decode, no Python, filters on it push down without touching
+    bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.binary_stats(M.attach_binary(docs))
+
+
+@query("multimodal_fake_decode")  # stubbed codec — rows-only check
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: Arrow-batched mapInPandas decode plumbing with the
+    deterministic stub codec (real codecs absent in this container —
+    see operators/multimodal.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_images(M.attach_binary(docs), fake=True)

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import query
+from sync_cosmos_db_spark.queries import fround, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -36,11 +36,11 @@ from sync_cosmos_db_spark.session import load_table
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
+           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+           floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
+           floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -57,12 +57,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
             .alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            fround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            fround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -75,7 +75,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
            epoch(o.o_orderdate)::BIGINT AS orderdate_epoch,
            o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -98,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
         .select(
             "l_orderkey", "revenue",
@@ -113,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
                   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -143,7 +143,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -202,7 +202,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_part_brand",
     """
     SELECT p.p_brand,
-           round(sum(l.l_extendedprice), 2) AS total_price,
+           floor((sum(l.l_extendedprice)) * 100 + 0.5) / 100 AS total_price,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand ORDER BY p_brand
@@ -217,7 +217,7 @@ def join_broadcast_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        .agg(fround(F.sum("l_extendedprice"), 2).alias("total_price"),
              F.count(F.lit(1)).alias("n_items"))
         .orderBy("p_brand")
     )
@@ -230,7 +230,7 @@ def join_broadcast_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
-             round(o_totalprice, 2) AS totalprice,
+             floor((o_totalprice) * 100 + 0.5) / 100 AS totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders)
@@ -248,7 +248,7 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey",
-                F.round("o_totalprice", 2).alias("totalprice"), "rn")
+                fround("o_totalprice", 2).alias("totalprice"), "rn")
     )
 
 
@@ -256,10 +256,10 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_revenue",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           floor((sum(o_totalprice) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
     FROM orders
     """,
 )
@@ -271,7 +271,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return o.select(
         "o_custkey", "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+        fround(F.sum("o_totalprice").over(w), 2).alias("running_total"))
 
 
 @query(
@@ -300,7 +300,7 @@ def window_lag_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_expensive_lineitems",
     """
-    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    SELECT l_orderkey, l_linenumber, floor((l_extendedprice) * 100 + 0.5) / 100 AS price
     FROM lineitem
     ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
     LIMIT 20
@@ -312,7 +312,7 @@ def topk_expensive_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.select("l_orderkey", "l_linenumber",
-                  F.round("l_extendedprice", 2).alias("price"))
+                  fround("l_extendedprice", 2).alias("price"))
         .orderBy(F.desc("price"), "l_orderkey", "l_linenumber")
         .limit(20)
     )
@@ -380,7 +380,7 @@ def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup_flag_status",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+           floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty, count(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -391,7 +391,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        .agg(fround(F.sum("l_quantity"), 2).alias("sum_qty"),
              F.count(F.lit(1)).alias("n"))
         .orderBy(F.asc_nulls_first("l_returnflag"),
                  F.asc_nulls_first("l_linestatus"))
@@ -402,7 +402,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,
-           round(sum(o_totalprice), 2) AS total, count(*) AS n
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total, count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -412,7 +412,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+        .agg(fround(F.sum("o_totalprice"), 2).alias("total"),
              F.count(F.lit(1)).alias("n"))
         .orderBy(F.asc_nulls_first("o_orderstatus"),
                  F.asc_nulls_first("o_orderpriority"))
@@ -445,8 +445,8 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_qty",
     """
     SELECT l_returnflag,
-           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
-           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+           floor((sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)) * 100 + 0.5) / 100 AS qty_o,
+           floor((sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)) * 100 + 0.5) / 100 AS qty_f
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
 )
@@ -457,7 +457,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(fround(F.sum("l_quantity"), 2))
         .withColumnRenamed("O", "qty_o")
         .withColumnRenamed("F", "qty_f")
         .orderBy("l_returnflag")
@@ -476,7 +476,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
            year(o_orderdate)::INT AS order_year,
            month(o_orderdate)::INT AS order_month,
-           round(abs(o_totalprice - 100000.0), 2) AS dist_100k,
+           floor((abs(o_totalprice - 100000.0)) * 100 + 0.5) / 100 AS dist_100k,
            o_orderkey % 7 AS key_mod7,
            CASE WHEN o_totalprice > 200000 THEN 'big'
                 WHEN o_totalprice > 50000 THEN 'mid'
@@ -496,7 +496,7 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
-        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
+        fround(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
         (F.col("o_orderkey") % 7).alias("key_mod7"),
         F.when(F.col("o_totalprice") > 200000, "big")
         .when(F.col("o_totalprice") > 50000, "mid")
@@ -527,7 +527,7 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS month_total
+           floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS month_total
     FROM orders GROUP BY 1 ORDER BY month_epoch
     """,
 )
@@ -537,7 +537,7 @@ def scalar_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
                   .alias("month_epoch"))
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             F.round(F.sum("o_totalprice"), 2).alias("month_total"))
+             fround(F.sum("o_totalprice"), 2).alias("month_total"))
         .orderBy("month_epoch")
     )
 
@@ -547,8 +547,8 @@ def scalar_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            len(embedding) AS dim,
-           round(list_aggregate(embedding, 'sum')::DOUBLE, 4) AS vec_sum,
-           round(sqrt(list_aggregate(list_transform(embedding, x -> x*x), 'sum'))::DOUBLE, 4) AS vec_norm
+           floor((list_aggregate(embedding, 'sum')::DOUBLE) * 10000 + 0.5) / 10000 AS vec_sum,
+           floor((sqrt(list_aggregate(list_transform(embedding, x -> x*x), 'sum'))::DOUBLE) * 10000 + 0.5) / 10000 AS vec_norm
     FROM embeddings
     """,
 )
@@ -562,6 +562,6 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(vec_sum, 4).alias("vec_sum"),
-        F.round(F.sqrt(vec_sq), 4).alias("vec_norm"),
+        fround(vec_sum, 4).alias("vec_sum"),
+        fround(F.sqrt(vec_sq), 4).alias("vec_norm"),
     )

@@ -1,0 +1,139 @@
+"""Event-time windowing (X7): tumbling / sliding / session windows.
+
+The reference has no streaming at all (SURVEY.md §2.2 A7 — its page
+loop with continuation tokens, ``src/migration.py:83-90``, is resumable
+batch, not streaming). This module supplies the Structured Streaming
+surface the north star mandates, over the harness ``events`` table
+(event_id, ts, user_id, event_type, value, props).
+
+Every aggregation exists in TWO forms with identical expressions:
+
+* **batch** — plain DataFrame ops, oracle-checkable against DuckDB
+  (``time_bucket`` / generate_series / gaps-and-islands SQL);
+* **streaming** — same expressions behind ``readStream`` +
+  ``withWatermark``, tested with the availableNow trigger and a memory
+  sink (batch parity asserted in tests/test_streaming.py).
+
+Scale: windowed aggs shuffle on (window, keys); the watermark bounds
+state. Session windows use Spark's native ``session_window`` (state
+merges adjacent sessions); late data beyond the watermark is dropped —
+the documented trade for bounded state at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.queries import fround
+
+#: Watermark delay used by the streaming forms — how much event-time
+#: lateness we absorb before dropping (state-size vs completeness trade).
+DEFAULT_WATERMARK = "10 minutes"
+
+
+def _win_agg(df: DataFrame, window_col, group_cols: list[str]) -> DataFrame:
+    return (
+        df.groupBy(window_col.alias("__w"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             fround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("__w.start")).alias("window_start"),
+            *group_cols, "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch-mode forms (oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour",
+                    group_cols: list[str] | None = None) -> DataFrame:
+    """Tumbling event-time windows: one row per (window, group)."""
+    return _win_agg(events, F.window("ts", duration), group_cols or ["event_type"])
+
+
+def sliding_counts(events: DataFrame, duration: str = "1 hour",
+                   slide: str = "30 minutes",
+                   group_cols: list[str] | None = None) -> DataFrame:
+    """Sliding windows: each event lands in duration/slide windows.
+    Spark aligns window origins to the epoch, so the oracle can
+    reproduce boundaries with generate_series from any epoch-aligned
+    start."""
+    return _win_agg(events, F.window("ts", duration, slide),
+                    group_cols or ["event_type"])
+
+
+def session_counts(events: DataFrame, gap: str = "5 minutes",
+                   key_col: str = "user_id") -> DataFrame:
+    """Session windows per key with the given inactivity gap.
+
+    Output (key, session_start epoch, n_events, sum_value rounded) —
+    session *end* is excluded on purpose: Spark defines end as
+    last_event + gap, which the plain-SQL oracle reproduces less
+    portably than the gaps-and-islands start."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("__w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             fround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("__w.start")).alias("session_start"),
+                key_col, "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming forms (same expressions + watermark)
+# ---------------------------------------------------------------------------
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the harness events parquet. The nanos
+    timestamp is read as long (Spark 4 rejects TIMESTAMP(NANOS)) and
+    rebuilt, mirroring session.load_table."""
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = (spark.readStream.schema(schema)
+               .parquet(f"{sf_dir}"))
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, duration: str = "1 hour",
+                           watermark: str = DEFAULT_WATERMARK,
+                           group_cols: list[str] | None = None) -> DataFrame:
+    """Streaming tumbling windows: watermark bounds state; late rows
+    beyond it are dropped."""
+    return _win_agg(events.withWatermark("ts", watermark),
+                    F.window("ts", duration), group_cols or ["event_type"])
+
+
+def session_counts_stream(events: DataFrame, gap: str = "5 minutes",
+                          watermark: str = DEFAULT_WATERMARK,
+                          key_col: str = "user_id") -> DataFrame:
+    """Streaming session windows (state merges adjacent sessions as
+    events arrive; watermark finalizes sessions)."""
+    ev = events.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("__w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             fround(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("__w.start")).alias("session_start"),
+                key_col, "n_events", "sum_value")
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
+                         table_name: str, mode: str = "complete"):
+    """Execute a streaming query with the availableNow trigger into a
+    memory sink and block until done — the test harness for batch-parity
+    assertions."""
+    q = (streaming_df.writeStream.format("memory")
+         .queryName(table_name)
+         .outputMode(mode)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table(table_name)

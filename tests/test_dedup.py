@@ -1,0 +1,57 @@
+"""Dedup operator tests (X1/X2): exact determinism + approximate
+operators measured against the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators import dedup as D
+from sync_cosmos_db_spark.queries_llm import (
+    _corpus_with_near_dups,
+)
+from sync_cosmos_db_spark.session import load_table
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    df = spark.createDataFrame(
+        [(3, "x"), (1, "x"), (2, "y")], "doc_id long, text string")
+    out = {r.doc_id: r.n_copies
+           for r in D.exact_dedup(df, ["text"], "doc_id").collect()}
+    assert out == {1: 2, 2: 1}  # min id kept, copies counted
+
+
+def test_minhash_lsh_finds_injected_near_dups(spark, sf_dir):
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    exact = D.jaccard_pairs(corpus, "doc_id", "text", threshold=0.7, n=3)
+    lsh = D.minhash_lsh_pairs(corpus, "doc_id", "text", shingle_n=3,
+                              num_hashes=64, bands=16, threshold=0.5)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert exact_pairs, "corpus must contain injected near-dups"
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    # banded LSH at s>=0.7 has hit prob >= 1-(1-0.7^4)^16 ≈ 0.99
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+    # precision is exact by construction (verified with true Jaccard)
+    for r in lsh.collect():
+        assert r.jaccard_sim >= 0.5
+
+
+def test_simhash_blocks_injected_near_dups(spark, sf_dir):
+    corpus = _corpus_with_near_dups(spark, sf_dir)
+    pairs = D.simhash_dup_pairs(corpus, "doc_id", "text", max_hamming=3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    injected = {(r.doc_id, r.doc_id + 200000)
+                for r in load_table(spark, sf_dir, "documents")
+                .filter(F.col("doc_id") % 11 == 0).collect()}
+    # near-identical token multisets → tiny Hamming distance; most
+    # injected pairs must surface
+    hit = len(found & injected) / len(injected)
+    assert hit >= 0.6, f"simhash hit rate too low: {hit}"
+
+
+def test_jaccard_short_doc_guard(spark):
+    # docs shorter than the shingle width must yield empty shingles,
+    # not a descending-sequence crash
+    df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
+    out = df.select(D.word_shingles("text", 3).alias("sh")).collect()
+    assert out[0].sh == []

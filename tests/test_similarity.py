@@ -1,0 +1,54 @@
+"""Similarity search tests (X3/X4): brute-force correctness properties +
+LSH guarantees on deterministic twins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators import similarity as S
+from sync_cosmos_db_spark.session import load_table
+
+
+def _with_twins(spark, sf_dir):
+    """Embeddings ∪ scaled copies (×1.01 → cosine exactly 1)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = (emb.filter(F.col("vec_id") % 50 == 0)
+             .withColumn("vec_id", F.col("vec_id") + 100000)
+             .withColumn("embedding",
+                         F.transform("embedding",
+                                     lambda x: (x.cast("double") * 1.01)
+                                     .cast("float"))))
+    return emb.unionByName(twins)
+
+
+def test_bruteforce_top1_is_scaled_twin(spark, sf_dir):
+    corpus = _with_twins(spark, sf_dir)
+    queries = corpus.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    topk = S.brute_force_topk(corpus, queries, k=1)
+    for r in topk.collect():
+        assert r.neighbor_id == r.query_id + 100000, (
+            f"query {r.query_id}: top-1 should be its scaled twin, "
+            f"got {r.neighbor_id}")
+        assert abs(r.cosine_sim - 1.0) < 1e-3
+
+
+def test_lsh_guaranteed_collision_for_twins(spark, sf_dir):
+    # a positively-scaled copy has IDENTICAL hyperplane signs → always
+    # shares every bucket → must be found as top-1
+    corpus = _with_twins(spark, sf_dir)
+    queries = corpus.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    topk = S.lsh_topk(corpus, queries, dim=64, k=1, n_planes=10, n_tables=4)
+    rows = topk.collect()
+    assert rows, "LSH returned nothing"
+    for r in rows:
+        assert r.neighbor_id == r.query_id + 100000
+
+
+def test_cosine_expression_basics(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],
+        "a array<double>, b array<double>")
+    vals = df.select(F.round(S.cosine(F.col("a"), F.col("b")), 6)
+                     .alias("c")).collect()
+    assert vals[0].c == 0.0
+    assert abs(vals[1].c - 1.0) < 1e-9
