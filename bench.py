@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries and print ONE JSON line.
+
+Contract (driver-run per round):
+  - data dir: $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+  - master:   local[$SPARK_GRAFT_CPUS] (default local[*])
+  - output:   {"metric": ..., "value": N, "unit": "sec",
+               "queries": {name: sec, ...}, "sf": ...}
+
+The headline set spans the engine's surface: the flagship migration
+classifier, TPC-H-style relational queries, window/top-k, exact and LSH
+dedup, similarity search, text analysis, and event windows. Each query
+is executed to completion (collect) after a shared warm-up so JVM/codegen
+startup is not billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sync_cosmos_db_spark.queries import get_queries  # noqa: E402
+from sync_cosmos_db_spark.session import get_spark, load_table  # noqa: E402
+
+HEADLINE = [
+    "migrate_classify_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "window_topk_orders_per_customer",
+    "dedup_exact_content",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_quality_score",
+    "events_sliding_1h_30m",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = get_spark(app_name="bench")
+    queries = get_queries()
+
+    # Warm-up: touch every table once so FS cache / parquet footer reads /
+    # codegen warm-up are shared, not billed to the first timed query.
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        load_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

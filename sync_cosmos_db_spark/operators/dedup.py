@@ -30,6 +30,19 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the scan
+    produced fewer partitions — small compact inputs (one parquet file)
+    otherwise run CPU-heavy per-row compute (shingling, 64× MinHash) on
+    1-2 cores. The shuffle moves only the compact input rows, negligible
+    next to the per-row hash compute it parallelizes. At 100 TB the scan
+    already has ≥ parallelism splits and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
 # ---------------------------------------------------------------------------
 # Tokenization / shingling
 # ---------------------------------------------------------------------------
@@ -100,7 +113,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     the LSH band IS the block. Output: (id_a, id_b, jaccard_sim),
     id_a < id_b.
     """
-    sh = df.select(
+    sh = spread(df, [id_col]).select(
         F.col(id_col), F.array_distinct(word_shingles(text_col, n)).alias("__sh"),
         *( [F.col(block_col)] if block_col else [] ))
     a = sh.select(*[F.col(c).alias(f"{c}_a") for c in sh.columns])
@@ -123,17 +136,51 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 # X2 — near-dup at scale: MinHash + banded LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signature(shingles: Column, num_hashes: int = 64,
-                      seed: int = 42) -> Column:
-    """MinHash signature as array<bigint>: for hash function i, the min
-    over shingles of xxhash64(shingle, salt_i). Deterministic via the
-    seed-derived salts; entirely JVM-side."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingles,
-            lambda s, i=i: F.xxhash64(s, F.lit(seed * 1_000_003 + i))))
-        for i in range(num_hashes)
-    ])
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _affine_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine hash family
+    h_i(x) = (a_i·x + b_i) mod (2³¹−1)."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+            for _ in range(num_hashes)]
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str,
+                       shingle_col: str = "__sh", num_hashes: int = 64,
+                       seed: int = 42) -> DataFrame:
+    """MinHash signatures, relational form: (id, __sig array<bigint>).
+
+    Each shingle is string-hashed ONCE (``xxhash64``); the ``num_hashes``
+    hash functions are affine rehashes of that base value modulo the
+    Mersenne prime 2³¹−1 — the same construction as Spark ML's
+    MinHashLSH. Deliberately expressed as ``explode`` → ``groupBy(id)``
+    with 64 ``min`` aggregates instead of array higher-order functions:
+    the whole plan stays in whole-stage codegen with map-side partial
+    aggregation, which measures ~8× faster than the HOF fold (HOF
+    lambdas are interpreted per element and allocate per-shingle
+    arrays). The shuffle carries only (id, 64×bigint) partial rows.
+    a_i < 2³¹ and base < 2³¹ keep a_i·base < 2⁶² — no bigint overflow
+    under ANSI mode. Deterministic via the seeded coefficients. Docs
+    with zero shingles (shorter than the shingle width) drop out — they
+    cannot near-dup by shingles and belong to exact dedup anyway."""
+    coeffs = _affine_coeffs(num_hashes, seed)
+    ex = (shingled
+          .select(F.col(id_col), F.explode(shingle_col).alias("__s"))
+          .withColumn("__h", F.pmod(F.xxhash64(F.col("__s"), F.lit(seed)),
+                                    F.lit(_MERSENNE31))))
+    aggs = [
+        F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
+                     F.lit(_MERSENNE31))).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return (ex.groupBy(id_col).agg(*aggs)
+            .select(F.col(id_col),
+                    F.array(*[F.col(f"__m{i}")
+                              for i in range(num_hashes)]).alias("__sig")))
 
 
 def minhash_lsh_pairs(
@@ -159,42 +206,58 @@ def minhash_lsh_pairs(
     ``max_bucket`` (oversized buckets dropped — they are near-certain
     spam/boilerplate clusters and handled by exact dedup anyway).
     """
+    from pyspark import StorageLevel
+
     r = num_hashes // bands
-    base = df.select(
+    shingled = spread(df.select(id_col, text_col), [id_col]).select(
         F.col(id_col),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
+    )
+    # The shingle projection feeds three consumers (signatures + both
+    # sides of the verify join); without persistence each consumer
+    # re-runs scan + shingling. MEMORY_AND_DISK spills instead of OOMing
+    # at scale; the ContextCleaner unpersists when the plan is released.
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(shingled, id_col, "__sh", num_hashes, seed)
 
-    banded = base.select(
-        id_col, "__sh",
+    banded = sig.select(
+        id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.col("__sig")[b * r + j].cast("string")
-                                for j in range(r)])).alias("bucket"))
+                     F.xxhash64(*[F.col("__sig")[b * r + j]
+                                  for j in range(r)]).alias("bucket"))
             for b in range(bands)
         ])).alias("__bb"),
-    ).select(id_col, "__sh", "__bb.band", "__bb.bucket")
+    ).select(id_col, "__bb.band", "__bb.bucket")
 
-    # bound pathological buckets (boilerplate clusters)
-    bucket_counts = (banded.groupBy("band", "bucket")
-                     .agg(F.count(F.lit(1)).alias("__n"))
-                     .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket)))
-    banded = banded.join(F.broadcast(bucket_counts.select("band", "bucket")),
-                         ["band", "bucket"])
-
-    a = banded.select(F.col("band"), F.col("bucket"),
-                      F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
-    b = banded.select(F.col("band"), F.col("bucket"),
-                      F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # Pairs form by collecting ids per (band, bucket) and expanding in-row
+    # — NOT by self-joining banded with itself. A self-join (and a
+    # broadcast pre-count) would evaluate the whole shingle→signature
+    # subplan once per occurrence (aliasing defeats exchange reuse);
+    # this shape evaluates it exactly once and needs one shuffle.
+    # max_bucket bounds in-row expansion to max_bucket² pairs; oversized
+    # buckets are dropped — they are near-certain boilerplate clusters,
+    # already covered by exact dedup. (For adversarially skewed corpora
+    # where a single bucket's id list itself is too large to aggregate,
+    # pre-filter hot (band, bucket) keys with a count pass first.)
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list(id_col).alias("__ids"))
+        .filter((F.size("__ids") > 1) & (F.size("__ids") <= max_bucket))
     )
+    cand = (
+        buckets.select(F.explode("__ids").alias("id_a"), "__ids")
+        .select("id_a", F.explode("__ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    sh_a = shingled.select(F.col(id_col).alias("id_a"),
+                           F.col("__sh").alias("__sh_a"))
+    sh_b = shingled.select(F.col(id_col).alias("id_b"),
+                           F.col("__sh").alias("__sh_b"))
     return (
-        pairs.withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
+        cand.join(sh_a, "id_a").join(sh_b, "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
     )
@@ -246,20 +309,26 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
     (at most-hamming-3, most dup pairs share a 16-bit prefix band),
     compare within blocks. Scale: shuffle keyed on the prefix, n² only
     inside prefix buckets."""
-    fp = df.select(F.col(id_col),
-                   simhash64(words(text_col), seed).alias("__fp"))
+    fp = spread(df, [id_col]).select(
+        F.col(id_col), simhash64(words(text_col), seed).alias("__fp"))
     fp = fp.withColumn("__block", F.shiftrightunsigned(F.col("__fp"),
                                                        64 - prefix_bits))
-    a = fp.select("__block", F.col(id_col).alias("id_a"),
-                  F.col("__fp").alias("__fp_a"))
-    b = fp.select("__block", F.col(id_col).alias("id_b"),
-                  F.col("__fp").alias("__fp_b"))
+    # collect per block + in-row expansion: the (expensive) fingerprint
+    # fold is evaluated once, not once per self-join side — same shape
+    # and same skew caveat as minhash_lsh_pairs.
+    buckets = (fp.groupBy("__block")
+               .agg(F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                            F.col("__fp").alias("fp")))
+                    .alias("__xs"))
+               .filter(F.size("__xs") > 1))
     return (
-        a.join(b, "__block")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming", hamming64(F.col("__fp_a"), F.col("__fp_b")))
+        buckets.select(F.explode("__xs").alias("a"), "__xs")
+        .select("a", F.explode("__xs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", hamming64(F.col("a.fp"), F.col("b.fp")))
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                "hamming")
     )
 
 
