@@ -1,0 +1,72 @@
+"""CLI entry point: ``python -m sync_cosmos_db_spark``.
+
+Mirrors the reference CLI (``/root/reference/src/main.py:10-28``) with
+filesystem account roots standing in for Cosmos account credentials:
+
+    python -m sync_cosmos_db_spark --source-root /data/src \
+        --target-root /data/tgt [--database DB [--container C]] \
+        [--sanitize] [--strong-verify] [--summary PATH]
+
+Flag notes vs the reference:
+
+* ``--sanitize`` is a proper ``store_true`` flag — the reference used
+  ``type=bool``, which makes EVERY non-empty CLI string truthy
+  (``src/main.py:23``, SURVEY.md §2.1 supporting notes); only its
+  env-var default behaved as intended.
+* ``--batch-size`` / ``--max-retries`` do not exist here: paging is
+  Spark partitioning, retries are ``spark.task.maxFailures`` plus
+  connector backoff (SURVEY.md O2/O20).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def get_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="sync_cosmos_db_spark",
+        description="Spark-native document-container migration")
+    p.add_argument("--source-root", required=True,
+                   help="source account root directory")
+    p.add_argument("--target-root", required=True,
+                   help="target account root directory")
+    p.add_argument("--database", default=None,
+                   help="migrate only this database")
+    p.add_argument("--container", default=None,
+                   help="migrate only this container (requires --database)")
+    p.add_argument("--sanitize", action="store_true",
+                   help="deterministically sanitize PII fields on write")
+    p.add_argument("--strong-verify", action="store_true",
+                   help="content-level exceptAll verification, not just counts")
+    p.add_argument("--summary", default="migration_summary.json",
+                   help="summary JSON output path")
+    args = p.parse_args(argv)
+    if args.container is not None and args.database is None:
+        p.error("--container requires --database")
+    return args
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = get_args(argv)
+    from sync_cosmos_db_spark.orchestrator import migrate_account_path
+    from sync_cosmos_db_spark.session import get_spark
+
+    spark = get_spark("sync_cosmos_db_spark.migrate")
+    try:
+        summary = migrate_account_path(
+            spark, args.source_root, args.target_root,
+            database=args.database, container=args.container,
+            sanitize=args.sanitize, strong_verify=args.strong_verify,
+            summary_path=args.summary)
+    except Exception as exc:  # reference: log + exit 1 (src/main.py:165-167)
+        print(f"migration failed: {exc}", file=sys.stderr)
+        return 1
+    print(json.dumps(summary, default=str, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

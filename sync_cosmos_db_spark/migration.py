@@ -168,7 +168,14 @@ def migrate_container(
     tagged = classify_actions(clean, target, keys, compare_cols,
                               broadcast_target=broadcast_target)
     if sanitize:
-        tagged = sanitize_dataframe(tagged)
+        # The reference sanitizes only documents it WRITES (the gate sits
+        # inside the update/insert branches, ``src/migration.py:132-146``);
+        # skipped documents keep their original target content. Same here:
+        # sanitize insert/update rows, pass skips through untouched.
+        written = sanitize_dataframe(
+            tagged.filter(F.col("action") != ACTION_SKIP))
+        kept = tagged.filter(F.col("action") == ACTION_SKIP)
+        tagged = written.unionByName(kept)
 
     observation = Observation(f"migration:{container}")
     tagged = tagged.observe(

@@ -1,0 +1,155 @@
+"""Orchestration: account → database → container loops (O23) + summary (O24).
+
+The reference's ``main()`` dispatches three entry points by CLI scope
+(``/root/reference/src/main.py:107-152``): full account, one database
+(``--database``), one container (``--database --container``; container
+without database is rejected at ``src/main.py:109-110``). The loops are
+driver-side Python over catalog entries; each container migration is one
+distributed Spark job — set-at-a-time, not the reference's one-RTT-per-
+document loop.
+
+Divergences (documented): the reference's single-container path skips
+``create_database_if_not_exists`` and requires a pre-existing target
+database (``src/main.py:114``, SURVEY.md §3 entry point 3); we create it
+idempotently in all three paths — strictly more robust, never wrong.
+
+100 TB posture: containers migrate sequentially here for deterministic
+summaries; on a real cluster submit per-container jobs concurrently
+(scheduler pools) — each inner plan is already fully distributed, so
+driver-side sequencing only costs job-launch latency, not throughput.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from sync_cosmos_db_spark.migration import (
+    MigrationResult,
+    check_pk_alignment,
+    migrate_container,
+    verify_migration,
+)
+from sync_cosmos_db_spark.sinks import merge_to_parquet, write_summary
+from sync_cosmos_db_spark.sources import catalog
+
+
+def _pk_key_columns(pk_paths: list[str]) -> list[str]:
+    """Merge-key columns beyond ``id``: top-level name per pk path (the
+    nested-path case goes through ``document_model.extract_pk_columns``
+    upstream; harness fixtures use top-level keys)."""
+    cols = []
+    for p in pk_paths:
+        name = p.strip("/").split("/")[0]
+        if name and name != "id":
+            cols.append(name)
+    return cols
+
+
+def migrate_container_path(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    database: str,
+    container: str,
+    sanitize: bool = False,
+    strong_verify: bool = False,
+) -> MigrationResult:
+    """Migrate one container between filesystem accounts (the harness
+    form of ``src/main.py:30-56``): properties (O17) → pk pre-flight
+    (O18) → DDL (O16) → classify+write (O6-O14) → verify (O21)."""
+    src_props = catalog.get_container_properties(source_root, database,
+                                                 container)
+    tgt_exists = catalog.container_exists(target_root, database, container)
+    if tgt_exists:
+        tgt_props = catalog.get_container_properties(target_root, database,
+                                                     container)
+        check_pk_alignment(src_props["partition_key_paths"],
+                           tgt_props["partition_key_paths"])
+
+    tgt_path = catalog.create_container_if_not_exists(
+        target_root, database, container, src_props)
+
+    src_df = spark.read.parquet(
+        catalog.container_data_path(source_root, database, container))
+    if tgt_exists:
+        tgt_df = spark.read.parquet(tgt_path)
+    else:
+        tgt_df = spark.createDataFrame([], src_df.schema)
+
+    keys = ["id"] + _pk_key_columns(src_props["partition_key_paths"])
+    keys = [k for k in keys if k in src_df.columns]
+
+    _, result = migrate_container(
+        src_df, tgt_df, keys, container=container, sanitize=sanitize,
+        writer=lambda tagged: merge_to_parquet(tagged, tgt_path),
+    )
+
+    new_tgt = spark.read.parquet(tgt_path)
+    ok, n_src, n_tgt = verify_migration(src_df, new_tgt,
+                                        strong=strong_verify)
+    result.verified = ok
+    result.source_count = n_src
+    result.target_count = n_tgt
+    return result
+
+
+def migrate_database_path(spark: SparkSession, source_root: str,
+                          target_root: str, database: str,
+                          sanitize: bool = False,
+                          strong_verify: bool = False) -> dict:
+    """One database: create it on the target (O15), loop its containers
+    (reference ``src/main.py:58-81``)."""
+    catalog.create_database_if_not_exists(target_root, database)
+    results = {}
+    for container in catalog.list_containers(source_root, database):
+        results[container] = migrate_container_path(
+            spark, source_root, target_root, database, container,
+            sanitize=sanitize, strong_verify=strong_verify)
+    return results
+
+
+def migrate_account_path(
+    spark: SparkSession,
+    source_root: str,
+    target_root: str,
+    database: str | None = None,
+    container: str | None = None,
+    sanitize: bool = False,
+    strong_verify: bool = False,
+    summary_path: str | None = None,
+) -> dict:
+    """Scope dispatch exactly like the reference (``src/main.py:107-152``):
+    no scope → every database; ``database`` → one database; ``database``
+    + ``container`` → one container. ``container`` without ``database``
+    is an error (``src/main.py:109-110``)."""
+    if container is not None and database is None:
+        raise ValueError("--container requires --database")
+
+    start = time.monotonic()
+    results: dict = {}
+    if database is not None and container is not None:
+        catalog.create_database_if_not_exists(target_root, database)
+        results[database] = {container: migrate_container_path(
+            spark, source_root, target_root, database, container,
+            sanitize=sanitize, strong_verify=strong_verify)}
+    elif database is not None:
+        results[database] = migrate_database_path(
+            spark, source_root, target_root, database,
+            sanitize=sanitize, strong_verify=strong_verify)
+    else:
+        for db in catalog.list_databases(source_root):
+            results[db] = migrate_database_path(
+                spark, source_root, target_root, db,
+                sanitize=sanitize, strong_verify=strong_verify)
+
+    summary = {
+        "source_account": source_root,
+        "target_account": target_root,
+        "duration_sec": round(time.monotonic() - start, 3),
+        "results": results,
+    }
+    if summary_path:
+        write_summary(summary, summary_path)
+    return summary

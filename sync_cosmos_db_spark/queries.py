@@ -152,6 +152,77 @@ def doc_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha")))
 
 
+# ---------------------------------------------------------------------------
+# O19 — deterministic PII sanitization (oracle-checkable because every
+# generator is a sha2-hex manipulation both engines compute identically)
+# ---------------------------------------------------------------------------
+
+_D = "translate(substr(sha256({c}),{s},{n}),'abcdef','012345')"
+
+
+def _d(c: str, s: int, n: int) -> str:
+    return _D.format(c=c, s=s, n=n)
+
+
+@query(
+    "sanitize_customer_pii",
+    f"""
+    SELECT c_custkey,
+           'FN_' || substr(sha256(c_name),1,8)
+               || ' LN_' || substr(sha256(c_name),9,8)          AS name,
+           {_d('c_mktsegment',1,3)} || ' Fake St '
+               || substr(sha256(c_mktsegment),4,6)              AS address,
+           '+1-' || {_d('c_name',1,3)} || '-' || {_d('c_name',4,3)}
+               || '-' || {_d('c_name',7,4)}                     AS phonenumber
+    FROM customer
+    """,
+)
+def sanitize_customer_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 — flat-column sanitization: PII-named columns replaced by
+    deterministic fakes seeded from the original value (reference field
+    map ``src/sanitizer.py:6-38``; deterministic divergence documented
+    in SURVEY.md §7c). The harness table lacks real address/phone
+    columns, so existing columns are surfaced UNDER PII names — the
+    sanitizer matches on the name, the seed is the column value."""
+    from sync_cosmos_db_spark.sanitizer import sanitize_dataframe
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("address"),
+        F.col("c_name").alias("phonenumber"),
+    )
+    return sanitize_dataframe(cust)
+
+
+@query(
+    "sanitize_nested_profile",
+    f"""
+    SELECT c_custkey,
+           {_d('c_mktsegment',1,3)} || '-' || {_d('c_mktsegment',4,2)}
+               || '-' || {_d('c_mktsegment',6,4)}               AS ssn,
+           'user_' || substr(sha256(c_name),1,10)
+               || '@example.com'                                AS email
+    FROM customer
+    """,
+)
+def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O19 — recursion into nested structs (the reference's dict branch,
+    ``src/sanitizer.py:46-57``): PII fields inside a struct column are
+    matched by name and replaced; the struct is rebuilt type-stable."""
+    from sync_cosmos_db_spark.sanitizer import sanitize_dataframe
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(F.col("c_mktsegment").alias("ssn"),
+                 F.col("c_name").alias("email")).alias("profile"),
+    )
+    out = sanitize_dataframe(cust)
+    return out.select("c_custkey",
+                      F.col("profile.ssn").alias("ssn"),
+                      F.col("profile.email").alias("email"))
+
+
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # import for registration side effects
     from sync_cosmos_db_spark import queries_relational  # noqa: F401

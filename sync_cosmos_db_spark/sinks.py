@@ -1,0 +1,76 @@
+"""Sinks: per-action writes, parquet merge, summary JSON (O13, O14, O24).
+
+The reference writes one document per network call (``create_item`` at
+``src/migration.py:141-146``, ``replace_item`` at ``:132-138``) and one
+summary file per run (``src/main.py:154-160``). Here writes are bulk
+DataFrame writes; in production the same action-tagged frame goes to the
+Cosmos connector (``sources/cosmos.py``) with ``ItemAppend`` for inserts
+and ``ItemOverwrite`` for updates.
+
+The parquet "merge" rewrites the target from the tagged frame itself:
+inserts + updates carry new content, skips carry content identical to
+the target's, so the union IS the post-migration target state — no
+second join needed. At 100 TB the production path is the connector
+upsert (or Delta ``MERGE INTO``); full-rewrite is the plain-parquet
+fallback and is still one shuffle-free pass because the tagged frame
+already holds every surviving row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.migration import (
+    ACTION_INSERT,
+    ACTION_SKIP,
+    ACTION_UPDATE,
+    MigrationResult,
+)
+
+
+def write_actions_parquet(tagged: DataFrame, path: str,
+                          action_col: str = "action") -> None:
+    """O13/O14 harness sink: persist insert/update rows partitioned by
+    action (skips carry no work). Partitioning by the 2-value action
+    column keeps each action's files contiguous for audit reads."""
+    (tagged.filter(F.col(action_col).isin(ACTION_INSERT, ACTION_UPDATE))
+     .write.partitionBy(action_col).mode("overwrite").parquet(path))
+
+
+def merge_to_parquet(tagged: DataFrame, target_path: str,
+                     action_col: str = "action") -> None:
+    """Apply the classified migration to a parquet target: every tagged
+    source row (insert/update/skip) is a surviving row of the new target
+    state, so writing the tagged frame minus the action column IS the
+    merge. Written to a temp dir then atomically renamed, because the
+    tagged plan may still be reading the old target files."""
+    tmp = target_path + ".__new__"
+    tagged.drop(action_col).write.mode("overwrite").parquet(tmp)
+    old = target_path + ".__old__"
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    if os.path.exists(old):
+        import shutil
+        shutil.rmtree(old)
+
+
+def write_summary(results: dict, path: str) -> None:
+    """O24 — persist the nested per-db/per-container summary, mirroring
+    ``migration_summary.json`` (``src/main.py:155-160``)."""
+    def _clean(x):
+        if isinstance(x, MigrationResult):
+            return x.to_dict()
+        if isinstance(x, dict):
+            return {k: _clean(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [_clean(v) for v in x]
+        return x
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(_clean(results), f, indent=2)

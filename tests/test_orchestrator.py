@@ -1,0 +1,136 @@
+"""Orchestration-layer tests (O4/O5, O13-O18, O21, O23, O24): the golden
+migration scenario of SURVEY.md §5.2 — known insert/update/skip/error
+composition, exact counter quadruple, idempotent re-run — plus scope
+dispatch and the pk-alignment abort."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sync_cosmos_db_spark.orchestrator import (
+    migrate_account_path,
+    migrate_container_path,
+)
+from sync_cosmos_db_spark.sources import catalog
+
+
+def _write(spark, rows, schema, path):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+
+
+@pytest.fixture()
+def account(spark, tmp_path):
+    """Source account with 2 dbs; target pre-seeded so container ``emp``
+    yields exactly: 2 inserts (ids 4,5), 1 update (id 2), 2 skips
+    (ids 1,3), 1 error (null id)."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt")
+    schema = "id string, dept string, salary long"
+    catalog.create_database_if_not_exists(src, "hr")
+    catalog.create_container_if_not_exists(src, "hr", "emp",
+                                           {"partition_key_paths": ["/dept"]})
+    _write(spark, [
+        ("1", "eng", 100), ("2", "eng", 220), ("3", "ops", 300),
+        ("4", "ops", 400), ("5", "eng", 500), (None, "eng", 600),
+    ], schema, catalog.container_data_path(src, "hr", "emp"))
+
+    catalog.create_database_if_not_exists(tgt, "hr")
+    catalog.create_container_if_not_exists(tgt, "hr", "emp",
+                                           {"partition_key_paths": ["/dept"]})
+    _write(spark, [
+        ("1", "eng", 100), ("2", "eng", 200), ("3", "ops", 300),
+    ], schema, catalog.container_data_path(tgt, "hr", "emp"))
+
+    catalog.create_database_if_not_exists(src, "sales")
+    catalog.create_container_if_not_exists(src, "sales", "leads")
+    _write(spark, [("a", "x", 1), ("b", "y", 2)], schema,
+           catalog.container_data_path(src, "sales", "leads"))
+    return src, tgt
+
+
+def test_catalog_listing(account):
+    src, _ = account
+    assert catalog.list_databases(src) == ["hr", "sales"]  # O4
+    assert catalog.list_containers(src, "hr") == ["emp"]   # O5
+    props = catalog.get_container_properties(src, "hr", "emp")  # O17
+    assert props["partition_key_paths"] == ["/dept"]
+    missing = catalog.get_container_properties(src, "hr", "nope")
+    assert missing["partition_key_paths"] == ["/id"]  # reference fallback
+
+
+def test_golden_counter_quadruple(spark, account):
+    src, tgt = account
+    res = migrate_container_path(spark, src, tgt, "hr", "emp")
+    assert (res.inserted, res.updated, res.skipped, res.errors) == (2, 1, 2, 1)
+    assert res.verified is False  # error row excluded: 6 src vs 5 tgt
+    assert res.source_count == 6 and res.target_count == 5
+
+    # target now holds the merged state
+    merged = spark.read.parquet(
+        catalog.container_data_path(tgt, "hr", "emp"))
+    got = {r.id: r.salary for r in merged.collect()}
+    assert got == {"1": 100, "2": 220, "3": 300, "4": 400, "5": 500}
+
+
+def test_idempotent_second_run_all_skip(spark, account):
+    src, tgt = account
+    migrate_container_path(spark, src, tgt, "hr", "emp")
+    res2 = migrate_container_path(spark, src, tgt, "hr", "emp")
+    assert (res2.inserted, res2.updated, res2.skipped) == (0, 0, 5)
+
+
+def test_account_scope_and_summary(spark, account, tmp_path):
+    src, tgt = account
+    summary_path = str(tmp_path / "out" / "migration_summary.json")
+    summary = migrate_account_path(spark, src, tgt,
+                                   summary_path=summary_path)
+    assert set(summary["results"]) == {"hr", "sales"}
+    leads = summary["results"]["sales"]["leads"]
+    assert leads.inserted == 2 and leads.verified is True  # fresh target
+    with open(summary_path) as f:
+        on_disk = json.load(f)  # O24: JSON-serializable end to end
+    assert on_disk["results"]["hr"]["emp"]["updated"] == 1
+
+
+def test_container_requires_database(spark, account):
+    src, tgt = account
+    with pytest.raises(ValueError, match="requires --database"):
+        migrate_account_path(spark, src, tgt, container="emp")
+
+
+def test_pk_alignment_abort(spark, account):
+    src, tgt = account
+    # corrupt target properties to a different pk path (O18)
+    props_path = catalog.container_data_path(
+        tgt, "hr", "emp")[: -len(".parquet")] + ".properties.json"
+    with open(props_path, "w") as f:
+        json.dump({"partition_key_paths": ["/other"]}, f)
+    with pytest.raises(ValueError, match="do not match"):
+        migrate_container_path(spark, src, tgt, "hr", "emp")
+
+
+def test_sanitize_only_written_rows(spark, account):
+    src, tgt = account
+    migrate_container_path(spark, src, tgt, "hr", "emp", sanitize=True)
+    merged = spark.read.parquet(
+        catalog.container_data_path(tgt, "hr", "emp"))
+    got = {r.id: r.dept for r in merged.collect()}
+    # dept is not a PII field; salary neither — sanitize must not change
+    # them. (PII-field behavior is covered in test_sanitizer.py; here we
+    # assert the skip rows pass through byte-identical.)
+    assert got["1"] == "eng" and got["3"] == "ops"
+
+
+def test_cli_single_container(spark, account, tmp_path, capsys):
+    src, tgt = account
+    from sync_cosmos_db_spark.__main__ import main
+    rc = main(["--source-root", src, "--target-root", tgt,
+               "--database", "sales", "--container", "leads",
+               "--summary", str(tmp_path / "s.json")])
+    assert rc == 0
+    assert json.loads((tmp_path / "s.json").read_text())[
+        "results"]["sales"]["leads"]["inserted"] == 2
