@@ -152,6 +152,84 @@ def doc_content_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha")))
 
 
+@query(
+    "migrate_classify_json_docs",
+    _MIGRATE_ORACLE_CTE
+    + "SELECT action, count(*) AS n FROM tagged GROUP BY action ORDER BY action",
+)
+def migrate_classify_json_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema migration path (SURVEY.md §1.3): documents carried
+    as a single JSON ``payload`` string — the schemaless-Cosmos fallback
+    — with the merge key extracted via ``get_json_object`` (O8 dynamic
+    variant) and change detection on payload equality. Must classify
+    identically to the typed-column flagship, which is exactly what the
+    shared oracle asserts."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.to_json(F.struct("doc_id", "text", "lang", "source",
+                                 "n_chars"))
+    src = docs.select(payload.alias("payload"))
+    tgt = (docs.filter(F.col("doc_id") % 3 != 0)
+           .withColumn("text",
+                       F.when(F.col("doc_id") % 5 == 0,
+                              F.concat(F.col("text"), F.lit(" [stale]")))
+                       .otherwise(F.col("text")))
+           .select(payload.alias("tgt_payload")))
+    src_e = src.withColumn(
+        "id", F.get_json_object("payload", "$.doc_id").cast("long"))
+    tgt_e = tgt.withColumn(
+        "id", F.get_json_object("tgt_payload", "$.doc_id").cast("long"))
+    joined = src_e.join(tgt_e, "id", "left_outer")
+    return (
+        joined.withColumn(
+            "action",
+            F.when(F.col("tgt_payload").isNull(), F.lit("insert"))
+            .when(F.col("payload") != F.col("tgt_payload"), F.lit("update"))
+            .otherwise(F.lit("skip")))
+        .groupBy("action").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("action")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 — SQL frontend: spark.sql over registered views, incl. correlated
+# subqueries (the categories the reference lacks; SURVEY.md §2.2)
+# ---------------------------------------------------------------------------
+
+_SQL_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 300000)
+"""
+
+_SQL_SCALAR_SUBQ = """
+SELECT o_orderkey
+FROM orders
+WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+"""
+
+
+@query("sql_exists_high_value_customers", _SQL_EXISTS)
+def sql_exists_high_value_customers(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """A9/A1 — the SQL frontend end-to-end: a correlated EXISTS subquery
+    run through ``spark.sql`` (Catalyst rewrites it to a left-semi
+    join); identical text runs on DuckDB."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_EXISTS)
+
+
+@query("sql_scalar_subquery_orders", _SQL_SCALAR_SUBQ)
+def sql_scalar_subquery_orders(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """A9 — scalar subquery through ``spark.sql`` (broadcast of the
+    single-row aggregate); key-only output avoids float formatting."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_SCALAR_SUBQ)
+
+
 # ---------------------------------------------------------------------------
 # O19 — deterministic PII sanitization (oracle-checkable because every
 # generator is a sha2-hex manipulation both engines compute identically)
