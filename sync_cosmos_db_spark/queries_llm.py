@@ -389,6 +389,42 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.session_counts(ev, "5 minutes", "user_id")
 
 
+@query(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: custom stateful streaming operator — per-user running totals
+    via ``applyInPandasWithState``, executed as a real streaming query
+    (availableNow trigger, memory sink, update mode). The LAST emission
+    per key is the final state, which must equal the batch aggregate the
+    oracle computes."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from sync_cosmos_db_spark.streaming.stateful import running_user_totals
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    src = SW.read_events_stream(spark, d)
+    mem = SW.run_stream_to_memory(
+        spark, running_user_totals(src),
+        f"stateful_mem_{uuid.uuid4().hex[:8]}", mode="update")
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (mem.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("user_id", "n_events",
+                    fround("sum_value", 2).alias("sum_value")))
+
+
 # ---------------------------------------------------------------------------
 # X8 — sketches (approximate → rows-only) + exact percentile twin
 # ---------------------------------------------------------------------------

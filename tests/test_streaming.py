@@ -33,6 +33,30 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, events_stream_dir):
     assert _rows(batch, cols) == _rows(streamed, cols)
 
 
+def test_stateful_running_totals_matches_batch(spark, sf_dir,
+                                               events_stream_dir):
+    """applyInPandasWithState: final per-key state == batch aggregate."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.streaming.stateful import running_user_totals
+
+    src = SW.read_events_stream(spark, events_stream_dir)
+    mem = SW.run_stream_to_memory(spark, running_user_totals(src),
+                                  "stateful_parity_mem", mode="update")
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (mem.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+             .select("user_id", "n_events", "sum_value"))
+    batch = (load_table(spark, sf_dir, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.sum("value").alias("sum_value")))
+    a = sorted((r.user_id, r.n_events, round(r.sum_value, 6))
+               for r in final.collect())
+    b = sorted((r.user_id, r.n_events, round(r.sum_value, 6))
+               for r in batch.collect())
+    assert a == b
+
+
 def test_session_stream_emits_finalized_sessions(spark, sf_dir,
                                                  events_stream_dir):
     """Append-mode session windows emit only watermark-finalized
