@@ -565,3 +565,29 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(vec_sum, 4).alias("vec_sum"),
         fround(F.sqrt(vec_sq), 4).alias("vec_norm"),
     )
+
+
+# --- A2 + skew: explicit salted aggregation --------------------------------
+
+@query(
+    "agg_salted_revenue_by_flag",
+    """
+    SELECT l_returnflag, count(*) AS n,
+           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage aggregation (operators/skew.py) on a
+    genuinely skewed key — l_returnflag has 3 distinct values over the
+    whole table, the worst case for a naive shuffle. Stage 1 partials on
+    (flag, salt); stage 2 combines `buckets` tiny rows per flag. Result
+    must equal the plain GROUP BY the oracle runs."""
+    from sync_cosmos_db_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(li, ["l_returnflag"],
+                     {"n": "count", "revenue": "sum:l_extendedprice"},
+                     buckets=32)
+    return out.select("l_returnflag", "n",
+                      fround("revenue", 2).alias("revenue"))
