@@ -1,0 +1,110 @@
+"""Temporal joins Spark lacks natively: as-of join and range join.
+
+No reference implementation (SURVEY.md §2.2 A1 — the reference has no
+joins at all); these are the BASELINE.json "custom operator" seam,
+expressed as compositions of built-in ops so Catalyst/Tungsten still own
+execution.
+
+* **As-of join** — for each left row, the latest right row whose time is
+  ≤ the left time, per key. NOT implemented as a θ-join + max (that is
+  O(n·m) per key); instead the scalable single-shuffle form: union both
+  sides tagged, sort within key by (time, side-order), and carry right
+  values forward with ``last(ignorenulls)`` over a running window. One
+  shuffle on the key, linear scan within each key partition — the same
+  shape kdb/QuestDB/Flink use.
+* **Range join** — match rows to intervals. A naive non-equi join is a
+  BroadcastNestedLoopJoin (quadratic); the bucketed form maps each event
+  to fixed-width time buckets, explodes each interval over the buckets
+  it overlaps, equi-joins on (key, bucket), then applies the exact
+  residual predicate. Shuffle is on (key, bucket); cost ∝ events +
+  Σ interval-widths/bucket — the standard interval-bucketing trick
+  (as in Databricks' range-join optimization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of (backward) join: attach to each left row the ``value_cols``
+    of the latest right row with ``right_time <= left_time`` per key.
+
+    Right (key, time) pairs should be unique (pre-aggregate otherwise) —
+    ties would make "the latest row" ambiguous. Equal timestamps match
+    (``<=`` semantics, right row sorts before the left row it serves).
+    """
+    lt = F.col(left_time)
+    l_tagged = left.select(
+        F.col(key), lt.alias("__t"), F.lit(1).alias("__side"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+        F.struct(*left.columns).alias("__row"),
+    )
+    r_tagged = right.select(
+        F.col(key), F.col(right_time).alias("__t"), F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(
+            l_tagged.schema["__row"].dataType).alias("__row"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows (side 0) sort before left rows at the same timestamp,
+    # so <= matching falls out of the running last()
+    w = (W.partitionBy(key).orderBy("__t", "__side")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = unioned.select(
+        key, "__t", "__side", "__row",
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__v_{c}")
+          for c in value_cols],
+    ).filter(F.col("__side") == 1)
+    out = filled.select(
+        *[F.col("__row")[c].alias(c) for c in left.columns],
+        *[F.col(f"__v_{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        out = out.dropna(subset=[value_cols[0]])
+    return out
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_time: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_sec: int = 3600,
+    key: str | None = None,
+) -> DataFrame:
+    """Match events to ``[start, end)`` intervals via equi-join on
+    fixed-width time buckets + exact residual filter. With ``key``, both
+    the bucket and the key join equi-side. Intervals explode over every
+    bucket they overlap — choose ``bucket_width_sec`` near the median
+    interval width so the explosion factor stays ~2×."""
+    ev_b = events.withColumn(
+        "__bucket",
+        (F.unix_timestamp(F.col(event_time)) / bucket_width_sec)
+        .cast("long"))
+    iv_b = intervals.withColumn(
+        "__bucket",
+        F.explode(F.sequence(
+            (F.unix_timestamp(F.col(start_col)) / bucket_width_sec)
+            .cast("long"),
+            (F.unix_timestamp(F.col(end_col)) / bucket_width_sec)
+            .cast("long"))))
+    on = ["__bucket"] + ([key] if key else [])
+    return (
+        ev_b.join(iv_b, on)
+        .filter((F.col(event_time) >= F.col(start_col))
+                & (F.col(event_time) < F.col(end_col)))
+        .drop("__bucket")
+    )

@@ -591,3 +591,63 @@ def agg_salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                      buckets=32)
     return out.select("l_returnflag", "n",
                       fround("revenue", 2).alias("revenue"))
+
+
+# --- A1 + temporal: as-of join and bucketed range join ---------------------
+
+@query(
+    "asof_join_latest_snapshot",
+    """
+    WITH snaps AS (
+      SELECT user_id, ts, max(value) AS snap_value
+      FROM events WHERE event_id % 10 = 0 GROUP BY user_id, ts
+    )
+    SELECT e.event_id, s.snap_value
+    FROM events e
+    ASOF LEFT JOIN snaps s ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def asof_join_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): each event annotated with the
+    latest snapshot value at-or-before its timestamp per user. The
+    union-sort single-shuffle form vs DuckDB's native ASOF JOIN."""
+    from sync_cosmos_db_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    snaps = (ev.filter(F.col("event_id") % 10 == 0)
+             .groupBy("user_id", "ts")
+             .agg(F.max("value").alias("snap_value")))
+    out = asof_join(ev.select("event_id", "user_id", "ts"), snaps,
+                    key="user_id", left_time="ts", right_time="ts",
+                    value_cols=["snap_value"])
+    return out.select("event_id", "snap_value")
+
+
+@query(
+    "range_join_event_windows",
+    """
+    WITH iv AS (
+      SELECT event_id AS iv_id, ts AS start_ts,
+             ts + INTERVAL 2 HOUR AS end_ts
+      FROM events WHERE event_id % 50 = 0
+    )
+    SELECT e.event_id, i.iv_id
+    FROM events e JOIN iv i
+      ON e.ts >= i.start_ts AND e.ts < i.end_ts
+    """,
+)
+def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/temporal.py): events matched to 2-hour
+    interval windows via bucket equi-join + residual filter — no
+    BroadcastNestedLoopJoin (asserted in tests/test_temporal.py)."""
+    from sync_cosmos_db_spark.operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (ev.filter(F.col("event_id") % 50 == 0)
+          .select(F.col("event_id").alias("iv_id"),
+                  F.col("ts").alias("start_ts"),
+                  (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts")))
+    out = range_join_bucketed(ev.select("event_id", "ts"), iv,
+                              "ts", "start_ts", "end_ts",
+                              bucket_width_sec=3600)
+    return out.select("event_id", "iv_id")
