@@ -29,6 +29,7 @@ from sync_cosmos_db_spark.session import get_spark, load_table  # noqa: E402
 
 HEADLINE = [
     "migrate_classify_counts",
+    "migrate_classify_json_docs",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
@@ -38,6 +39,10 @@ HEADLINE = [
     "sim_topk_bruteforce",
     "text_quality_score",
     "events_sliding_1h_30m",
+    "sanitize_customer_pii",
+    "agg_salted_revenue_by_flag",
+    "asof_join_latest_snapshot",
+    "range_join_event_windows",
 ]
 
 
