@@ -494,3 +494,74 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/multimodal.py)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_images(M.attach_binary(docs), fake=True)
+
+
+# ---------------------------------------------------------------------------
+# O7 quarantine + A6 array/map depth
+# ---------------------------------------------------------------------------
+
+@query(
+    "quarantine_validity_counts",
+    """
+    SELECT CASE WHEN doc_id % 13 = 0 THEN 'invalid' ELSE 'valid' END
+           AS status, count(*) AS n
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def quarantine_validity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7: validity split with quarantine instead of silent drop
+    (reference skips + counts errors, ``src/migration.py:92-109``). The
+    corpus has no invalid docs, so ids divisible by 13 are nulled
+    in-query; the oracle reproduces the corruption rule."""
+    from sync_cosmos_db_spark.document_model import split_valid_invalid
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "doc_id", F.when(F.col("doc_id") % 13 == 0, F.lit(None))
+        .otherwise(F.col("doc_id")))
+    valid, bad = split_valid_invalid(docs, id_col="doc_id")
+    return (valid.select(F.lit("valid").alias("status"))
+            .unionAll(bad.select(F.lit("invalid").alias("status")))
+            .groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("status"))
+
+
+@query(
+    "array_hof_embedding_profile",
+    """
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           floor((list_max(embedding)::DOUBLE) * 10000 + 0.5) / 10000
+           AS max_val
+    FROM embeddings
+    """,
+)
+def array_hof_embedding_profile(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """A6: array higher-order functions (filter/max) over the embedding
+    column — JVM-side lambdas vs DuckDB list lambdas."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        fround(F.array_max("embedding").cast("double"), 4).alias("max_val"))
+
+
+@query(
+    "map_roundtrip_extract",
+    """
+    SELECT doc_id, lang AS lang_val, source AS source_val, 2 AS n_keys
+    FROM documents
+    """,
+)
+def map_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: MapType round-trip — build a map from columns, extract by
+    key, count keys. The oracle is the identity projection because the
+    round-trip must be lossless."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.create_map(F.lit("lang"), F.col("lang"),
+                     F.lit("source"), F.col("source"))
+    return docs.select(
+        "doc_id",
+        F.element_at(m, "lang").alias("lang_val"),
+        F.element_at(m, "source").alias("source_val"),
+        F.size(m).alias("n_keys"))

@@ -651,3 +651,141 @@ def range_join_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "ts", "start_ts", "end_ts",
                               bucket_width_sec=3600)
     return out.select("event_id", "iv_id")
+
+
+# --- TPC-H-shaped breadth (adapted to the harness columns) -----------------
+
+@query(
+    "q4_priority_with_returns",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts over orders having a matching
+    lineitem — left-semi join then aggregate (the EXISTS decorrelation
+    Catalyst performs; here written directly as the semi-join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100
+           AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — every predicate pushes to
+    the parquet scan; zero shuffles beyond the final single-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24))
+        .agg(fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue")))
+
+
+@query(
+    "q10_returned_revenue_by_customer",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5)
+           / 100 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue_by_customer(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 4-way join, lost-revenue per customer, top 20.
+    nation broadcasts (tiny); customer⋈orders⋈lineitem shuffle on their
+    keys; deterministic tie-break on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(fround(F.sum(rev), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q14_big_part_share",
+    """
+    SELECT floor((100.0 * sum(CASE WHEN p.p_size > 25
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0 END)
+           / sum(l.l_extendedprice * (1 - l.l_discount))) * 10000 + 0.5)
+           / 10000 AS big_part_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_big_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-share aggregate over a broadcast
+    dimension join (part is small)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond = F.when(F.col("p_size") > 25, rev).otherwise(F.lit(0.0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(fround(100.0 * F.sum(cond) / F.sum(rev), 4)
+                 .alias("big_part_share_pct")))
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, t.total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 150) t
+      ON o.o_orderkey = t.l_orderkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-then-join (the HAVING subquery runs
+    first and shrinks the join input — never join-then-aggregate here)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = (load_table(spark, sf_dir, "lineitem")
+           .groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .filter(F.col("total_qty") > 150))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+            .select("o_orderkey", "o_totalprice", "total_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(50))
