@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact_content",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
+    "sim_topk_vectorized",
     "text_quality_score",
     "events_sliding_1h_30m",
     "sanitize_customer_pii",

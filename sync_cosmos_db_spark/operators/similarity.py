@@ -89,6 +89,73 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k, Arrow/numpy path: the small query set is
+    collected to a dense matrix and shipped INSIDE the ``mapInPandas``
+    closure; each corpus batch scores against all queries with one
+    float64 matmul and emits only its LOCAL top-k per query, so the
+    shuffle into the global ranking window carries ≤ k·partitions rows
+    per query instead of the whole corpus. Same output contract as
+    :func:`brute_force_topk`; scores are rounded to 6 decimals BEFORE
+    ranking on both paths so ulp-level summation-order differences can't
+    flip ranks. This is the hot-path variant: the HOF dot product is
+    interpreted per element, the matmul is BLAS."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    out_schema = (f"{query_id_col} long, neighbor_id long, "
+                  "cosine_sim double")
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _np.asarray(list(pdf[vec_col]), dtype=_np.float64)
+            Cn = C / _np.linalg.norm(C, axis=1, keepdims=True)
+            # floor-based rounding (matches the repo-wide fround formula;
+            # np.round is banker's, Spark round is HALF_UP — neither
+            # agrees with the other or with DuckDB on ties)
+            S = _np.floor((Cn @ Qn.T) * 1e6 + 0.5) / 1e6  # b × q
+            ids = pdf[id_col].to_numpy()
+            rows = {query_id_col: [], "neighbor_id": [], "cosine_sim": []}
+            for j, qid in enumerate(q_ids):
+                col = S[:, j]
+                mask = ids != qid
+                cand_ids, cand_s = ids[mask], col[mask]
+                # local exact top-k under (score desc, id asc) — global
+                # top-k is the merge of per-batch top-k under that order
+                order = _np.lexsort((cand_ids, -cand_s))[:k]
+                rows[query_id_col].extend([qid] * len(order))
+                rows["neighbor_id"].extend(cand_ids[order])
+                rows["cosine_sim"].extend(cand_s[order])
+            yield _pd.DataFrame(rows)
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
+                                            F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "rank",
+                (F.floor(F.col("cosine_sim") * 10000 + F.lit(0.5)) / 10000)
+                .alias("cosine_sim"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # X4 — approximate top-k via seeded random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -201,6 +201,37 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, queries, k=3)
 
 
+@query(
+    "sim_topk_vectorized",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor((list_cosine_similarity(q.qv, c.embedding::DOUBLE[]))
+                   * 1000000 + 0.5) / 1000000 AS cs
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank,
+             floor((cs) * 10000 + 0.5) / 10000 AS cosine_sim
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 hot path: the same exact top-3 as sim_topk_bruteforce but
+    scored with one BLAS matmul per Arrow batch (mapInPandas) and a
+    per-partition local top-k before the global ranking window — the
+    shuffle carries k·partitions rows per query, not the corpus. Scores
+    rounded to 6 decimals pre-rank on both engines so summation-order
+    ulps can't flip ranks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.brute_force_topk_vectorized(emb, queries, k=3)
+
+
 @query("sim_topk_lsh")  # approx — rows-only check; recall tested in pytest
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 scale path: seeded random-hyperplane LSH (4 tables × 10 bits),

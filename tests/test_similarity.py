@@ -52,3 +52,22 @@ def test_cosine_expression_basics(spark):
                      .alias("c")).collect()
     assert vals[0].c == 0.0
     assert abs(vals[1].c - 1.0) < 1e-9
+
+
+def test_vectorized_topk_matches_hof_baseline(spark, sf_dir):
+    """The numpy/mapInPandas path must return the same neighbor SETS as
+    the Column-expression baseline (ranks can differ only on exact-tie
+    reordering, which the deterministic tie-break forbids)."""
+    from sync_cosmos_db_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_vectorized,
+    )
+    from sync_cosmos_db_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    a = {(r.query_id, r.neighbor_id, r.rank)
+         for r in brute_force_topk(emb, queries, k=3).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank)
+         for r in brute_force_topk_vectorized(emb, queries, k=3).collect()}
+    assert a == b
