@@ -59,6 +59,40 @@ def merge_to_parquet(tagged: DataFrame, target_path: str,
         shutil.rmtree(old)
 
 
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: list[str],
+                      mode: str = "overwrite") -> None:
+    """Layout-aware write: hive-style directory partitioning on the
+    given columns so downstream scans partition-prune (e.g., per-lang or
+    per-day curation reads touch only their directories). Choose
+    low-cardinality columns — 100 TB over a high-cardinality partition
+    column makes millions of tiny files, the opposite failure."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
+    """Compact a parquet directory to ~target-sized files; returns the
+    file count written. Small-file proliferation (per-action appends,
+    streaming micro-batches) degrades scan planning at scale — periodic
+    compaction is standard lake hygiene. Uses bytes-on-disk to pick the
+    output file count, then one coalesce write (no shuffle)."""
+    import glob
+
+    n_bytes = sum(os.path.getsize(f)
+                  for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                                     recursive=True))
+    n_files = max(1, round(n_bytes / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    tmp = path + ".__compact__"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+    shutil.rmtree(old)
+    return n_files
+
+
 def write_summary(results: dict, path: str) -> None:
     """O24 — persist the nested per-db/per-container summary, mirroring
     ``migration_summary.json`` (``src/main.py:155-160``)."""

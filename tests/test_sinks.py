@@ -1,0 +1,43 @@
+"""Sink utilities: partitioned layout enables partition pruning;
+compaction reduces file counts without changing data."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.session import load_table
+from sync_cosmos_db_spark.sinks import compact_parquet, write_partitioned
+
+
+def test_write_partitioned_prunes(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "by_lang")
+    write_partitioned(docs, out, ["lang"])
+    langs = {d.split("=")[1] for d in os.listdir(out) if d.startswith("lang=")}
+    assert langs == {r.lang for r in docs.select("lang").distinct().collect()}
+    # a lang-filtered read must scan only that partition's directory
+    one = spark.read.parquet(out).filter(F.col("lang") == sorted(langs)[0])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_compact_parquet_preserves_data(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "frag.parquet")
+    docs.repartition(16).write.parquet(out)  # deliberately fragmented
+    before = len(glob.glob(os.path.join(out, "*.parquet")))
+    checksum_before = docs.agg(
+        F.expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))")
+    ).collect()[0][0]
+    n = compact_parquet(spark, out, target_file_mb=256)
+    after = len(glob.glob(os.path.join(out, "*.parquet")))
+    got = spark.read.parquet(out)
+    checksum_after = got.agg(
+        F.expr("bit_xor(xxhash64(doc_id, text, lang, source, n_chars))")
+    ).collect()[0][0]
+    assert after == n < before
+    assert checksum_before == checksum_after
