@@ -33,6 +33,21 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+#: GPT-2-style pre-tokenizer regex (simplified, ASCII): a leading-space
+#: word, number run, punctuation run, or whitespace run — the standard
+#: BPE pre-split shape, minus unicode categories.
+BPE_SPLIT_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count: number of pre-tokenizer pieces. A
+    useful budget estimator at corpus scale (real BPE merges only split
+    pieces further, so this lower-bounds the true count) — one
+    ``regexp_count`` per document, fully codegen'd."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+
+
 def distinct_token_ratio(col: Column | str) -> Column:
     """Lexical diversity: |distinct tokens| / |tokens| — near-zero for
     boilerplate/spam, the classic quality signal."""

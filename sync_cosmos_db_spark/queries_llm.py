@@ -332,6 +332,26 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_token_counts",
+    r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text,
+               ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: token budget estimation — whitespace tokens plus the BPE
+    pre-tokenizer piece count (the lower bound a real BPE only refines).
+    One regexp pass per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id",
+                       X.token_count("text").alias("ws_tokens"),
+                       X.bpe_token_count("text").alias("bpe_tokens"))
+
+
+@query(
     "text_fingerprint",
     """
     SELECT doc_id,
