@@ -69,11 +69,22 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Set Jaccard similarity of two string arrays (distinct semantics)."""
+    """Set Jaccard similarity of two arrays (distinct semantics)."""
     da, db = F.array_distinct(a), F.array_distinct(b)
     inter = F.size(F.array_intersect(da, db))
     union = F.size(F.array_union(da, db))
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def hashed_shingles(col: Column | str, n: int = 3,
+                    seed: int = 42) -> Column:
+    """Word n-gram shingles as xxhash64 LONGS instead of strings: same
+    set semantics up to hash collisions (~0 at 64 bits), but the
+    downstream pipeline gets 8-byte elements — smaller to persist,
+    cheaper to intersect in the verify Jaccard, and the MinHash base
+    hash is just a pmod away (no second string-hash pass)."""
+    return F.transform(word_shingles(col, n),
+                       lambda s: F.xxhash64(s, F.lit(seed)))
 
 
 # ---------------------------------------------------------------------------
@@ -154,24 +165,25 @@ def minhash_signatures(shingled: DataFrame, id_col: str,
                        seed: int = 42) -> DataFrame:
     """MinHash signatures, relational form: (id, __sig array<bigint>).
 
-    Each shingle is string-hashed ONCE (``xxhash64``); the ``num_hashes``
-    hash functions are affine rehashes of that base value modulo the
-    Mersenne prime 2³¹−1 — the same construction as Spark ML's
-    MinHashLSH. Deliberately expressed as ``explode`` → ``groupBy(id)``
-    with 64 ``min`` aggregates instead of array higher-order functions:
-    the whole plan stays in whole-stage codegen with map-side partial
-    aggregation, which measures ~8× faster than the HOF fold (HOF
-    lambdas are interpreted per element and allocate per-shingle
-    arrays). The shuffle carries only (id, 64×bigint) partial rows.
-    a_i < 2³¹ and base < 2³¹ keep a_i·base < 2⁶² — no bigint overflow
-    under ANSI mode. Deterministic via the seeded coefficients. Docs
-    with zero shingles (shorter than the shingle width) drop out — they
-    cannot near-dup by shingles and belong to exact dedup anyway."""
+    ``shingle_col`` holds 64-bit shingle HASHES (see
+    :func:`hashed_shingles`) — each shingle was string-hashed exactly
+    once upstream; the ``num_hashes`` hash functions are affine rehashes
+    of that base value modulo the Mersenne prime 2³¹−1, the same
+    construction as Spark ML's MinHashLSH. Deliberately expressed as
+    ``explode`` → ``groupBy(id)`` with 64 ``min`` aggregates instead of
+    array higher-order functions: the whole plan stays in whole-stage
+    codegen with map-side partial aggregation, which measures ~8× faster
+    than the HOF fold (HOF lambdas are interpreted per element and
+    allocate per-shingle arrays). The shuffle carries only
+    (id, 64×bigint) partial rows. a_i < 2³¹ and base < 2³¹ keep
+    a_i·base < 2⁶² — no bigint overflow under ANSI mode. Deterministic
+    via the seeded coefficients. Docs with zero shingles (shorter than
+    the shingle width) drop out — they cannot near-dup by shingles and
+    belong to exact dedup anyway."""
     coeffs = _affine_coeffs(num_hashes, seed)
     ex = (shingled
           .select(F.col(id_col), F.explode(shingle_col).alias("__s"))
-          .withColumn("__h", F.pmod(F.xxhash64(F.col("__s"), F.lit(seed)),
-                                    F.lit(_MERSENNE31))))
+          .withColumn("__h", F.pmod(F.col("__s"), F.lit(_MERSENNE31))))
     aggs = [
         F.min(F.pmod(F.col("__h") * F.lit(a) + F.lit(b),
                      F.lit(_MERSENNE31))).alias(f"__m{i}")
@@ -211,7 +223,8 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
     shingled = spread(df.select(id_col, text_col), [id_col]).select(
         F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__sh"),
+        F.array_distinct(
+            hashed_shingles(text_col, shingle_n, seed)).alias("__sh"),
     )
     # The shingle projection feeds three consumers (signatures + both
     # sides of the verify join); without persistence each consumer
