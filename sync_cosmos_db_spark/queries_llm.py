@@ -547,6 +547,59 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.decode_images(M.attach_binary(docs), fake=True)
 
 
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS asset_id,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) % 300 + 1 AS n_frames,
+           unnest(generate_series(0, octet_length(encode(text)) % 300,
+                                  30)) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: video frame-sampling plan — every asset explodes into every
+    30th frame index (metadata only; the codec seam extracts actual
+    frames). Explode-AFTER-filter is the shape that bounds fan-out at
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample_plan(M.attach_binary(docs), every_n=30)
+
+
+@query(
+    "text_profile_by_lang_source",
+    """
+    WITH t AS (
+      SELECT lang, source,
+             len(string_split(text, ' ')) AS n,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS dr
+      FROM documents)
+    SELECT lang, source, count(*) AS n_docs,
+           floor((avg(n)) * 100 + 0.5) / 100 AS avg_tokens,
+           floor((avg(dr)) * 10000 + 0.5) / 10000 AS avg_distinct_ratio,
+           max(n) AS max_tokens
+    FROM t GROUP BY lang, source
+    """,
+)
+def text_profile_by_lang_source(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X6: corpus profile grouped by (lang, source) — the curation
+    dashboard pass; one shuffle on the low-cardinality group key with
+    map-side partials."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang", "source",
+        X.token_count("text").alias("n"),
+        X.distinct_token_ratio("text").alias("dr"))
+    return (per_doc.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 fround(F.avg("n"), 2).alias("avg_tokens"),
+                 fround(F.avg("dr"), 4).alias("avg_distinct_ratio"),
+                 F.max("n").alias("max_tokens")))
+
+
 # ---------------------------------------------------------------------------
 # O7 quarantine + A6 array/map depth
 # ---------------------------------------------------------------------------
