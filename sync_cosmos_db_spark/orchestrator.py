@@ -35,16 +35,29 @@ from sync_cosmos_db_spark.sinks import merge_to_parquet, write_summary
 from sync_cosmos_db_spark.sources import catalog
 
 
-def _pk_key_columns(pk_paths: list[str]) -> list[str]:
-    """Merge-key columns beyond ``id``: top-level name per pk path (the
-    nested-path case goes through ``document_model.extract_pk_columns``
-    upstream; harness fixtures use top-level keys)."""
-    cols = []
+def _prepare_merge_keys(src_df, tgt_df, pk_paths: list[str]):
+    """Build the merge key (id + one column per pk path), materializing
+    nested paths as extracted ``__pk_i`` columns on BOTH sides — the
+    full hierarchical key list, never truncated to the first path
+    (reference truncates at ``src/containers.py:16``; SURVEY.md §1.4)."""
+    from sync_cosmos_db_spark.document_model import extract_pk_columns
+
+    keys = ["id"] if "id" in src_df.columns else []
+    flat, nested = [], []
     for p in pk_paths:
-        name = p.strip("/").split("/")[0]
-        if name and name != "id":
-            cols.append(name)
-    return cols
+        parts = [x for x in p.strip("/").split("/") if x]
+        if len(parts) == 1 and parts[0] != "id":
+            if parts[0] in src_df.columns:
+                flat.append(parts[0])
+        elif len(parts) > 1:
+            nested.append(p)
+    if nested:
+        src_df = extract_pk_columns(src_df, nested)
+        tgt_df = extract_pk_columns(tgt_df, nested)
+        keys += flat + [f"__pk_{i}" for i in range(len(nested))]
+    else:
+        keys += flat
+    return src_df, tgt_df, keys
 
 
 def migrate_container_path(
@@ -78,12 +91,14 @@ def migrate_container_path(
     else:
         tgt_df = spark.createDataFrame([], src_df.schema)
 
-    keys = ["id"] + _pk_key_columns(src_props["partition_key_paths"])
-    keys = [k for k in keys if k in src_df.columns]
+    src_df, tgt_df, keys = _prepare_merge_keys(
+        src_df, tgt_df, src_props["partition_key_paths"])
 
     _, result = migrate_container(
         src_df, tgt_df, keys, container=container, sanitize=sanitize,
-        writer=lambda tagged: merge_to_parquet(tagged, tgt_path),
+        writer=lambda tagged: merge_to_parquet(
+            tagged.drop(*[c for c in tagged.columns
+                          if c.startswith("__pk_")]), tgt_path),
     )
 
     new_tgt = spark.read.parquet(tgt_path)

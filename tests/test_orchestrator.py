@@ -134,3 +134,45 @@ def test_cli_single_container(spark, account, tmp_path, capsys):
     assert rc == 0
     assert json.loads((tmp_path / "s.json").read_text())[
         "results"]["sales"]["leads"]["inserted"] == 2
+
+
+def test_hierarchical_nested_pk_migration(spark, tmp_path):
+    """SURVEY §1.4: nested pk path ('/meta/dept') is extracted on both
+    sides and used in the merge key — never truncated; null nested pk
+    values quarantine as errors like the reference's validity skip."""
+    src = str(tmp_path / "nsrc")
+    tgt = str(tmp_path / "ntgt")
+    schema = ("id string, val long, "
+              "meta struct<dept: string, site: string>")
+    catalog.create_database_if_not_exists(src, "db")
+    catalog.create_container_if_not_exists(
+        src, "db", "c", {"partition_key_paths": ["/meta/dept"]})
+    rows = [
+        ("1", 10, ("eng", "a")), ("2", 20, ("ops", "b")),
+        ("3", 30, (None, "c")),          # null nested pk -> error
+    ]
+    _write(spark, rows, schema, catalog.container_data_path(src, "db", "c"))
+
+    res = migrate_container_path(spark, src, tgt, "db", "c")
+    assert (res.inserted, res.updated, res.skipped, res.errors) == (2, 0, 0, 1)
+    merged = spark.read.parquet(catalog.container_data_path(tgt, "db", "c"))
+    assert set(merged.columns) == {"id", "val", "meta"}  # no __pk_ leakage
+    assert {r.id for r in merged.collect()} == {"1", "2"}
+    # second run: all skip
+    res2 = migrate_container_path(spark, src, tgt, "db", "c")
+    assert (res2.inserted, res2.updated, res2.skipped) == (0, 0, 2)
+
+
+def test_cosmos_facade_gates_without_connector(spark):
+    """The production facade must build configs without the jar and fail
+    with a clear message on any real I/O attempt."""
+    import pytest as _pytest
+
+    from sync_cosmos_db_spark.sources import cosmos as CZ
+
+    cfg = CZ.base_config("https://acct.documents.azure.com:443/", "key",
+                         "db", "c")
+    assert cfg["spark.cosmos.container"] == "c"
+    assert not CZ.connector_available(spark)
+    with _pytest.raises(NotImplementedError, match="connector jar"):
+        CZ.read_container(spark, "e", "k", "db", "c")
