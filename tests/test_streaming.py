@@ -75,3 +75,59 @@ def test_session_stream_emits_finalized_sessions(spark, sf_dir,
     # the watermark horizon is 10 minutes of a 30-day stream: nearly all
     # sessions must be finalized
     assert len(stream_rows) >= 0.95 * len(batch_rows)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving AFTER its window passed the watermark is
+    dropped by the stream but counted by the batch form — the bounded-
+    state trade documented in streaming/windows.py. Two source files
+    processed as separate micro-batches (maxFilesPerTrigger=1): file 1
+    advances the watermark past the late event's window, file 2
+    delivers the late event."""
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "late_events"
+    d.mkdir()
+    schema = ("event_id bigint, ts bigint, user_id bigint, "
+              "event_type string, value double, props string")
+
+    def rows_df(rows):
+        return spark.createDataFrame(rows, schema).withColumn(
+            "ts_ns", (F.col("ts") * 1_000_000_000).cast("long"))
+
+    base = 3_600 * 24 * 365 * 54  # ~2024, epoch seconds
+    on_time = [(i, base + 7200 + i * 60, 1, "click", 1.0, "{}")
+               for i in range(20)]                        # 02:00-02:19
+    late = [(99, base + 0, 1, "click", 1.0, "{}")]        # 00:00 — late
+    rows_df(on_time).select(
+        "event_id", F.col("ts_ns").alias("ts"), "user_id", "event_type",
+        "value", "props").coalesce(1).write.parquet(str(d / "f1.parquet"))
+    rows_df(late).select(
+        "event_id", F.col("ts_ns").alias("ts"), "user_id", "event_type",
+        "value", "props").coalesce(1).write.parquet(str(d / "f2.parquet"))
+
+    src_schema = schema
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        raw = (spark.readStream.schema(src_schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(d)))
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    stream = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = SW.tumbling_counts_stream(stream, "1 hour", watermark="10 minutes")
+    out = SW.run_stream_to_memory(spark, agg, "late_mem", mode="append")
+    streamed_windows = {r.window_start for r in out.collect()}
+
+    batch_df = spark.createDataFrame(
+        [(i, base + 7200 + i * 60, 1, "click", 1.0, "{}")
+         for i in range(20)] + [(99, base, 1, "click", 1.0, "{}")],
+        schema).withColumn("ts", F.timestamp_seconds("ts"))
+    batch_windows = {r.window_start
+                     for r in SW.tumbling_counts(batch_df, "1 hour").collect()}
+
+    late_window = base  # 00:00 hour bucket
+    assert late_window in batch_windows         # batch counts it
+    assert late_window not in streamed_windows  # stream dropped it
