@@ -789,3 +789,79 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", "o_totalprice", "total_qty")
             .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
             .limit(50))
+
+
+# --- exactness + null semantics + window breadth ---------------------------
+
+@query(
+    "agg_decimal_exact_sum",
+    """
+    SELECT o_orderpriority,
+           sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/§1.2 DecimalType: exact decimal aggregation — no float drift,
+    both engines produce bit-identical sums (unlike DOUBLE sums, which
+    need in-query rounding)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+            .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .alias("total_dec"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@query(
+    "scalar_null_semantics",
+    """
+    SELECT o_orderkey,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_mapped,
+           (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL)
+             AS is_open,
+           CASE WHEN o_totalprice > 100000 THEN o_totalprice END
+             IS NULL AS below_100k
+    FROM orders
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/§1.2 NULL semantics: NULLIF/COALESCE and null-safe equality
+    (Spark `<=>` vs SQL IS NOT DISTINCT FROM)."""
+    o = load_table(spark, sf_dir, "orders")
+    nn = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        F.coalesce(nn, F.lit("OPEN")).alias("status_mapped"),
+        nn.eqNullSafe(F.lit(None).cast("string")).alias("is_open"),
+        F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
+        .isNull().alias("below_100k"))
+
+
+@query(
+    "window_ntile_first_last",
+    """
+    SELECT o_orderkey,
+           ntile(4) OVER w AS price_quartile,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey)
+             OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: ntile + first_value/last_value with explicit frames and a
+    deterministic composite sort (price ties broken by key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_orderpriority")
+         .orderBy("o_totalprice", "o_orderkey"))
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"))
