@@ -346,6 +346,54 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# X2 — duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Group duplicate PAIRS into duplicate CLUSTERS: connected
+    components by iterative hash-to-min label propagation.
+
+    Each node starts labeled with itself; every round each node takes
+    the min of its own and its neighbors' labels; converged when no
+    label changes. Rounds needed ≈ graph diameter ≤ log n after path
+    doubling — dup clusters are shallow (star/chain shaped), so this
+    terminates in a handful of rounds. Each round is one join + one
+    groupBy, both shuffling (node, label) pairs only — the standard
+    large-graph CC shape (GraphX/GraphFrames use the same loop). The
+    driver-side iteration holds no data, only the convergence counter.
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"),
+                                      F.col(src).alias("b"))))
+    labels = (both.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("label", F.col("node")))
+    both = both.persist()
+    labels = labels.persist()
+    for _ in range(max_iter):
+        neighbor_min = (both.join(labels, both.b == labels.node)
+                        .groupBy("a").agg(F.min("label").alias("nmin"))
+                        .withColumnRenamed("a", "node"))
+        new_labels = (labels.join(neighbor_min, "node", "left_outer")
+                      .select("node",
+                              F.least("label", F.coalesce("nmin", "label"))
+                              .alias("label"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
 # X2 — embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

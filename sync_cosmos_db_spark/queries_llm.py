@@ -138,6 +138,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS a, doc_id + 100000 AS b
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 100000 AS a, doc_id + 300000 AS b
+      FROM documents WHERE doc_id % 14 = 0
+    ), edges AS (
+      SELECT a, b FROM e UNION SELECT b, a FROM e
+    ), reach(node, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT edges.a, reach.r FROM edges JOIN reach ON edges.b = reach.node
+    )
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: duplicate-pair graph → duplicate clusters via iterative
+    hash-to-min connected components (operators/dedup.py). The edge set
+    contains 2-chains (A—B—C with no A—C edge), so transitive closure
+    is genuinely exercised; the oracle is DuckDB's recursive CTE."""
+    from sync_cosmos_db_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    e1 = (docs.filter(F.col("doc_id") % 7 == 0)
+          .select(F.col("doc_id").alias("id_a"),
+                  (F.col("doc_id") + 100000).alias("id_b")))
+    e2 = (docs.filter(F.col("doc_id") % 14 == 0)
+          .select((F.col("doc_id") + 100000).alias("id_a"),
+                  (F.col("doc_id") + 300000).alias("id_b")))
+    return connected_components(e1.unionByName(e2))
+
+
+@query(
     "dedup_embedding_cosine",
     """
     WITH corpus AS (

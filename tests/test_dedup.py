@@ -55,3 +55,18 @@ def test_jaccard_short_doc_guard(spark):
     df = spark.createDataFrame([(1, "one two")], "doc_id long, text string")
     out = df.select(D.word_shingles("text", 3).alias("sh")).collect()
     assert out[0].sh == []
+
+
+def test_connected_components_transitive(spark):
+    """A 2-chain and a 3-chain must collapse to their min ids; isolated
+    pairs keep their own component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),      # chain 1-2-3-4
+         (10, 11),                    # pair
+         (20, 21), (21, 22)],         # chain 20-21-22
+        "id_a long, id_b long")
+    out = {r.node: r.component
+           for r in D.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
