@@ -60,13 +60,25 @@ def main() -> int:
     for t in ["region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "events", "documents", "embeddings"]:
         load_table(spark, sf_dir, t).count()
+    # ...and spin up the Python worker pool so mapInPandas queries
+    # measure execution, not interpreter startup.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        # best-of-2: absorbs one-time codegen and transient machine
+        # load spikes; noop sink = full distributed execution without
+        # billing py4j row transfer to the driver (some queries return
+        # 500k+ rows; collecting them measures the driver, not the
+        # engine)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
