@@ -53,3 +53,18 @@ def test_count_pushdown_no_row_materialization(spark, sf_dir):
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     # count(*) must not read any data columns
     assert "struct<>" in read_schema
+
+
+def test_no_cartesian_product_in_any_query(spark, sf_dir):
+    """Sweep every registered query's physical plan: nothing may plan a
+    true CartesianProduct (unbroadcast quadratic join). Intentional
+    broadcast nested-loops (scoring a corpus against a broadcast query
+    set) are allowed; a cartesian is always a bug. Also serves as a
+    plans-without-error smoke for the whole registry."""
+    skip = {"stream_stateful_user_totals"}  # executes a stream to build
+    for name, fn in sorted(get_queries().items()):
+        if name in skip:
+            continue
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            fn(spark, sf_dir)._jdf.queryExecution(), "formatted")
+        assert "CartesianProduct" not in plan, name
