@@ -43,6 +43,8 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="content-level exceptAll verification, not just counts")
     p.add_argument("--summary", default="migration_summary.json",
                    help="summary JSON output path")
+    p.add_argument("--max-parallel", type=int, default=1,
+                   help="concurrent container migrations per database")
     args = p.parse_args(argv)
     if args.container is not None and args.database is None:
         p.error("--container requires --database")
@@ -60,7 +62,7 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.source_root, args.target_root,
             database=args.database, container=args.container,
             sanitize=args.sanitize, strong_verify=args.strong_verify,
-            summary_path=args.summary)
+            summary_path=args.summary, max_parallel=args.max_parallel)
     except Exception as exc:  # reference: log + exit 1 (src/main.py:165-167)
         print(f"migration failed: {exc}", file=sys.stderr)
         return 1

@@ -13,10 +13,10 @@ Divergences (documented): the reference's single-container path skips
 database (``src/main.py:114``, SURVEY.md §3 entry point 3); we create it
 idempotently in all three paths — strictly more robust, never wrong.
 
-100 TB posture: containers migrate sequentially here for deterministic
-summaries; on a real cluster submit per-container jobs concurrently
-(scheduler pools) — each inner plan is already fully distributed, so
-driver-side sequencing only costs job-launch latency, not throughput.
+100 TB posture: each container migration is already fully distributed;
+``max_parallel`` additionally submits container jobs concurrently from
+driver threads (pair with fair scheduler pools on a shared cluster) so
+many small containers don't serialize on job-launch latency.
 """
 
 from __future__ import annotations
@@ -113,16 +113,33 @@ def migrate_container_path(
 def migrate_database_path(spark: SparkSession, source_root: str,
                           target_root: str, database: str,
                           sanitize: bool = False,
-                          strong_verify: bool = False) -> dict:
+                          strong_verify: bool = False,
+                          max_parallel: int = 1) -> dict:
     """One database: create it on the target (O15), loop its containers
-    (reference ``src/main.py:58-81``)."""
+    (reference ``src/main.py:58-81``).
+
+    ``max_parallel > 1`` submits container migrations as concurrent
+    Spark jobs from driver threads (SparkSession is thread-safe; use
+    fair scheduler pools on a shared cluster). Each container touches
+    disjoint paths, so concurrency is safe; results are keyed, not
+    ordered. The reference is strictly sequential — one document at a
+    time, let alone one container."""
     catalog.create_database_if_not_exists(target_root, database)
-    results = {}
-    for container in catalog.list_containers(source_root, database):
-        results[container] = migrate_container_path(
-            spark, source_root, target_root, database, container,
+    containers = catalog.list_containers(source_root, database)
+    if max_parallel <= 1 or len(containers) <= 1:
+        return {c: migrate_container_path(
+            spark, source_root, target_root, database, c,
             sanitize=sanitize, strong_verify=strong_verify)
-    return results
+            for c in containers}
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_parallel) as pool:
+        futs = {c: pool.submit(
+            migrate_container_path, spark, source_root, target_root,
+            database, c, sanitize, strong_verify)
+            for c in containers}
+        return {c: f.result() for c, f in futs.items()}
 
 
 def migrate_account_path(
@@ -134,6 +151,7 @@ def migrate_account_path(
     sanitize: bool = False,
     strong_verify: bool = False,
     summary_path: str | None = None,
+    max_parallel: int = 1,
 ) -> dict:
     """Scope dispatch exactly like the reference (``src/main.py:107-152``):
     no scope → every database; ``database`` → one database; ``database``
@@ -152,12 +170,14 @@ def migrate_account_path(
     elif database is not None:
         results[database] = migrate_database_path(
             spark, source_root, target_root, database,
-            sanitize=sanitize, strong_verify=strong_verify)
+            sanitize=sanitize, strong_verify=strong_verify,
+            max_parallel=max_parallel)
     else:
         for db in catalog.list_databases(source_root):
             results[db] = migrate_database_path(
                 spark, source_root, target_root, db,
-                sanitize=sanitize, strong_verify=strong_verify)
+                sanitize=sanitize, strong_verify=strong_verify,
+                max_parallel=max_parallel)
 
     summary = {
         "source_account": source_root,

@@ -176,3 +176,24 @@ def test_cosmos_facade_gates_without_connector(spark):
     assert not CZ.connector_available(spark)
     with _pytest.raises(NotImplementedError, match="connector jar"):
         CZ.read_container(spark, "e", "k", "db", "c")
+
+
+def test_parallel_database_migration(spark, tmp_path):
+    """max_parallel>1 submits concurrent container jobs; results must be
+    identical to the sequential path."""
+    from sync_cosmos_db_spark.orchestrator import migrate_database_path
+
+    src = str(tmp_path / "psrc")
+    schema = "id string, v long"
+    for c in ["c1", "c2", "c3"]:
+        catalog.create_container_if_not_exists(src, "db", c)
+        _write(spark, [(f"{c}-{i}", i) for i in range(10)],
+               schema, catalog.container_data_path(src, "db", c))
+
+    seq = migrate_database_path(spark, src, str(tmp_path / "t1"), "db")
+    par = migrate_database_path(spark, src, str(tmp_path / "t2"), "db",
+                                max_parallel=3)
+    assert set(seq) == set(par) == {"c1", "c2", "c3"}
+    for c in seq:
+        assert (seq[c].inserted, seq[c].errors) == (10, 0)
+        assert (par[c].inserted, par[c].verified) == (10, True)
