@@ -63,6 +63,27 @@ def pk_path_to_json_expr(payload_col: str, path: str) -> Column:
     return F.get_json_object(F.col(payload_col), "$." + ".".join(parts))
 
 
+def infer_payload_schema(df: DataFrame, payload_col: str = "payload",
+                         sample_n: int = 1000):
+    """Infer a typed StructType from a JSON payload column by sampling
+    (SURVEY.md §1.3: the bridge from schemaless documents to a static
+    schema). Bounded driver-side work: only ``sample_n`` payload strings
+    feed the JSON reader's inference; apply the result with
+    :func:`parse_payload` to the full (arbitrarily large) frame."""
+    spark = df.sparkSession
+    sample = df.select(payload_col).limit(sample_n)
+    return spark.read.json(sample.rdd.map(lambda r: r[0])).schema
+
+
+def parse_payload(df: DataFrame, schema,
+                  payload_col: str = "payload",
+                  out_col: str = "doc") -> DataFrame:
+    """Parse the payload column into a typed struct column with the
+    given (usually inferred) schema — ``from_json`` stays JVM-side;
+    unparseable payloads yield NULL structs (quarantine with O7)."""
+    return df.withColumn(out_col, F.from_json(F.col(payload_col), schema))
+
+
 def extract_pk_columns(df: DataFrame, pk_paths: list[str],
                        payload_col: str | None = None) -> DataFrame:
     """Add one ``__pk_{i}`` column per partition-key path (O8).

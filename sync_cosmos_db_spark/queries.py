@@ -312,3 +312,28 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_relational  # noqa: F401
     from sync_cosmos_db_spark import queries_llm  # noqa: F401
     return dict(ORACLE_SQL)
+
+
+@query(
+    "json_schema_inference_roundtrip",
+    "SELECT doc_id, lang, n_chars FROM documents",
+)
+def json_schema_inference_roundtrip(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """§1.3 dynamic-schema bridge: pack documents into a JSON payload,
+    INFER a typed schema from a bounded sample, parse the full frame
+    with it, and project typed columns — which must round-trip exactly
+    (the oracle is the identity projection)."""
+    from sync_cosmos_db_spark.document_model import (
+        infer_payload_schema,
+        parse_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = docs.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("payload"))
+    schema = infer_payload_schema(payloads, sample_n=200)
+    parsed = parse_payload(payloads, schema)
+    return parsed.select(F.col("doc.doc_id").alias("doc_id"),
+                         F.col("doc.lang").alias("lang"),
+                         F.col("doc.n_chars").alias("n_chars"))
