@@ -66,7 +66,7 @@ def binary_stats(assets: DataFrame) -> DataFrame:
     return assets.select(
         "asset_id",
         "mime",
-        F.length("content").alias("n_bytes"),
+        F.length("content").cast("long").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("content_sha"),
     )
 
@@ -125,11 +125,12 @@ def frame_sample_plan(assets: DataFrame, every_n: int = 30) -> DataFrame:
     rows (metadata only; actual frame extraction is the same stubbed
     codec seam). Shows the scale-shape: explode happens AFTER filters,
     so pruning cuts the fan-out."""
-    n_frames = (F.length("content") % 300 + 1).alias("n_frames")
+    n_frames = (F.length("content").cast("long") % 300 + 1).alias("n_frames")
     return (
         assets.withColumn("n_frames", n_frames)
         .withColumn("frame_idx",
-                    F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1,
-                                         F.lit(every_n))))
+                    F.explode(F.sequence(F.lit(0).cast("long"),
+                                         F.col("n_frames") - 1,
+                                         F.lit(every_n).cast("long"))))
         .select("asset_id", "mime", "n_frames", "frame_idx")
     )

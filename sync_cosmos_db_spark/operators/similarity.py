@@ -82,7 +82,7 @@ def brute_force_topk(
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
                                             F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank",
                 F.round("cosine_sim", 4).alias("cosine_sim"))
@@ -148,7 +148,7 @@ def brute_force_topk_vectorized(
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
                                             F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank",
                 (F.floor(F.col("cosine_sim") * 10000 + F.lit(0.5)) / 10000)
@@ -237,7 +237,7 @@ def lsh_topk(
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
                                             F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank",
                 F.round("cosine_sim", 4).alias("cosine_sim"))

@@ -30,7 +30,8 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    return F.size(tokens(col))
+    # long, not int: matches BIGINT counts in SQL engines
+    return F.size(tokens(col)).cast("long")
 
 
 #: GPT-2-style pre-tokenizer regex (simplified, ASCII): a leading-space
@@ -45,7 +46,7 @@ def bpe_token_count(col: Column | str) -> Column:
     pieces further, so this lower-bounds the true count) — one
     ``regexp_count`` per document, fully codegen'd."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN))
+    return F.regexp_count(c, F.lit(BPE_SPLIT_PATTERN)).cast("long")
 
 
 def distinct_token_ratio(col: Column | str) -> Column:

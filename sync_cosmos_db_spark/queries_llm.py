@@ -682,7 +682,8 @@ def array_hof_embedding_profile(spark: SparkSession,
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long")
+        .alias("n_pos"),
         fround(F.array_max("embedding").cast("double"), 4).alias("max_val"))
 
 

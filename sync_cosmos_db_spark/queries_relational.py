@@ -245,7 +245,7 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rn", F.row_number().over(w))
+        o.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey",
                 fround("o_totalprice", 2).alias("totalprice"), "rn")
@@ -492,7 +492,7 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.upper("o_orderpriority").alias("prio_upper"),
         F.substring("o_orderstatus", 1, 1).alias("status_c"),
-        F.length("o_orderpriority").alias("prio_len"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
         F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
@@ -561,7 +561,7 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_sq = F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x)
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         fround(vec_sum, 4).alias("vec_sum"),
         fround(F.sqrt(vec_sq), 4).alias("vec_norm"),
     )
@@ -809,6 +809,7 @@ def agg_decimal_exact_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (o.groupBy("o_orderpriority")
             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(38,2)")  # DuckDB's sum(DECIMAL(18,2)) type
                  .alias("total_dec"),
                  F.count(F.lit(1)).alias("n")))
 
@@ -862,6 +863,6 @@ def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return o.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("price_quartile"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
         F.first("o_orderkey").over(w).alias("cheapest_key"),
         F.last("o_orderkey").over(w_full).alias("priciest_key"))
