@@ -128,3 +128,26 @@ def fingerprint64(col: Column | str) -> Column:
     """Compact 64-bit fingerprint (xxhash64 of normalized text) — the
     cheap join/cluster key for dedup pipelines."""
     return F.xxhash64(normalize_text(col))
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 3,
+                           window: int = 4) -> Column:
+    """Winnowing document fingerprints (the MOSS rolling-fingerprint
+    scheme): hash every word k-gram, slide a window of ``window``
+    consecutive k-gram hashes, keep the minimum per window, dedupe.
+    Guarantees any shared run of ≥ k+window−1 tokens between two
+    documents shares at least one fingerprint — the local-similarity
+    detector exact dedup and MinHash (whole-doc measures) can't give.
+
+    Hashes are sha256 hex strings and the per-window minimum is
+    lexicographic, which keeps the selection reproducible in any SQL
+    engine (no engine-specific integer hash needed). Docs shorter than
+    k+window−1 tokens yield an empty array."""
+    from sync_cosmos_db_spark.operators.dedup import word_shingles
+
+    grams = F.transform(word_shingles(col, k), lambda s: F.sha2(s, 256))
+    starts = F.sequence(F.lit(1), F.size(grams) - (window - 1))
+    return F.when(
+        F.size(grams) < window, F.array().cast("array<string>")
+    ).otherwise(F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(grams, i, window)))))

@@ -706,3 +706,38 @@ def map_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "lang").alias("lang_val"),
         F.element_at(m, "source").alias("source_val"),
         F.size(m).alias("n_keys"))
+
+
+@query(
+    "text_winnowing_fingerprints",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(
+                 generate_series(1, greatest(len(w) - 2, 0)),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+               g -> sha256(g)) AS gh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), wins AS (
+      SELECT doc_id,
+             CASE WHEN len(gh) < 4 THEN []
+                  ELSE list_distinct(list_transform(
+                    generate_series(1, len(gh) - 3),
+                    i -> list_min(gh[i:i+3]))) END AS fps
+      FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
+)
+def text_winnowing_fingerprints(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X6: winnowing (rolling-hash) fingerprints — min k-gram hash per
+    sliding window, the MOSS local-similarity scheme. One row per
+    (doc, fingerprint); join on fp to find documents sharing any
+    ≥6-token run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (docs.select(
+        "doc_id",
+        F.explode(X.winnowing_fingerprints("text", k=3, window=4))
+        .alias("fp")))

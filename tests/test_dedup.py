@@ -70,3 +70,24 @@ def test_connected_components_transitive(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20}
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= k+window-1 (=6) tokens must share at
+    least one winnowing fingerprint; a doc shorter than the window
+    yields an empty set."""
+    from sync_cosmos_db_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"intro words {shared} tail one"),
+         (2, f"other opening {shared} different ending"),
+         (3, "completely unrelated content here now"),
+         (4, "too short")],
+        "doc_id long, text string")
+    rows = df.select("doc_id",
+                     winnowing_fingerprints("text").alias("fps")).collect()
+    fps = {r.doc_id: set(r.fps) for r in rows}
+    assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
+    assert not (fps[1] & fps[3])
+    assert fps[4] == set()
