@@ -170,12 +170,11 @@ def migrate_container(
     if sanitize:
         # The reference sanitizes only documents it WRITES (the gate sits
         # inside the update/insert branches, ``src/migration.py:132-146``);
-        # skipped documents keep their original target content. Same here:
-        # sanitize insert/update rows, pass skips through untouched.
-        written = sanitize_dataframe(
-            tagged.filter(F.col("action") != ACTION_SKIP))
-        kept = tagged.filter(F.col("action") == ACTION_SKIP)
-        tagged = written.unionByName(kept)
+        # skipped documents keep their original target content. The gate
+        # is a per-row condition INSIDE one projection — a filter/union
+        # split would evaluate the classify join once per branch.
+        tagged = sanitize_dataframe(
+            tagged, only_when=F.col("action") != ACTION_SKIP)
 
     observation = Observation(f"migration:{container}")
     tagged = tagged.observe(

@@ -30,6 +30,13 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
+def _fround4(c: Column) -> Column:
+    """floor(x·10⁴+0.5)/10⁴ — same deterministic rounding as
+    queries.fround and every DuckDB oracle (Spark's round() is HALF_UP,
+    which diverges on negative values and representation ties)."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
 def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Repartition up to the cluster's default parallelism when the scan
     produced fewer partitions — small compact inputs (one parquet file)
@@ -139,7 +146,7 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         .filter(F.col("jaccard_sim") >= threshold)
         .select(F.col(f"{id_col}_a").alias("id_a"),
                 F.col(f"{id_col}_b").alias("id_b"),
-                F.round("jaccard_sim", 4).alias("jaccard_sim"))
+                _fround4(F.col("jaccard_sim")).alias("jaccard_sim"))
     )
 
 
@@ -272,7 +279,7 @@ def minhash_lsh_pairs(
         cand.join(sh_a, "id_a").join(sh_b, "id_b")
         .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard_sim", 4).alias("jaccard_sim"))
+        .select("id_a", "id_b", _fround4(F.col("jaccard_sim")).alias("jaccard_sim"))
     )
 
 
@@ -390,6 +397,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — graph diameter exceeds max_iter; raise it "
+            "(or switch to path-doubling for adversarially long chains)")
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
@@ -420,5 +432,5 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("cosine_sim") >= threshold)
         .select(F.col(f"{id_col}_a").alias("id_a"),
                 F.col(f"{id_col}_b").alias("id_b"),
-                F.round("cosine_sim", 4).alias("cosine_sim"))
+                _fround4(F.col("cosine_sim")).alias("cosine_sim"))
     )

@@ -85,7 +85,8 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank",
-                F.round("cosine_sim", 4).alias("cosine_sim"))
+                (F.floor(F.col("cosine_sim") * 10000 + F.lit(0.5)) / 10000)
+                .alias("cosine_sim"))
     )
 
 
@@ -240,5 +241,6 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "rank",
-                F.round("cosine_sim", 4).alias("cosine_sim"))
+                (F.floor(F.col("cosine_sim") * 10000 + F.lit(0.5)) / 10000)
+                .alias("cosine_sim"))
     )

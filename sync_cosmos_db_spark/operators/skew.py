@@ -69,7 +69,14 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     small side ×buckets. Join key becomes (keys…, salt), so each hot
     key's rows land on ``buckets`` different reducers. Only for joins
     where the small side fits ×buckets in the shuffle (else fix skew
-    with AQE or a broadcast, which sidesteps the shuffle entirely)."""
+    with AQE or a broadcast, which sidesteps the shuffle entirely).
+    Only inner/left joins: an outer join would surface each unmatched
+    small-side row once PER SALT replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, not {how!r}: the "
+            "replicated small side would duplicate unmatched rows")
     big_s = _with_salt(big, buckets)
     small_s = small.withColumn(
         "__salt",

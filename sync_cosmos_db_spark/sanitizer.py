@@ -175,16 +175,25 @@ def _sanitize_type(col: Column, dtype: T.DataType) -> Column:
 
 
 def sanitize_dataframe(df: DataFrame,
-                       fields: frozenset[str] = SANITIZE_FIELDS) -> DataFrame:
+                       fields: frozenset[str] = SANITIZE_FIELDS,
+                       only_when: Column | None = None) -> DataFrame:
     """Sanitize every column (at any nesting depth) whose name matches the
     PII field map, case-insensitively. Pure column expressions — the plan
-    stays inside whole-stage codegen."""
+    stays inside whole-stage codegen.
+
+    ``only_when`` gates replacement per ROW with a boolean Column (e.g.
+    ``F.col("action") != "skip"``) in the same single projection —
+    preferable to filter/sanitize/union, which would evaluate the whole
+    upstream plan once per branch."""
     out = df
     for f in df.schema.fields:
         if f.name.lower() in fields:
-            out = out.withColumn(
-                f.name, sanitize_column(f.name, F.col(f.name), f.dataType))
+            repl = sanitize_column(f.name, F.col(f.name), f.dataType)
         elif isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
-            out = out.withColumn(
-                f.name, _sanitize_type(F.col(f.name), f.dataType))
+            repl = _sanitize_type(F.col(f.name), f.dataType)
+        else:
+            continue
+        if only_when is not None:
+            repl = F.when(only_when, repl).otherwise(F.col(f.name))
+        out = out.withColumn(f.name, repl)
     return out

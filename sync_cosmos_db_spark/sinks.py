@@ -48,14 +48,20 @@ def merge_to_parquet(tagged: DataFrame, target_path: str,
     state, so writing the tagged frame minus the action column IS the
     merge. Written to a temp dir then atomically renamed, because the
     tagged plan may still be reading the old target files."""
+    import shutil
+
     tmp = target_path + ".__new__"
-    tagged.drop(action_col).write.mode("overwrite").parquet(tmp)
     old = target_path + ".__old__"
+    # recover from a run that died between the renames below — a
+    # leftover __old__ would wedge this run's rename
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    tagged.drop(action_col).write.mode("overwrite").parquet(tmp)
     if os.path.exists(target_path):
         os.rename(target_path, old)
     os.rename(tmp, target_path)
     if os.path.exists(old):
-        import shutil
         shutil.rmtree(old)
 
 
@@ -82,13 +88,17 @@ def compact_parquet(spark, path: str, target_file_mb: int = 256) -> int:
                   for f in glob.glob(os.path.join(path, "**", "*.parquet"),
                                      recursive=True))
     n_files = max(1, round(n_bytes / (target_file_mb * 1024 * 1024)))
+    import shutil
+
     df = spark.read.parquet(path)
     tmp = path + ".__compact__"
-    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     old = path + ".__old__"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
     os.rename(path, old)
     os.rename(tmp, path)
-    import shutil
     shutil.rmtree(old)
     return n_files
 
