@@ -91,3 +91,12 @@ def test_winnowing_shared_run_guarantee(spark):
     assert fps[1] & fps[2], "shared 6-token run must share a fingerprint"
     assert not (fps[1] & fps[3])
     assert fps[4] == set()
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(chain, max_iter=3)

@@ -36,3 +36,13 @@ def test_salted_join_equals_plain(spark, sf_dir):
     b = sorted((r.o_orderkey, r.c_mktsegment)
                for r in plain.select("o_orderkey", "c_mktsegment").collect())
     assert a == b
+
+
+def test_salted_join_rejects_outer(spark, sf_dir):
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"))
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(orders, cust, ["o_custkey"], how="full")
