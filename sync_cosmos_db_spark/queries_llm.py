@@ -741,3 +741,28 @@ def text_winnowing_fingerprints(spark: SparkSession,
         "doc_id",
         F.explode(X.winnowing_fingerprints("text", k=3, window=4))
         .alias("fp")))
+
+
+@query("dedup_embedding_lsh")  # approx (bucketed) — rows-only check
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 scale path for embedding near-dup: random-hyperplane LSH
+    buckets as the blocking key, exact cosine only within blocks — the
+    corpus-sized analog of the n² dedup_embedding_cosine baseline.
+    Scaled twins (cosine exactly 1) have identical projection signs, so
+    they ALWAYS share a bucket: recall on true duplicates is 1.0 by
+    construction (asserted in tests/test_similarity.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = (emb.filter(F.col("vec_id") % 13 == 0)
+              .withColumn("vec_id", F.col("vec_id") + 100000)
+              .withColumn("embedding",
+                          F.transform(F.col("embedding"),
+                                      lambda x: x.cast("double") * 1.01)))
+    corpus = emb.withColumn(
+        "embedding", F.transform(F.col("embedding"),
+                                 lambda x: x.cast("double"))
+    ).unionByName(scaled)
+    bucketed = corpus.withColumn(
+        "__block", S.lsh_bucket(F.col("embedding"), dim=64, n_planes=12))
+    return D.embedding_dup_pairs(bucketed, id_col="vec_id",
+                                 vec_col="embedding", threshold=0.99,
+                                 block_col="__block")

@@ -71,3 +71,22 @@ def test_vectorized_topk_matches_hof_baseline(spark, sf_dir):
     b = {(r.query_id, r.neighbor_id, r.rank)
          for r in brute_force_topk_vectorized(emb, queries, k=3).collect()}
     assert a == b
+
+
+def test_embedding_lsh_dedup_finds_all_twins(spark, sf_dir):
+    """Scaled twins (cosine 1.0) share every LSH bucket, so the blocked
+    dedup must find every injected twin pair; all found pairs must also
+    appear in the exact n-squared result."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    lsh = {(r.id_a, r.id_b)
+           for r in q["dedup_embedding_lsh"](spark, sf_dir).collect()}
+    exact = {(r.id_a, r.id_b)
+             for r in q["dedup_embedding_cosine"](spark, sf_dir).collect()}
+    from sync_cosmos_db_spark.session import load_table
+    twins = {(r.vec_id, r.vec_id + 100000)
+             for r in load_table(spark, sf_dir, "embeddings")
+             .filter(F.col("vec_id") % 13 == 0).collect()}
+    assert twins <= lsh          # guaranteed-collision duplicates found
+    assert lsh <= exact          # no false positives vs exact verify
