@@ -39,6 +39,21 @@ def test_all_queries_return_rows(spark, sf_dir):
         assert len(df.take(1)) >= 0
 
 
+def test_sweep_window_covers_every_family():
+    """The driver's correctness sweep covers the FIRST 50 queries in
+    registration order (round-1 verdict item 1). Pin the invariant:
+    every SWEEP_PRIORITY name exists and occupies the first-50 window,
+    so each SURVEY §2 operator family gets a driver-verified row."""
+    from sync_cosmos_db_spark.queries import SWEEP_PRIORITY
+
+    names = list(entrymod.queries())
+    missing = [n for n in SWEEP_PRIORITY if n not in names]
+    assert not missing, f"SWEEP_PRIORITY names not registered: {missing}"
+    window = names[:50]
+    out = [n for n in SWEEP_PRIORITY if n not in window]
+    assert not out, f"priority queries fell outside the sweep window: {out}"
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()

@@ -55,12 +55,30 @@ def test_count_pushdown_no_row_materialization(spark, sf_dir):
     assert "struct<>" in read_schema
 
 
+# Queries whose plans are ALLOWED a BroadcastNestedLoopJoin. Every
+# other registered query must plan equi-joins (hash/sort-merge/
+# broadcast-hash) only — a BNLJ elsewhere means a join lost its equi
+# condition and would go quadratic at scale.
+BNLJ_ALLOWED = {
+    # X3 exact baseline: corpus scanned once against the BROADCAST
+    # query set — the nested loop is the point (small side is tiny by
+    # contract, now enforced by similarity.MAX_BRUTE_FORCE_QUERIES).
+    "sim_topk_bruteforce",
+    # X2 exact n² baseline (labeled; the scale path is
+    # dedup_embedding_lsh which plans an equi-join on buckets).
+    "dedup_embedding_cosine",
+    # O21: joins two single-row count aggregates — a 1×1 BNLJ.
+    "verify_counts",
+}
+
+
 def test_no_cartesian_product_in_any_query(spark, sf_dir):
     """Sweep every registered query's physical plan: nothing may plan a
-    true CartesianProduct (unbroadcast quadratic join). Intentional
-    broadcast nested-loops (scoring a corpus against a broadcast query
-    set) are allowed; a cartesian is always a bug. Also serves as a
-    plans-without-error smoke for the whole registry."""
+    true CartesianProduct (unbroadcast quadratic join), and a
+    BroadcastNestedLoopJoin may appear only on the explicit allowlist
+    of intentional broadcast-scoring / 1×1-aggregate queries above.
+    Also serves as a plans-without-error smoke for the whole
+    registry."""
     skip = {"stream_stateful_user_totals"}  # executes a stream to build
     for name, fn in sorted(get_queries().items()):
         if name in skip:
@@ -68,3 +86,5 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         plan = spark._jvm.PythonSQLUtils.explainString(
             fn(spark, sf_dir)._jdf.queryExecution(), "formatted")
         assert "CartesianProduct" not in plan, name
+        if name not in BNLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, name

@@ -90,3 +90,19 @@ def test_embedding_lsh_dedup_finds_all_twins(spark, sf_dir):
              .filter(F.col("vec_id") % 13 == 0).collect()}
     assert twins <= lsh          # guaranteed-collision duplicates found
     assert lsh <= exact          # no false positives vs exact verify
+
+
+def test_brute_force_rejects_large_query_set(spark):
+    """Round-1 verdict item 4: the documented small-query-set assumption
+    of both brute-force paths is enforced — a query set over the cap
+    raises with a pointer to lsh_topk instead of collecting to the
+    driver."""
+    import pytest
+
+    big = spark.range(S.MAX_BRUTE_FORCE_QUERIES + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    small = big.limit(4)
+    for fn in (S.brute_force_topk, S.brute_force_topk_vectorized):
+        with pytest.raises(ValueError, match="lsh_topk"):
+            fn(small, big, k=1)
