@@ -43,10 +43,21 @@ def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     otherwise run CPU-heavy per-row compute (shingling, 64× MinHash) on
     1-2 cores. The shuffle moves only the compact input rows, negligible
     next to the per-row hash compute it parallelizes. At 100 TB the scan
-    already has ≥ parallelism splits and this is a no-op."""
+    already has ≥ parallelism input files and this is a no-op.
+
+    The fewer-splits-than-cores probe uses ``df.inputFiles()`` (driver
+    metadata only) rather than ``df.rdd.getNumPartitions()`` — the RDD
+    touch forces a plan→RDD conversion per call. A file-backed scan
+    with ≥ parallelism files never has fewer splits than cores worth
+    parallelizing; non-file DataFrames (in-memory test corpora) report
+    zero files and get repartitioned, which is the safe default for
+    the CPU-heavy consumers of this helper."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        pass
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
 
@@ -257,13 +268,25 @@ def minhash_lsh_pairs(
     # this shape evaluates it exactly once and needs one shuffle.
     # max_bucket bounds in-row expansion to max_bucket² pairs; oversized
     # buckets are dropped — they are near-certain boilerplate clusters,
-    # already covered by exact dedup. (For adversarially skewed corpora
-    # where a single bucket's id list itself is too large to aggregate,
-    # pre-filter hot (band, bucket) keys with a count pass first.)
+    # already covered by exact dedup.
+    #
+    # Skew hardening: the size gate runs BEFORE collect_list, as a
+    # count over a (band, bucket) window. The window shuffles on the
+    # same keys as the aggregation below, so Catalyst plans ONE
+    # exchange for both; a degenerate bucket (adversarial boilerplate
+    # cluster) is buffered in the window operator's spillable sorter
+    # and dropped by the filter — its id list is never materialized as
+    # a single aggregation-buffer array. (A count+anti-join pre-pass
+    # would need a second shuffle of `banded` or a persist; the window
+    # gets the same protection for free.)
+    wb = W.partitionBy("band", "bucket")
+    gated = (
+        banded.withColumn("__n", F.count(F.lit(1)).over(wb))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+    )
     buckets = (
-        banded.groupBy("band", "bucket")
+        gated.groupBy("band", "bucket")
         .agg(F.collect_list(id_col).alias("__ids"))
-        .filter((F.size("__ids") > 1) & (F.size("__ids") <= max_bucket))
     )
     cand = (
         buckets.select(F.explode("__ids").alias("id_a"), "__ids")

@@ -49,6 +49,31 @@ def test_simhash_blocks_injected_near_dups(spark, sf_dir):
     assert hit >= 0.6, f"simhash hit rate too low: {hit}"
 
 
+def test_lsh_degenerate_bucket_gated_before_collect(spark):
+    """Skew hardening (round-1 verdict item 2): a 5k-row degenerate
+    bucket — one boilerplate string repeated — must be dropped by the
+    max_bucket gate BEFORE collect_list runs, so its id list is never
+    materialized as one aggregation-buffer array. The gate is a count
+    over a (band, bucket) window sharing the aggregation's shuffle;
+    assert the plan shape (window-count filter upstream of the
+    collect_list aggregate) and the behavior (cluster dropped, genuine
+    near-dups in the same corpus still found)."""
+    boiler = " ".join(f"w{i}" for i in range(30))
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "changed")
+    clones = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    extras = spark.createDataFrame(
+        [(100001, base), (100002, near)], "doc_id long, text string")
+    pairs = D.minhash_lsh_pairs(clones.unionByName(extras), "doc_id",
+                                "text", threshold=0.5, max_bucket=100)
+    plan = pairs._jdf.queryExecution().toString()
+    assert "windowspecdefinition" in plan
+    assert "collect_list" in plan
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert found == {(100001, 100002)}  # clones gated, real pair kept
+
+
 def test_jaccard_short_doc_guard(spark):
     # docs shorter than the shingle width must yield empty shingles,
     # not a descending-sequence crash
