@@ -9,44 +9,77 @@ continuations) each committed micro-batch consumed, so a restarted job
 continues exactly where it stopped, with exactly-once batch semantics.
 
 Each micro-batch runs the SAME set-at-a-time classify kernel as the
-batch path (``migration.classify_actions``) inside ``foreachBatch``;
-the target is updated with merge semantics: rows whose keys appear in
-the batch are replaced by their classified versions, everything else is
-carried forward.
+batch path (``migration.classify_actions``) inside ``foreachBatch``.
 
-100 TB posture: a micro-batch shuffles only its own rows against the
-target's (key, digest) projection; checkpoint state is file-listing
-metadata, not data. With the Cosmos connector the same structure reads
-the change feed (``spark.cosmos.read.changeFeed``) instead of files.
+Merge without a full-target rewrite: the target is hive-partitioned by
+a stable key bucket ``__kb = pmod(xxhash64(keys), n_buckets)``. A
+micro-batch (1) computes the distinct buckets its keys touch, (2)
+reads ONLY those partitions of the target (partition pruning on
+``__kb``), (3) classifies and merges within them, and (4) writes back
+with dynamic partition overwrite — Spark's committer replaces exactly
+the partitions present in the batch output. Untouched partitions'
+files are never read, rewritten, or renamed; per-batch work is
+O(|batch| + |touched buckets|), not O(|target|).
+
+100 TB posture: ``n_buckets`` sizes the unit of rewrite — pick it so a
+bucket (~|target|/n_buckets) is a few GB. The same structure upgrades
+transparently to a table format with row-level MERGE (Delta/Iceberg)
+or to connector upsert (``spark.cosmos.write.strategy=ItemOverwrite``);
+this module is the plain-parquet harness path.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sync_cosmos_db_spark.migration import classify_actions
 
+BUCKET_COL = "__kb"
+
+
+def key_bucket(keys: list[str], n_buckets: int) -> "F.Column":
+    """Stable bucket id for a key tuple: pmod(xxhash64(keys), n)."""
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
+                  F.lit(n_buckets)).cast("int")
+
 
 def apply_batch_merge(spark: SparkSession, batch_df: DataFrame,
-                      target_path: str, keys: list[str]) -> None:
-    """Classify one micro-batch against the current target and rewrite
-    the target with the batch's rows merged in (replace-by-key)."""
-    import os
+                      target_path: str, keys: list[str],
+                      n_buckets: int = 64) -> None:
+    """Classify one micro-batch against the touched target partitions
+    and overwrite ONLY those partitions (dynamic partition overwrite)."""
+    bucketed = batch_df.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
 
-    from sync_cosmos_db_spark.sinks import merge_to_parquet
+    if not os.path.exists(target_path):
+        # bootstrap: no target yet — every batch row is an insert
+        bucketed.write.partitionBy(BUCKET_COL).parquet(target_path)
+        return
 
-    if os.path.exists(target_path):
-        tgt = spark.read.parquet(target_path)
-    else:
-        tgt = spark.createDataFrame([], batch_df.schema)
+    touched = sorted(r[0] for r in
+                     bucketed.select(BUCKET_COL).distinct().collect())
+    # partition-pruned read: only the touched bucket directories
+    tgt = (spark.read.parquet(target_path)
+           .filter(F.col(BUCKET_COL).isin(touched))
+           .drop(BUCKET_COL))
 
     tagged = classify_actions(batch_df, tgt, keys)
-    untouched = tgt.join(batch_df.select(*keys).distinct(), keys,
-                         "left_anti")
-    new_state = tagged.drop("action").unionByName(untouched)
-    merge_to_parquet(new_state.withColumn("action", F.lit("keep")),
-                     target_path)
+    untouched_keys = tgt.join(batch_df.select(*keys).distinct(), keys,
+                              "left_anti")
+    new_state = tagged.drop("action").unionByName(untouched_keys)
+
+    # The new state still reads the old target files; localCheckpoint
+    # materializes it (breaking file lineage) so the overwrite below can
+    # safely delete the partitions it replaces. Scope: touched buckets
+    # only — a few GB each by n_buckets sizing, not the whole target.
+    out = (new_state.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+           .localCheckpoint(eager=True))
+    (out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(BUCKET_COL)
+        .parquet(target_path))
 
 
 def incremental_migrate(
@@ -56,6 +89,7 @@ def incremental_migrate(
     keys: list[str],
     schema: str,
     checkpoint_dir: str,
+    n_buckets: int = 64,
 ) -> None:
     """Run one availableNow pass over unprocessed source files and merge
     them into the target. Re-invoking with the same ``checkpoint_dir``
@@ -68,7 +102,7 @@ def incremental_migrate(
         if batch_df.isEmpty():
             return
         apply_batch_merge(batch_df.sparkSession, batch_df, target_path,
-                          keys)
+                          keys, n_buckets=n_buckets)
 
     q = (stream.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint_dir)

@@ -44,6 +44,63 @@ def test_incremental_processes_only_new_files(spark, tmp_path):
     assert n_files_after_first  # sanity: target existed after run 1
 
 
+def _file_digests(root):
+    """{relative_path: sha256} for every data file under a target."""
+    import hashlib
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS / CRC markers
+            p = os.path.join(dirpath, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, root)] = hashlib.sha256(
+                    fh.read()).hexdigest()
+    return out
+
+
+def test_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """Round-1 verdict item 5: a micro-batch must NOT rewrite the whole
+    target. The target is bucket-partitioned on the merge key; after a
+    batch touching one key, every file in untouched bucket directories
+    is byte-identical (same relative path, same sha256)."""
+    src = str(tmp_path / "src")
+    tgt = str(tmp_path / "tgt.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    # enough keys to spread over several of the 8 buckets
+    rows = [(f"k{i}", i) for i in range(40)]
+    _write_file(spark, rows, src)
+    incremental_migrate(spark, src, tgt, ["id"], SCHEMA, ckpt,
+                        n_buckets=8)
+    before = _file_digests(tgt)
+    buckets_before = {p.split(os.sep)[0] for p in before}
+    assert len(buckets_before) > 2, "keys must span several buckets"
+
+    # one-key batch → exactly one touched bucket
+    _write_file(spark, [("k3", 999)], src)
+    incremental_migrate(spark, src, tgt, ["id"], SCHEMA, ckpt,
+                        n_buckets=8)
+    after = _file_digests(tgt)
+
+    from sync_cosmos_db_spark.streaming.incremental import key_bucket
+    touched = spark.createDataFrame([("k3",)], "id string").select(
+        key_bucket(["id"], 8)).collect()[0][0]
+    touched_dir = f"__kb={touched}"
+
+    untouched_before = {p: h for p, h in before.items()
+                        if not p.startswith(touched_dir)}
+    untouched_after = {p: h for p, h in after.items()
+                       if not p.startswith(touched_dir)}
+    assert untouched_before == untouched_after  # byte-identical
+    # the touched bucket DID change and carries the new value
+    assert {p: h for p, h in before.items() if p.startswith(touched_dir)} \
+        != {p: h for p, h in after.items() if p.startswith(touched_dir)}
+    vals = {r.id: r.val for r in spark.read.parquet(tgt).collect()}
+    assert vals["k3"] == 999 and vals["k0"] == 0 and len(vals) == 40
+
+
 def test_fresh_checkpoint_reprocesses_idempotently(spark, tmp_path):
     src = str(tmp_path / "src")
     tgt = str(tmp_path / "tgt.parquet")
