@@ -66,3 +66,43 @@ def test_unmatched_columns_untouched(spark):
     df = spark.createDataFrame(ROWS, SCHEMA)
     out = sanitize_dataframe(df)
     assert [x.id for x in out.collect()] == [1, 2]
+
+
+def test_realistic_style_deterministic_and_name_shaped(spark):
+    """Round-1 verdict item 7: the realistic style emits name-shaped
+    values (the reference's Faker look) while staying deterministic —
+    same input, same output, every run, no Python in the hot path."""
+    import re
+
+    from sync_cosmos_db_spark.sanitizer import (
+        _CITIES, _FIRST_NAMES, _STATES, sanitize_dataframe as S)
+
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    s1 = S(df, style="realistic").collect()
+    s2 = S(df, style="realistic").collect()
+    assert s1 == s2  # deterministic under the fixed derivation
+    r = [x for x in s1 if x.id == 1][0]
+    assert r.firstName in _FIRST_NAMES and r.firstName != "Alice"
+    assert re.fullmatch(r"[a-z]+\.[a-z]+\d{2}@example\.com", r.email)
+    assert re.fullmatch(r"\d{3} [A-Za-z]+ (St|Ave|Blvd|Dr|Ln|Rd|Ct|Way)",
+                        r.addr.line1)
+    assert r.addr.city in _CITIES
+    # nested array-of-struct recursion uses the same style
+    assert " " in r.contacts[0].name  # "First Last" shape
+    assert r.contacts[0].email.endswith("@example.com")
+    # NULLs still preserved
+    r2 = [x for x in s1 if x.id == 2][0]
+    assert r2.firstName is None and r2.email is None
+
+
+def test_realistic_seed_sensitivity_and_unknown_style(spark):
+    import pytest
+
+    from sync_cosmos_db_spark.sanitizer import sanitize_dataframe as S
+
+    df = spark.createDataFrame(
+        [(1, "Alice"), (2, "Alicia")], "id long, firstName string")
+    out = {r.id: r.firstName for r in S(df, style="realistic").collect()}
+    assert out[1] != out[2]  # different seeds draw independently
+    with pytest.raises(ValueError, match="unknown sanitize style"):
+        S(df, style="faker")
