@@ -354,10 +354,11 @@ SWEEP_PRIORITY: list[str] = [
     "map_roundtrip_extract",
     # O7 quarantine
     "quarantine_validity_counts",
-    # X1/X2 dedup
+    # X1/X2 dedup (dedup_minhash_lsh demoted: rows-only, and
+    # dedup_lsh_containment executes the same LSH pipeline under a
+    # real hash-checked containment oracle)
     "dedup_exact_content",
     "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
     "dedup_lsh_containment",
     "dedup_components",
     "dedup_embedding_cosine",
@@ -373,8 +374,11 @@ SWEEP_PRIORITY: list[str] = [
     "events_tumbling_hourly",
     "events_session_5m",
     "stream_stateful_user_totals",
-    # X5 multimodal
-    "multimodal_binary_stats",
+    # X5 multimodal: REAL-codec roundtrips (encode→decode→hash-checked
+    # against the oracle's independent parameter recomputation);
+    # multimodal_binary_stats demoted — metadata-only, weaker evidence
+    "multimodal_png_roundtrip",
+    "multimodal_wav_roundtrip",
     # X8 sketches: exact-percentile twin (sketch_profile is rows-only)
     "percentile_exact_value",
 ]

@@ -669,6 +669,111 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.frame_sample_plan(M.attach_binary(docs), every_n=30)
 
 
+def _hash_digits(h, start: int, n: int):
+    """Decimal digits carved out of a sha2 hex column — the same
+    translate trick as sanitizer._digits, duplicated verbatim in the
+    DuckDB oracles below so both sides derive identical parameters."""
+    return F.translate(F.substring(h, start, n), "abcdef", "012345") \
+        .cast("int")
+
+
+def _asset_hash(docs: DataFrame):
+    return F.sha2(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                           F.col("text")), 256)
+
+
+@query(
+    "multimodal_png_roundtrip",
+    """
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             sha256(doc_id::VARCHAR || ':' || text) AS h
+      FROM documents
+    ), q AS (
+      SELECT asset_id,
+             4 + (translate(substr(h,1,3),'abcdef','012345')::INT % 29) AS width,
+             4 + (translate(substr(h,4,3),'abcdef','012345')::INT % 29) AS height,
+             translate(substr(h,7,3),'abcdef','012345')::INT % 256 AS r,
+             translate(substr(h,10,3),'abcdef','012345')::INT % 256 AS g,
+             translate(substr(h,13,3),'abcdef','012345')::INT % 256 AS b
+      FROM p
+    )
+    SELECT asset_id, width, height, 3 AS n_channels,
+           floor(((r + g + b) / 3.0) * 10000 + 0.5) / 10000 AS mean_lum,
+           true AS decode_ok
+    FROM q
+    """,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 with a REAL codec: per document, derive (width, height, rgb)
+    from a sha2 hash, ENCODE an actual solid-color PNG (stdlib zlib +
+    struct), then DECODE it with the real PNG decoder (chunk walk, CRC
+    verify, inflate, unfilter) and report the decoded values. The
+    oracle recomputes the parameters independently from the same hash
+    formula — the hash check passes only if the encode→decode roundtrip
+    recovers every width/height/channel/pixel-mean exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _asset_hash(docs)
+    params = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(4) + F.pmod(_hash_digits(h, 1, 3), F.lit(29))).alias("width"),
+        (F.lit(4) + F.pmod(_hash_digits(h, 4, 3), F.lit(29))).alias("height"),
+        F.pmod(_hash_digits(h, 7, 3), F.lit(256)).alias("r"),
+        F.pmod(_hash_digits(h, 10, 3), F.lit(256)).alias("g"),
+        F.pmod(_hash_digits(h, 13, 3), F.lit(256)).alias("b"),
+    )
+    dec = M.decode_png_assets(M.synth_png_assets(params))
+    return dec.select("asset_id", "width", "height", "n_channels",
+                      fround(F.col("mean_lum"), 4).alias("mean_lum"),
+                      "decode_ok")
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    """
+    WITH p AS (
+      SELECT doc_id AS asset_id,
+             sha256(doc_id::VARCHAR || ':' || text) AS h
+      FROM documents
+    )
+    SELECT asset_id,
+           1 + (translate(substr(h,7,2),'abcdef','012345')::INT % 2)
+               AS n_audio_channels,
+           8000 * (1 + translate(substr(h,5,2),'abcdef','012345')::INT % 3)
+               AS sample_rate,
+           (50 + translate(substr(h,1,4),'abcdef','012345')::INT % 2000)::BIGINT
+               AS n_samples,
+           CAST(translate(substr(h,9,4),'abcdef','012345')::INT % 30000
+                AS DOUBLE) AS rms,
+           true AS decode_ok
+    FROM p
+    """,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio with a REAL codec: encode a constant-amplitude 16-bit
+    PCM WAV per document (stdlib ``wave``), decode it back, and report
+    channels / rate / frames / RMS from the DECODED samples. Constant
+    amplitude makes RMS exactly the amplitude, so the oracle recomputes
+    everything from the hash formula and the hash check validates the
+    full encode→decode roundtrip."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = _asset_hash(docs)
+    params = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(50) + F.pmod(_hash_digits(h, 1, 4), F.lit(2000)))
+        .alias("n_samples"),
+        (F.lit(8000) * (F.lit(1) + F.pmod(_hash_digits(h, 5, 2), F.lit(3))))
+        .alias("sample_rate"),
+        (F.lit(1) + F.pmod(_hash_digits(h, 7, 2), F.lit(2)))
+        .alias("n_audio_channels"),
+        F.pmod(_hash_digits(h, 9, 4), F.lit(30000)).alias("amplitude"),
+    )
+    dec = M.decode_wav_assets(M.synth_wav_assets(params))
+    return dec.select("asset_id", "n_audio_channels", "sample_rate",
+                      "n_samples", F.col("rms").cast("double").alias("rms"),
+                      "decode_ok")
+
+
 @query(
     "text_profile_by_lang_source",
     """
