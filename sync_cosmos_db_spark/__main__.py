@@ -13,9 +13,17 @@ Flag notes vs the reference:
   ``type=bool``, which makes EVERY non-empty CLI string truthy
   (``src/main.py:23``, SURVEY.md §2.1 supporting notes); only its
   env-var default behaved as intended.
-* ``--batch-size`` / ``--max-retries`` do not exist here: paging is
-  Spark partitioning, retries are ``spark.task.maxFailures`` plus
-  connector backoff (SURVEY.md O2/O20).
+* ``--batch-size`` / ``--max-retries`` map to their Spark-native
+  equivalents instead of client-side loops: ``--max-task-failures``
+  sets ``spark.task.maxFailures`` (per-task retry budget, the live
+  replacement for the reference's dead retry loop —
+  ``src/migration.py:148`` breaks unconditionally), and
+  ``--throughput-target-ru`` / ``--throughput-target-fraction`` bound
+  the Cosmos connector's RU consumption via its public
+  ``spark.cosmos.throughputControl.*`` options (the pacing role of
+  ``--batch-size``). The throughput options only take effect on
+  connector reads/writes; the filesystem harness path echoes them in
+  the printed summary so the wiring is testable without the jar.
 """
 
 from __future__ import annotations
@@ -45,10 +53,35 @@ def get_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="summary JSON output path")
     p.add_argument("--max-parallel", type=int, default=1,
                    help="concurrent container migrations per database")
+    p.add_argument("--max-task-failures", type=int, default=None,
+                   help="per-task retry budget (spark.task.maxFailures)")
+    p.add_argument("--throughput-target-ru", type=int, default=None,
+                   help="cap connector RU/s consumption at this absolute "
+                        "budget (spark.cosmos.throughputControl)")
+    p.add_argument("--throughput-target-fraction", type=float, default=None,
+                   help="cap connector RU/s at this fraction (0-1] of the "
+                        "container's provisioned throughput")
     args = p.parse_args(argv)
     if args.container is not None and args.database is None:
         p.error("--container requires --database")
+    if (args.throughput_target_ru is not None
+            and args.throughput_target_fraction is not None):
+        p.error("--throughput-target-ru and --throughput-target-fraction "
+                "are mutually exclusive")
     return args
+
+
+def connector_write_options(args: argparse.Namespace) -> dict[str, str]:
+    """Cosmos connector reader/writer options implied by the CLI flags
+    (empty when no throughput bound was requested)."""
+    from sync_cosmos_db_spark.sources.cosmos import throughput_control
+
+    if args.throughput_target_ru is not None:
+        return throughput_control(target_ru=args.throughput_target_ru)
+    if args.throughput_target_fraction is not None:
+        return throughput_control(
+            target_ru_fraction=args.throughput_target_fraction)
+    return {}
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -56,7 +89,10 @@ def main(argv: list[str] | None = None) -> int:
     from sync_cosmos_db_spark.orchestrator import migrate_account_path
     from sync_cosmos_db_spark.session import get_spark
 
-    spark = get_spark("sync_cosmos_db_spark.migrate")
+    extra_conf = {}
+    if args.max_task_failures is not None:
+        extra_conf["spark.task.maxFailures"] = str(args.max_task_failures)
+    spark = get_spark("sync_cosmos_db_spark.migrate", extra_conf=extra_conf)
     try:
         summary = migrate_account_path(
             spark, args.source_root, args.target_root,
@@ -66,6 +102,9 @@ def main(argv: list[str] | None = None) -> int:
     except Exception as exc:  # reference: log + exit 1 (src/main.py:165-167)
         print(f"migration failed: {exc}", file=sys.stderr)
         return 1
+    wopts = connector_write_options(args)
+    if wopts:
+        summary["connector_options"] = wopts
     print(json.dumps(summary, default=str, indent=2))
     return 0
 

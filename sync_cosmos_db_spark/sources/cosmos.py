@@ -54,6 +54,31 @@ def require_connector(spark: SparkSession) -> None:
             "parquet catalog in sources/catalog.py instead.")
 
 
+def throughput_control(target_ru: int | None = None,
+                       target_ru_fraction: float | None = None,
+                       group_name: str = "sync-cosmos-db-spark") -> dict[str, str]:
+    """Public connector options bounding how many RU/s this job may
+    consume — the Spark analog of the reference's ``--batch-size``
+    pacing knob (``/root/reference/src/main.py:21-22``): instead of
+    shrinking client pages, the connector's client-side rate limiter
+    spreads the budget across executors. Pass the result as ``extra``
+    to :func:`reader` / :func:`writer`."""
+    if (target_ru is None) == (target_ru_fraction is None):
+        raise ValueError(
+            "specify exactly one of target_ru / target_ru_fraction")
+    opts = {
+        "spark.cosmos.throughputControl.enabled": "true",
+        "spark.cosmos.throughputControl.name": group_name,
+    }
+    if target_ru is not None:
+        opts["spark.cosmos.throughputControl.targetThroughput"] = \
+            str(int(target_ru))
+    else:
+        opts["spark.cosmos.throughputControl.targetThroughputThreshold"] = \
+            str(float(target_ru_fraction))
+    return opts
+
+
 def base_config(endpoint: str, key: str, database: str,
                 container: str) -> dict[str, str]:
     return {
