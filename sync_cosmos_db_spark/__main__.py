@@ -21,9 +21,10 @@ Flag notes vs the reference:
   ``--throughput-target-ru`` / ``--throughput-target-fraction`` bound
   the Cosmos connector's RU consumption via its public
   ``spark.cosmos.throughputControl.*`` options (the pacing role of
-  ``--batch-size``). The throughput options only take effect on
-  connector reads/writes; the filesystem harness path echoes them in
-  the printed summary so the wiring is testable without the jar.
+  ``--batch-size``). The throughput options are threaded into the
+  orchestrator's source/target reads (live on a connector deployment;
+  ignored by the parquet harness reader) and echoed in the printed
+  summary so the wiring is testable without the jar.
 """
 
 from __future__ import annotations
@@ -93,16 +94,29 @@ def main(argv: list[str] | None = None) -> int:
     if args.max_task_failures is not None:
         extra_conf["spark.task.maxFailures"] = str(args.max_task_failures)
     spark = get_spark("sync_cosmos_db_spark.migrate", extra_conf=extra_conf)
+    if args.max_task_failures is not None:
+        # spark.task.maxFailures is a core conf fixed at SparkContext
+        # start; get_spark may have REUSED an existing session (tests,
+        # notebooks, shared drivers), in which case the flag silently
+        # no-ops — surface that instead of pretending (round-2 advice).
+        live = spark.sparkContext.getConf().get("spark.task.maxFailures",
+                                                "4")
+        if live != str(args.max_task_failures):
+            print(f"warning: --max-task-failures={args.max_task_failures} "
+                  f"not applied (existing SparkContext has "
+                  f"spark.task.maxFailures={live}; core confs cannot "
+                  "change after context start)", file=sys.stderr)
+    wopts = connector_write_options(args)
     try:
         summary = migrate_account_path(
             spark, args.source_root, args.target_root,
             database=args.database, container=args.container,
             sanitize=args.sanitize, strong_verify=args.strong_verify,
-            summary_path=args.summary, max_parallel=args.max_parallel)
+            summary_path=args.summary, max_parallel=args.max_parallel,
+            connector_options=wopts or None)
     except Exception as exc:  # reference: log + exit 1 (src/main.py:165-167)
         print(f"migration failed: {exc}", file=sys.stderr)
         return 1
-    wopts = connector_write_options(args)
     if wopts:
         summary["connector_options"] = wopts
     print(json.dumps(summary, default=str, indent=2))

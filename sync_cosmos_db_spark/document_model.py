@@ -136,13 +136,20 @@ def split_valid_invalid(df: DataFrame, id_col: str = "id",
 # ---------------------------------------------------------------------------
 
 def materialize_pk(df: DataFrame, pk_path: str) -> DataFrame:
-    """Ensure a top-level column named after the (single-segment) pk path
-    exists and is populated from the extracted value — reference
-    ``src/migration.py:111-114`` writes ``item[pk_path] = pk_value`` when
-    absent. For nested paths the top-level name is the first segment and
-    the reference's behavior (only write when the *top-level* field is
-    absent) is preserved by the coalesce."""
-    top = pk_path.strip("/").split("/")[0]
+    """Ensure a top-level column holding the partition-key VALUE exists —
+    reference ``src/migration.py:111-114`` writes ``item[pk_path] =
+    pk_value`` when the key is absent from the document body.
+
+    Single-segment path (``"/uid"``): the top-level column is the path
+    itself; existing non-null values are kept, nulls are backfilled from
+    the extraction (a no-op for a flat typed frame, the reference's
+    common case). Nested path (``"/meta/uid"``): the pk VALUE is
+    materialized under the LEAF segment name (``uid``) — added when the
+    top-level column is absent, null-backfilled when present. The leaf
+    (not the first segment) is the only name that can carry the scalar
+    value without colliding with the struct column it came from."""
+    parts = pk_path.strip("/").split("/")
+    top = parts[0] if len(parts) == 1 else parts[-1]
     extracted = pk_path_to_column(pk_path)
     if top in df.columns:
         return df.withColumn(top, F.coalesce(F.col(top), extracted))

@@ -31,16 +31,25 @@ from pyspark.sql import functions as F
 MAX_BRUTE_FORCE_QUERIES = 10_000
 
 
+def _cap_error(fn_name: str) -> ValueError:
+    return ValueError(
+        f"{fn_name}: query set exceeds MAX_BRUTE_FORCE_QUERIES="
+        f"{MAX_BRUTE_FORCE_QUERIES} rows; the brute-force paths "
+        "broadcast/collect the query set and do not scale with it. "
+        "Use similarity.lsh_topk() for large query sets — it "
+        "shuffles on (table, bucket) keys and never materializes "
+        "the query set on the driver.")
+
+
 def _check_query_set_small(queries: DataFrame, fn_name: str) -> None:
+    """Enforce the small-query-set contract. This runs ONE extra bounded
+    Spark job (``limit(cap+1).count()``) that re-evaluates the query-set
+    subplan — acceptable for :func:`brute_force_topk`, whose query set
+    is broadcast lazily; the vectorized path avoids it by checking the
+    length of the collect() it needs anyway."""
     n = queries.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
     if n > MAX_BRUTE_FORCE_QUERIES:
-        raise ValueError(
-            f"{fn_name}: query set exceeds MAX_BRUTE_FORCE_QUERIES="
-            f"{MAX_BRUTE_FORCE_QUERIES} rows; the brute-force paths "
-            "broadcast/collect the query set and do not scale with it. "
-            "Use similarity.lsh_topk() for large query sets — it "
-            "shuffles on (table, bucket) keys and never materializes "
-            "the query set on the driver.")
+        raise _cap_error(fn_name)
 
 
 # ---------------------------------------------------------------------------
@@ -131,8 +140,13 @@ def brute_force_topk_vectorized(
     interpreted per element, the matmul is BLAS."""
     import numpy as np
 
-    _check_query_set_small(queries, "brute_force_topk_vectorized")
-    q_rows = queries.select(id_col, vec_col).collect()
+    # Cap enforcement without a separate Spark job (round-2 advice): the
+    # query set must be collected anyway, so collect one row past the
+    # cap and check the length — the subplan is evaluated exactly once.
+    q_rows = (queries.select(id_col, vec_col)
+              .limit(MAX_BRUTE_FORCE_QUERIES + 1).collect())
+    if len(q_rows) > MAX_BRUTE_FORCE_QUERIES:
+        raise _cap_error("brute_force_topk_vectorized")
     q_ids = [r[0] for r in q_rows]
     Q = np.asarray([r[1] for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)

@@ -68,10 +68,17 @@ def migrate_container_path(
     container: str,
     sanitize: bool = False,
     strong_verify: bool = False,
+    connector_options: dict[str, str] | None = None,
 ) -> MigrationResult:
     """Migrate one container between filesystem accounts (the harness
     form of ``src/main.py:30-56``): properties (O17) → pk pre-flight
-    (O18) → DDL (O16) → classify+write (O6-O14) → verify (O21)."""
+    (O18) → DDL (O16) → classify+write (O6-O14) → verify (O21).
+
+    ``connector_options`` (e.g. the ``spark.cosmos.throughputControl.*``
+    RU bound from the CLI) is applied to the source/target reads — the
+    place RU consumption happens on a real connector deployment. The
+    parquet reader ignores unknown options, so the harness path is
+    unaffected while the wiring stays live end-to-end (round-2 advice)."""
     src_props = catalog.get_container_properties(source_root, database,
                                                  container)
     tgt_exists = catalog.container_exists(target_root, database, container)
@@ -84,10 +91,11 @@ def migrate_container_path(
     tgt_path = catalog.create_container_if_not_exists(
         target_root, database, container, src_props)
 
-    src_df = spark.read.parquet(
+    reader = spark.read.options(**(connector_options or {}))
+    src_df = reader.parquet(
         catalog.container_data_path(source_root, database, container))
     if tgt_exists:
-        tgt_df = spark.read.parquet(tgt_path)
+        tgt_df = reader.parquet(tgt_path)
     else:
         tgt_df = spark.createDataFrame([], src_df.schema)
 
@@ -112,6 +120,8 @@ def migrate_container_path(
     result.verified = ok
     result.source_count = n_src
     result.target_count = n_tgt
+    if connector_options:
+        result.extra["connector_options"] = dict(connector_options)
     return result
 
 
@@ -119,7 +129,9 @@ def migrate_database_path(spark: SparkSession, source_root: str,
                           target_root: str, database: str,
                           sanitize: bool = False,
                           strong_verify: bool = False,
-                          max_parallel: int = 1) -> dict:
+                          max_parallel: int = 1,
+                          connector_options: dict[str, str] | None = None,
+                          ) -> dict:
     """One database: create it on the target (O15), loop its containers
     (reference ``src/main.py:58-81``).
 
@@ -134,7 +146,8 @@ def migrate_database_path(spark: SparkSession, source_root: str,
     if max_parallel <= 1 or len(containers) <= 1:
         return {c: migrate_container_path(
             spark, source_root, target_root, database, c,
-            sanitize=sanitize, strong_verify=strong_verify)
+            sanitize=sanitize, strong_verify=strong_verify,
+            connector_options=connector_options)
             for c in containers}
 
     from concurrent.futures import ThreadPoolExecutor
@@ -142,7 +155,7 @@ def migrate_database_path(spark: SparkSession, source_root: str,
     with ThreadPoolExecutor(max_workers=max_parallel) as pool:
         futs = {c: pool.submit(
             migrate_container_path, spark, source_root, target_root,
-            database, c, sanitize, strong_verify)
+            database, c, sanitize, strong_verify, connector_options)
             for c in containers}
         return {c: f.result() for c, f in futs.items()}
 
@@ -157,6 +170,7 @@ def migrate_account_path(
     strong_verify: bool = False,
     summary_path: str | None = None,
     max_parallel: int = 1,
+    connector_options: dict[str, str] | None = None,
 ) -> dict:
     """Scope dispatch exactly like the reference (``src/main.py:107-152``):
     no scope → every database; ``database`` → one database; ``database``
@@ -171,18 +185,20 @@ def migrate_account_path(
         catalog.create_database_if_not_exists(target_root, database)
         results[database] = {container: migrate_container_path(
             spark, source_root, target_root, database, container,
-            sanitize=sanitize, strong_verify=strong_verify)}
+            sanitize=sanitize, strong_verify=strong_verify,
+            connector_options=connector_options)}
     elif database is not None:
         results[database] = migrate_database_path(
             spark, source_root, target_root, database,
             sanitize=sanitize, strong_verify=strong_verify,
-            max_parallel=max_parallel)
+            max_parallel=max_parallel, connector_options=connector_options)
     else:
         for db in catalog.list_databases(source_root):
             results[db] = migrate_database_path(
                 spark, source_root, target_root, db,
                 sanitize=sanitize, strong_verify=strong_verify,
-                max_parallel=max_parallel)
+                max_parallel=max_parallel,
+                connector_options=connector_options)
 
     summary = {
         "source_account": source_root,

@@ -30,14 +30,22 @@ this module is the plain-parquet harness path.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sync_cosmos_db_spark.migration import classify_actions
 
 BUCKET_COL = "__kb"
+
+
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, not
+    ``os.path`` — the target may live on HDFS/S3/ABFS where driver-local
+    filesystem probes are meaningless (round-2 advice)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def key_bucket(keys: list[str], n_buckets: int) -> "F.Column":
@@ -53,7 +61,7 @@ def apply_batch_merge(spark: SparkSession, batch_df: DataFrame,
     and overwrite ONLY those partitions (dynamic partition overwrite)."""
     bucketed = batch_df.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
 
-    if not os.path.exists(target_path):
+    if not _path_exists(spark, target_path):
         # bootstrap: no target yet — every batch row is an insert
         bucketed.write.partitionBy(BUCKET_COL).parquet(target_path)
         return
@@ -74,6 +82,11 @@ def apply_batch_merge(spark: SparkSession, batch_df: DataFrame,
     # materializes it (breaking file lineage) so the overwrite below can
     # safely delete the partitions it replaces. Scope: touched buckets
     # only — a few GB each by n_buckets sizing, not the whole target.
+    # Caveat: localCheckpoint blocks live on executors, so an executor
+    # loss mid-overwrite aborts the batch (retried by the stream from
+    # the checkpoint). Cluster deployments wanting stronger guarantees
+    # should use reliable checkpoint dirs or the Delta/Iceberg
+    # row-level MERGE upgrade path described in the module docstring.
     out = (new_state.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
            .localCheckpoint(eager=True))
     (out.write.mode("overwrite")
