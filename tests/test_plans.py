@@ -67,6 +67,9 @@ BNLJ_ALLOWED = {
     # X2 exact n² baseline (labeled; the scale path is
     # dedup_embedding_lsh which plans an equi-join on buckets).
     "dedup_embedding_cosine",
+    # X2 containment oracle: embeds the SAME labeled n² exact baseline
+    # as one side of the lsh ⊆ exact check.
+    "dedup_embedding_lsh_containment",
     # O21: joins two single-row count aggregates — a 1×1 BNLJ.
     "verify_counts",
 }
