@@ -1,0 +1,137 @@
+"""Training-data curation operators: deterministic splits, stratified
+sampling, document chunking, embedding quantization.
+
+No reference implementation (SURVEY.md §2.3 — the LLM-data-pipeline
+extension families mandated by BASELINE.json's north star). These are
+the operations a 100 TB pretraining pipeline runs between dedup and
+tokenization:
+
+* **train/eval split** — must be DETERMINISTIC (re-runs of the pipeline
+  cannot migrate documents across the split: that leaks eval into
+  train) and key-based, never ``rand()``. Implemented as a sha2 hash
+  bucket of the document id — reproducible anywhere, including the
+  DuckDB oracle.
+* **stratified sampling** — per-stratum keep-fractions from the same
+  hash-bucket construction, so a 1% sample of ``lang='en'`` plus a 100%
+  keep of rare strata is one narrow filter, no shuffle, and the same
+  rows are kept on every run.
+* **chunking** — fixed-size token windows with overlap (the
+  context-window prep step). ``sequence`` → ``transform``/``slice`` →
+  one explode; all codegen, fan-out bounded by ceil(n/step) per doc.
+* **int8 quantization** — per-vector symmetric scale (127/max|x|),
+  floor-rounded so both engines compute bit-identical codes; cuts ANN
+  memory 4× with a measurable reconstruction bound.
+
+Everything is built-in Column algebra — zero Python UDFs, nothing
+shuffles except what the caller aggregates afterwards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column | str, n_buckets: int = 100,
+                salt: str = "split") -> Column:
+    """Deterministic bucket in [0, n_buckets) from a sha2 digest of the
+    key — the cross-engine-reproducible replacement for ``rand()``-based
+    splits (same translate-digits trick as the sanitizer generators, so
+    DuckDB oracles can recompute it verbatim).
+
+    SQL twin:
+    ``translate(substr(sha256(key::VARCHAR || ':SALT'), 1, 6),
+    'abcdef', '012345')::BIGINT % n_buckets``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.sha2(F.concat(c.cast("string"), F.lit(":" + salt)), 256)
+    digits = F.translate(F.substring(h, 1, 6), "abcdef", "012345")
+    return F.pmod(digits.cast("bigint"), F.lit(n_buckets))
+
+
+def train_eval_split(df: DataFrame, id_col: str, train_pct: int = 90,
+                     salt: str = "split",
+                     split_col: str = "split") -> DataFrame:
+    """Tag every row 'train' or 'eval' by deterministic hash bucket:
+    bucket(id) < train_pct → train. Narrow (no shuffle, no driver
+    state); the same document lands on the same side on every run and
+    every cluster — the property random splits lose on re-execution."""
+    b = hash_bucket(id_col, 100, salt)
+    return df.withColumn(
+        split_col,
+        F.when(b < train_pct, F.lit("train")).otherwise(F.lit("eval")))
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions: dict[str, int], default_pct: int = 0,
+                      salt: str = "sample") -> DataFrame:
+    """Deterministic stratified sample: per-stratum keep-percentages
+    (integers 0-100) applied as a hash-bucket filter — e.g. downsample
+    dominant languages while keeping 100% of rare ones. One narrow
+    filter; repeated runs keep identical rows (stable curation, unlike
+    ``DataFrame.sampleBy``'s seed-but-partitioning-dependent draw)."""
+    b = hash_bucket(id_col, 100, salt)
+    thresh = F.lit(default_pct)
+    for stratum, pct in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == stratum, F.lit(pct)) \
+            .otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = 64,
+                    overlap_tokens: int = 16) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap —
+    (id, chunk_idx, chunk_text, n_chunk_tokens), one row per chunk.
+
+    Chunk k starts at token k·(chunk−overlap); the final chunk may be
+    short. ``sequence`` of start positions → in-row ``transform`` over
+    ``slice`` → ONE explode, so the fan-out is ceil(n/step) rows per
+    document and the whole projection stays in codegen. At 100 TB this
+    runs as a narrow map — chunking never shuffles."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens "
+                         f"(got {overlap_tokens} >= {chunk_tokens})")
+    step = chunk_tokens - overlap_tokens
+    w = F.split(F.col(text_col), r"\s+")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)),
+                        F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / step).cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(w, s, chunk_tokens))
+            .alias("chunk_text"),
+            F.least(F.size(w) - s + 1, F.lit(chunk_tokens)).cast("long")
+            .alias("n_chunk_tokens"),
+        ))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+            .select(id_col, "__c.chunk_idx", "__c.chunk_text",
+                    "__c.n_chunk_tokens"))
+
+
+def quantize_embedding_int8(vec: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization: scale = 127/max|x|,
+    code = floor(x·scale + 0.5) — floor-rounding (not banker's, not
+    HALF_UP) so Spark, numpy and DuckDB produce identical codes.
+    Returns array<int>; store alongside ``max|x|`` to dequantize."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    dv = F.transform(v, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(dv, F.abs))
+    scale = F.lit(127.0) / amax
+    return F.when(amax == 0, F.transform(dv, lambda x: F.lit(0))) \
+        .otherwise(F.transform(dv, lambda x: F.floor(x * scale + 0.5)
+                               .cast("int")))
+
+
+def dequantize_error(vec: Column | str, codes: Column) -> Column:
+    """Max absolute reconstruction error of int8 codes against the
+    original vector — the quality bound a curation pipeline monitors
+    when switching ANN search to quantized vectors."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    dv = F.transform(v, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(dv, F.abs))
+    inv = amax / F.lit(127.0)
+    return F.when(amax == 0, F.lit(0.0)).otherwise(
+        F.array_max(F.zip_with(dv, codes,
+                               lambda x, q: F.abs(x - q * inv))))

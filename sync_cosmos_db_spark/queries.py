@@ -318,7 +318,6 @@ SWEEP_PRIORITY: list[str] = [
     "migrate_classify_counts",
     "migrate_actions_detail",
     "verify_counts",
-    "count_lineitem",
     "migrate_classify_json_docs",
     "strip_system_fields_nested",
     "materialize_pk_backfill",
@@ -335,18 +334,15 @@ SWEEP_PRIORITY: list[str] = [
     # --- A1/A2 TPC-H shapes
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q18_large_orders",
     "q4_priority_with_returns",        # stale
     "q5_region_revenue",               # stale
     "q6_forecast_revenue",             # stale
     "q10_returned_revenue_by_customer",  # stale
     "q14_big_part_share",              # stale
     # --- A1 join forms
-    "join_broadcast_part_brand",
     "asof_join_latest_snapshot",
     "range_join_event_windows",
     # --- A3 windows
-    "window_topk_orders_per_customer",
     "window_lag_gap_days",             # stale
     "window_ntile_first_last",         # stale
     # --- A5 set ops
@@ -379,6 +375,11 @@ SWEEP_PRIORITY: list[str] = [
     "multimodal_png_roundtrip",
     "multimodal_binary_stats",         # never swept
     "multimodal_frame_sample",         # never swept
+    # --- NEW curation operators (operators/curation.py, this round)
+    "split_train_eval",
+    "stratified_sample_by_lang",
+    "chunk_documents_overlap",
+    "embedding_quantize_int8",
 ]
 
 

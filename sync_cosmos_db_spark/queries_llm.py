@@ -924,6 +924,123 @@ def text_winnowing_fingerprints(spark: SparkSession,
         .alias("fp")))
 
 
+# ---------------------------------------------------------------------------
+# Curation operators (X-ext): deterministic split / stratified sample /
+# chunking / int8 quantization — operators/curation.py
+# ---------------------------------------------------------------------------
+
+@query(
+    "split_train_eval",
+    """
+    SELECT doc_id,
+           CASE WHEN translate(substr(sha256(doc_id::VARCHAR || ':split'),
+                                      1, 6), 'abcdef', '012345')::BIGINT
+                     % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents
+    """,
+)
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: deterministic 90/10 train/eval split by sha2 hash
+    bucket of the document id — re-runs can never migrate a document
+    across the split (the leak random splits cause), and the oracle
+    recomputes the exact assignment."""
+    from sync_cosmos_db_spark.operators.curation import train_eval_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_eval_split(docs, "doc_id", train_pct=90) \
+        .select("doc_id", "split")
+
+
+@query(
+    "stratified_sample_by_lang",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE translate(substr(sha256(doc_id::VARCHAR || ':sample'), 1, 6),
+                    'abcdef', '012345')::BIGINT % 100
+          < CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 50
+                      WHEN 'de' THEN 100 ELSE 10 END
+    """,
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: per-language keep-fractions (downsample dominant
+    strata, keep rare ones whole) as one deterministic narrow filter;
+    the oracle re-derives the exact kept row set."""
+    from sync_cosmos_db_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, "doc_id", "lang",
+                             {"en": 25, "zh": 50, "de": 100},
+                             default_pct=10).select("doc_id", "lang")
+
+
+@query(
+    "chunk_documents_overlap",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         s AS (SELECT doc_id, w,
+                      unnest(generate_series(1, greatest(len(w), 1), 48))
+                        AS st
+               FROM t)
+    SELECT doc_id, (st - 1) // 48 AS chunk_idx,
+           array_to_string(w[st:st + 63], ' ') AS chunk_text,
+           least(len(w) - st + 1, 64)::BIGINT AS n_chunk_tokens
+    FROM s
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: 64-token chunks with 16-token overlap (stride 48) —
+    the context-window prep pass. One explode per document, fan-out
+    ceil(n/48); the oracle rebuilds every chunk's exact text, so the
+    hash check covers boundary handling (short final chunks included)."""
+    from sync_cosmos_db_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text",
+                           chunk_tokens=64, overlap_tokens=16)
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+         s AS (SELECT vec_id, x,
+                      list_max(list_transform(x, e -> abs(e))) AS amax
+               FROM v),
+         q AS (SELECT vec_id, x, amax,
+                      list_transform(
+                        x, e -> floor(e * (127.0 / amax) + 0.5)::INT)
+                        AS codes
+               FROM s)
+    SELECT vec_id, len(codes) AS n_dims, codes,
+           floor(list_max(list_transform(
+                   generate_series(1, len(x)),
+                   i -> abs(x[i] - codes[i] * (amax / 127.0))))
+                 * 1000000 + 0.5) / 1000000 AS max_abs_err
+    FROM q
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: symmetric per-vector int8 quantization (4× ANN memory
+    cut) with floor-rounding so Spark and DuckDB produce IDENTICAL
+    codes — the oracle hash-checks every code of every vector plus the
+    max reconstruction error (bounded by amax/254)."""
+    from sync_cosmos_db_spark.operators.curation import (
+        dequantize_error,
+        quantize_embedding_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select("vec_id", F.col("embedding").alias("x"),
+                    quantize_embedding_int8("embedding").alias("codes"))
+    return df.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        "codes",
+        fround(dequantize_error("x", F.col("codes")), 6)
+        .alias("max_abs_err"))
+
+
 def _embedding_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ scaled copies (×1.01 — cosine exactly 1 with the
     original) of every vec_id % 13 == 0, ids +100000."""

@@ -1,0 +1,99 @@
+"""Curation operator tests (operators/curation.py): split determinism
+and leak-safety, stratified sample stability, chunk reconstruction,
+quantization bounds."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators.curation import (
+    chunk_documents,
+    dequantize_error,
+    quantize_embedding_int8,
+    stratified_sample,
+    train_eval_split,
+)
+from sync_cosmos_db_spark.session import load_table
+
+
+def test_split_deterministic_and_disjoint(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.split
+         for r in train_eval_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split
+         for r in train_eval_split(docs, "doc_id").collect()}
+    assert a == b  # rerun → identical assignment (no rand())
+    frac = sum(v == "train" for v in a.values()) / len(a)
+    assert 0.8 < frac < 0.97  # ~90% with hash-bucket variance
+
+
+def test_split_survives_corpus_growth(spark, sf_dir):
+    """The leak-safety property: adding documents must not move any
+    EXISTING document across the split (hash of id only, corpus-size
+    independent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full = {r.doc_id: r.split
+            for r in train_eval_split(docs, "doc_id").collect()}
+    part = {r.doc_id: r.split
+            for r in train_eval_split(half, "doc_id").collect()}
+    assert all(full[k] == v for k, v in part.items())
+
+
+def test_stratified_sample_respects_fractions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang",
+                             {"en": 0, "de": 100}, default_pct=50)
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert "en" not in counts                       # 0% kept
+    assert counts["de"] == totals["de"]             # 100% kept
+    for lang in counts:
+        if lang not in ("en", "de"):                # ~50% kept
+            assert 0.25 < counts[lang] / totals[lang] < 0.75
+
+
+def test_chunk_documents_reconstructs_text(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "short text")],
+        "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text",
+                          chunk_tokens=4, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 3 over 10 tokens → starts 1,4,7,10
+    chunks = [r.chunk_text for r in by_doc[1]]
+    assert chunks == ["t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"]
+    assert [r.n_chunk_tokens for r in by_doc[1]] == [4, 4, 4, 1]
+    # overlap invariant: consecutive chunks share exactly one token
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.split()[-1] == b.split()[0]
+    # doc 2 fits in one chunk
+    assert [r.chunk_text for r in by_doc[2]] == ["short text"]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", 4, 4)
+
+
+def test_quantize_int8_bounds_and_error(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        "vec_id", F.col("embedding").alias("x"),
+        quantize_embedding_int8("embedding").alias("codes"))
+    stats = df.select(
+        F.array_max("codes").alias("hi"),
+        F.array_min("codes").alias("lo"),
+        dequantize_error("x", F.col("codes")).alias("err"),
+        (F.array_max(F.transform(
+            F.col("x"), lambda v: F.abs(v.cast("double")))) / 254.0)
+        .alias("bound")).collect()
+    for r in stats:
+        assert -127 <= r.lo and r.hi <= 127
+        assert abs(r.hi) == 127 or abs(r.lo) == 127  # scale saturates
+        assert r.err <= r.bound + 1e-12  # half-step reconstruction bound
