@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sync_cosmos_db_spark.operators import dedup as D
+from sync_cosmos_db_spark.operators import ivf as IVF
 from sync_cosmos_db_spark.operators import multimodal as M
 from sync_cosmos_db_spark.operators import similarity as S
 from sync_cosmos_db_spark.operators import text as X
@@ -341,6 +342,50 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return S.lsh_topk(emb, queries, dim=64, k=3, n_planes=10, n_tables=4)
+
+
+@query(
+    "sim_topk_ivf_fullprobe",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor((list_cosine_similarity(q.qv, c.embedding::DOUBLE[]))
+                   * 1000000 + 0.5) / 1000000 AS cs
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank,
+             floor((cs) * 10000 + 0.5) / 10000 AS cosine_sim
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked WHERE rank <= 3
+    """,
+)
+def sim_topk_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 IVF pipeline, hash-checked end to end: spherical-k-means train
+    (deterministic xxhash64 init), cluster assignment, probe, equi-join
+    on cluster_id, score, rank — with ``nprobe == n_clusters`` every
+    pair is scored, so the result must be BIT-IDENTICAL to the exact
+    brute-force oracle no matter how training converged. The oracle is
+    the same SQL as ``sim_topk_vectorized``; what it verifies here is
+    the IVF plumbing (no pair lost or duplicated by the cluster join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return IVF.ivf_topk(emb, queries, dim=64, k=3, n_clusters=8,
+                        nprobe=8, iters=3)
+
+
+@query("sim_topk_ivf")  # approx — rows-only check; recall tested in pytest
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 IVF production setting: probe the 4 nearest of 16 learned
+    clusters per query — candidate volume ≈ corpus/4, shuffled on
+    cluster_id only. Recall vs the exact path is pytest-asserted."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return IVF.ivf_topk(emb, queries, dim=64, k=3, n_clusters=16,
+                        nprobe=4, iters=3)
 
 
 # ---------------------------------------------------------------------------

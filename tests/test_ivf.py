@@ -1,0 +1,91 @@
+"""IVF ANN (operators/ivf.py): training determinism, assignment
+invariants, planted-twin guarantees, and full-probe == exact parity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators import ivf as IVF
+from sync_cosmos_db_spark.operators import similarity as S
+from sync_cosmos_db_spark.session import load_table
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _with_twins(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    twins = (emb.filter(F.col("vec_id") % 50 == 0)
+             .select((F.col("vec_id") + 100000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * 1.05).cast("float"))
+                     .alias("embedding")))
+    return emb.unionByName(twins)
+
+
+def test_train_centroids_deterministic(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    a = IVF.train_centroids(emb, dim=64, n_clusters=8, iters=2)
+    b = IVF.train_centroids(emb, dim=64, n_clusters=8, iters=2)
+    assert np.array_equal(a, b), "training must be run-reproducible"
+    # spherical: every centroid unit-norm
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_assign_clusters_invariants(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = IVF.train_centroids(emb, dim=64, n_clusters=8, iters=2)
+    tagged = IVF.assign_clusters(emb, cents)
+    n_in = emb.count()
+    stats = tagged.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("vec_id").alias("ids"),
+        F.min("cluster_id").alias("lo"),
+        F.max("cluster_id").alias("hi")).collect()[0]
+    assert stats.n == n_in and stats.ids == n_in  # each vector exactly once
+    assert 0 <= stats.lo and stats.hi < 8
+
+
+def test_ivf_twin_found_at_nprobe_1(spark, sf_dir):
+    # a positively-scaled copy normalizes to the SAME unit vector →
+    # identical cluster assignment → its cluster is the query's #1
+    # probe → must be found even at nprobe=1
+    corpus = _with_twins(spark, sf_dir)
+    queries = corpus.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 100000))
+    topk = IVF.ivf_topk(corpus, queries, dim=64, k=1, n_clusters=8,
+                        nprobe=1, iters=2)
+    rows = topk.collect()
+    assert rows, "IVF returned nothing"
+    for r in rows:
+        assert r.neighbor_id == r.query_id + 100000
+
+
+def test_fullprobe_matches_exact_bruteforce(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    ivf = IVF.ivf_topk(emb, queries, dim=64, k=3, n_clusters=8,
+                       nprobe=8, iters=2)
+    exact = S.brute_force_topk_vectorized(emb, queries, k=3)
+    a = sorted(map(tuple, ivf.collect()))
+    b = sorted(map(tuple, exact.collect()))
+    assert a == b, "nprobe == n_clusters must equal exact brute force"
+
+
+def test_partial_probe_candidates_subset(spark, sf_dir):
+    """nprobe < n_clusters returns a SUBSET of pairs scored identically:
+    every (query, neighbor, sim) it emits must appear in the full-probe
+    scored set with the same similarity (ranks may compress)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    part = IVF.ivf_topk(emb, queries, dim=64, k=3, n_clusters=8,
+                        nprobe=2, iters=2)
+    exact = S.brute_force_topk_vectorized(emb, queries, k=500)
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim
+                  for r in exact.collect()}
+    for r in part.collect():
+        key = (r.query_id, r.neighbor_id)
+        assert key in exact_sims
+        assert abs(exact_sims[key] - r.cosine_sim) < 1e-9
