@@ -110,6 +110,83 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     "__c.n_chunk_tokens"))
 
 
+def doc_ngrams(df: DataFrame, id_col: str, text_col: str,
+               n: int = 8, out_col: str = "ngram") -> DataFrame:
+    """Distinct token n-grams per document: (id, ngram), one row per
+    distinct gram. ``sequence`` of start positions → in-row ``slice`` →
+    ``array_distinct`` → ONE explode; documents shorter than ``n``
+    tokens contribute nothing. Narrow (no shuffle), all codegen."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.when(
+        F.size(toks) >= n,
+        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, n))))
+    return df.select(F.col(id_col), F.explode(grams).alias(out_col))
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_train_df: int | None = None,
+) -> DataFrame:
+    """Train→eval contamination pairs: (eval_id, train_id,
+    shared_ngrams) for every eval document sharing ≥1 token ``n``-gram
+    with a train document — the standard pretraining decontamination
+    sweep (eval benchmarks leaked into the corpus show up as long
+    verbatim n-gram overlaps).
+
+    Scale shape for 100 TB: grams are distinct-per-doc before the join,
+    so pair multiplicity is bounded by distinct shared grams; the only
+    shuffles are on the gram string (Spark hash-partitions the key —
+    equivalent to shuffling a gram hash, with no collision risk in the
+    result). Hot boilerplate grams — license headers, templates — are
+    the skew hazard: ``max_train_df`` drops grams appearing in more than
+    that many train documents via a count window that REUSES the same
+    gram-keyed exchange (no second shuffle, same trick as the LSH
+    oversized-bucket gate), which is also standard decontam practice
+    (a gram shared by thousands of train docs is boilerplate, not
+    leakage)."""
+    tg = doc_ngrams(train, id_col, text_col, n) \
+        .withColumnRenamed(id_col, "train_id")
+    eg = doc_ngrams(eval_df, id_col, text_col, n) \
+        .withColumnRenamed(id_col, "eval_id")
+    if max_train_df is not None:
+        from pyspark.sql import Window as W
+        tg = (tg.withColumn(
+            "__df", F.count(F.lit(1)).over(W.partitionBy("ngram")))
+            .filter(F.col("__df") <= max_train_df)
+            .drop("__df"))
+    # grams are distinct per doc on both sides → (eval, train, gram)
+    # rows are unique → count(*) IS the distinct shared-gram count
+    return (eg.join(tg, "ngram")
+            .groupBy("eval_id", "train_id")
+            .agg(F.count(F.lit(1)).alias("shared_ngrams")))
+
+
+def flag_contaminated(
+    eval_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Tag each eval row with ``contaminated`` and the count of distinct
+    train documents it overlaps — the decision surface a curation
+    pipeline filters or quarantines on. Left join against the pairs
+    aggregate (small — only contaminated evals), never the train side.
+    """
+    agg = (pairs.groupBy("eval_id")
+           .agg(F.countDistinct("train_id").alias("n_train_docs")))
+    return (eval_df.join(agg, eval_df[id_col] == agg["eval_id"], "left")
+            .drop("eval_id")
+            .withColumn("n_train_docs",
+                        F.coalesce("n_train_docs", F.lit(0)))
+            .withColumn("contaminated", F.col("n_train_docs") > 0))
+
+
 def quantize_embedding_int8(vec: Column | str) -> Column:
     """Symmetric per-vector int8 quantization: scale = 127/max|x|,
     code = floor(x·scale + 0.5) — floor-rounding (not banker's, not

@@ -1086,6 +1086,80 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_abs_err"))
 
 
+@query(
+    "decontam_eval_train_overlap",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 6)) AS i
+            FROM toks WHERE len(t) >= 7),
+    grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+6], ' ') AS g
+              FROM idx),
+    tg AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 10 <> 0),
+    tk AS (SELECT train_id, g FROM (
+             SELECT train_id, g, count(*) OVER (PARTITION BY g) AS df
+             FROM tg)
+           WHERE df <= 50),
+    eg AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 10 = 0)
+    SELECT eg.eval_id, tk.train_id, count(*)::BIGINT AS shared_ngrams
+    FROM eg JOIN tk USING (g)
+    GROUP BY eg.eval_id, tk.train_id
+    """,
+)
+def decontam_eval_train_overlap(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Curation: pretraining decontamination sweep — every (eval doc,
+    train doc) pair sharing a verbatim 7-token n-gram, with the shared
+    count. Grams are distinct-per-doc before the gram-keyed join; hot
+    boilerplate grams (> 50 train docs) are dropped by a count window
+    on the SAME exchange. The oracle recomputes the full pipeline, so
+    the hash check covers gram extraction, the df gate, and the pair
+    aggregation."""
+    from sync_cosmos_db_spark.operators.curation import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_contamination(train, ev, "doc_id", "text",
+                               n=7, max_train_df=50)
+
+
+@query(
+    "decontam_flagged_evals",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 6)) AS i
+            FROM toks WHERE len(t) >= 7),
+    grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+6], ' ') AS g
+              FROM idx),
+    tg AS (SELECT doc_id AS train_id, g FROM grams WHERE doc_id % 10 <> 0),
+    eg AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 10 = 0),
+    agg AS (SELECT eval_id, count(DISTINCT train_id) AS n_train_docs
+            FROM eg JOIN tg USING (g) GROUP BY eval_id)
+    SELECT d.doc_id, coalesce(a.n_train_docs, 0)::BIGINT AS n_train_docs,
+           coalesce(a.n_train_docs, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN agg a ON a.eval_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+)
+def decontam_flagged_evals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: the decision surface — every eval doc tagged with how
+    many train docs it overlaps (7-gram verbatim) and a contaminated
+    flag. Clean evals must appear with count 0 (the LEFT-join trap the
+    oracle guards)."""
+    from sync_cosmos_db_spark.operators.curation import (
+        flag_contaminated,
+        ngram_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs = ngram_contamination(train, ev, "doc_id", "text", n=7)
+    return flag_contaminated(ev.select("doc_id"), pairs, "doc_id")
+
+
 def _embedding_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ scaled copies (×1.01 — cosine exactly 1 with the
     original) of every vec_id % 13 == 0, ids +100000."""

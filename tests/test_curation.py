@@ -11,6 +11,9 @@ from pyspark.sql import functions as F
 from sync_cosmos_db_spark.operators.curation import (
     chunk_documents,
     dequantize_error,
+    doc_ngrams,
+    flag_contaminated,
+    ngram_contamination,
     quantize_embedding_int8,
     stratified_sample,
     train_eval_split,
@@ -97,3 +100,66 @@ def test_quantize_int8_bounds_and_error(spark, sf_dir):
         assert -127 <= r.lo and r.hi <= 127
         assert abs(r.hi) == 127 or abs(r.lo) == 127  # scale saturates
         assert r.err <= r.bound + 1e-12  # half-step reconstruction bound
+
+
+def _corpus(spark):
+    """4 train + 2 eval docs; eval 100 shares a verbatim 4-gram span
+    with train 1; eval 101 is clean; every doc carries the same
+    boilerplate 4-gram ("term a b c") to exercise the df gate."""
+    bp = "term a b c"
+    return spark.createDataFrame(
+        [(1, f"{bp} the quick brown fox jumps over the lazy dog"),
+         (2, f"{bp} totally unrelated training text body here now"),
+         (3, f"{bp} another unrelated training document sits here"),
+         (4, f"{bp} more unrelated training words to pad things"),
+         (100, f"{bp} contains the quick brown fox jumps verbatim"),
+         (101, f"{bp} pristine evaluation text with zero overlap")],
+        "doc_id long, text string")
+
+
+def test_doc_ngrams_short_doc_and_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y x y x y")], "doc_id long, text string")
+    grams = doc_ngrams(df, "doc_id", "text", n=4).collect()
+    by_doc = {}
+    for r in grams:
+        by_doc.setdefault(r.doc_id, []).append(r.ngram)
+    assert 1 not in by_doc          # 3 tokens < n=4 → nothing
+    # "x y x y x y" has 3 windows but only 2 DISTINCT 4-grams
+    assert sorted(by_doc[2]) == ["x y x y", "y x y x"]
+
+
+def test_contamination_finds_planted_pair_only(spark):
+    docs = _corpus(spark)
+    train = docs.filter(F.col("doc_id") < 100)
+    ev = docs.filter(F.col("doc_id") >= 100)
+    # df gate at 1: the boilerplate gram (in all 4 train docs) is
+    # dropped, so only the planted span links 100 → 1
+    pairs = ngram_contamination(train, ev, "doc_id", "text",
+                                n=4, max_train_df=1).collect()
+    assert {(r.eval_id, r.train_id) for r in pairs} == {(100, 1)}
+    # the planted span "the quick brown fox jumps" yields two 4-grams
+    assert pairs[0].shared_ngrams == 2
+
+
+def test_contamination_without_gate_links_boilerplate(spark):
+    docs = _corpus(spark)
+    train = docs.filter(F.col("doc_id") < 100)
+    ev = docs.filter(F.col("doc_id") >= 100)
+    pairs = ngram_contamination(train, ev, "doc_id", "text", n=4)
+    got = {(r.eval_id, r.train_id) for r in pairs.collect()}
+    # ungated, the shared boilerplate gram links every eval to every train
+    assert got == {(e, t) for e in (100, 101) for t in (1, 2, 3, 4)}
+
+
+def test_flag_contaminated_counts_and_clean_zero(spark):
+    docs = _corpus(spark)
+    train = docs.filter(F.col("doc_id") < 100)
+    ev = docs.filter(F.col("doc_id") >= 100)
+    pairs = ngram_contamination(train, ev, "doc_id", "text",
+                                n=4, max_train_df=1)
+    flags = {r.doc_id: (r.n_train_docs, r.contaminated)
+             for r in flag_contaminated(
+                 ev.select("doc_id"), pairs, "doc_id").collect()}
+    assert flags[100] == (1, True)
+    assert flags[101] == (0, False)
