@@ -110,6 +110,147 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
                     "__c.n_chunk_tokens"))
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    targets: dict[str, float],
+    salt: str = "mixture",
+    granularity: int = 10000,
+) -> DataFrame:
+    """Resample to a target domain mixture with MAXIMUM data retention:
+    the achievable total is S = min_d(count_d / target_d) — the domain
+    that binds is kept whole and every other domain is downsampled to
+    its target share of S. Domains absent from ``targets`` are dropped.
+
+    Keep decisions are the same deterministic sha2 hash-bucket filter as
+    :func:`train_eval_split` (granularity buckets), so re-runs keep
+    identical rows and a SQL oracle can recompute the exact kept set —
+    including the per-domain thresholds, which derive from counts by
+    the same float formula on both engines.
+
+    Driver state is one count per domain (bounded by the domain
+    vocabulary, never by rows); the filter itself is narrow."""
+    import math
+
+    counts = {r[0]: r[1] for r in
+              df.groupBy(domain_col).count().collect()}
+    live = {d: w for d, w in targets.items()
+            if w > 0 and counts.get(d, 0) > 0}
+    if not live:
+        raise ValueError("mixture_sample: no target domain has rows")
+    S = min(counts[d] / w for d, w in live.items())
+    thresh = F.lit(-1)  # domains outside targets: keep nothing
+    for d, w in sorted(live.items()):
+        keep = math.floor(w * S / counts[d] * granularity)
+        thresh = F.when(F.col(domain_col) == d, F.lit(keep)) \
+            .otherwise(thresh)
+    b = hash_bucket(id_col, granularity, salt)
+    return df.filter(b < thresh)
+
+
+def global_token_offsets(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exclusive prefix sum of ``n_tokens_col`` in global ``id_col``
+    order, WITHOUT a single-partition window — the distributed scan
+    every packing/concatenation pass needs.
+
+    Two phases: (1) order-respecting range buckets from approximate
+    id quantiles (driver holds n_buckets-1 boundaries, nothing else);
+    (2) within-bucket window cumsum + a broadcast map of per-bucket
+    totals' prefix. At 100 TB the only shuffle is the per-bucket
+    window; the driver-side state is O(n_buckets).
+
+    Returns the input columns plus ``__offset`` (tokens before this doc
+    in id order).
+    """
+    bounds = df.approxQuantile(
+        id_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
+    bucket = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        bucket = F.when(F.col(id_col) > b, F.lit(i + 1)).otherwise(bucket)
+    tagged = df.withColumn("__bucket", bucket)
+    totals = {r["__bucket"]: r["__t"] for r in
+              tagged.groupBy("__bucket")
+              .agg(F.sum(n_tokens_col).alias("__t")).collect()}
+    prefix, acc = {}, 0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    pref_expr = F.lit(0)
+    for b, off in sorted(prefix.items()):
+        pref_expr = F.when(F.col("__bucket") == b, F.lit(off)) \
+            .otherwise(pref_expr)
+    from pyspark.sql import Window as W
+    w = (W.partitionBy("__bucket").orderBy(id_col)
+         .rowsBetween(W.unboundedPreceding, -1))
+    return (tagged.withColumn(
+        "__offset",
+        (pref_expr + F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0)))
+        .cast("long"))
+        .drop("__bucket"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seq_len: int = 64,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are concatenated in
+    deterministic ``id_col`` order and sliced into fixed ``seq_len``
+    token training sequences; a document straddling a boundary is split
+    across consecutive sequences (zero padding waste — the standard
+    pretraining packing layout).
+
+    Output: one row per (sequence, document) span —
+    (seq_id, id, start_tok, n_toks, piece) where ``start_tok`` is
+    0-based within the document and ``piece`` is the contributed text.
+    Downstream, ``groupBy(seq_id).agg(concat_ws(collect_list))`` under
+    ``sort_array`` rebuilds the exact token stream.
+
+    Scale: the global offset comes from :func:`global_token_offsets`
+    (two-phase scan, no single-partition window); the span explode
+    fans out ≤ ceil(n/seq_len)+1 rows per doc. Nothing else shuffles.
+    """
+    toks = F.split(F.col(text_col), " ")
+    with_n = df.withColumn("__n", F.size(toks).cast("long"))
+    offs = global_token_offsets(with_n, id_col, "__n", n_buckets)
+    # doc occupies global tokens [__offset, __offset + __n); it appears
+    # in sequences floor(__offset/L) .. floor((__offset + __n - 1)/L)
+    first = (F.col("__offset") / seq_len).cast("long")
+    last = ((F.col("__offset") + F.col("__n") - 1) / seq_len).cast("long")
+    spans = F.transform(
+        F.sequence(first, last),
+        lambda s: F.struct(
+            s.alias("seq_id"),
+            # intersection of [off, off+n) with [s*L, (s+1)*L)
+            (F.greatest(s * seq_len, F.col("__offset")) - F.col("__offset"))
+            .cast("long").alias("start_tok"),
+            (F.least((s + 1) * seq_len, F.col("__offset") + F.col("__n"))
+             - F.greatest(s * seq_len, F.col("__offset")))
+            .cast("long").alias("n_toks"),
+        ))
+    toks_col = F.split(F.col(text_col), " ")
+    return (offs.select(F.col(id_col), toks_col.alias("__toks"),
+                        F.explode(spans).alias("__s"))
+            .select(
+                F.col("__s.seq_id").alias("seq_id"),
+                F.col(id_col),
+                F.col("__s.start_tok").alias("start_tok"),
+                F.col("__s.n_toks").alias("n_toks"),
+                F.concat_ws(" ", F.slice(
+                    "__toks",
+                    (F.col("__s.start_tok") + 1).cast("int"),
+                    F.col("__s.n_toks").cast("int"))).alias("piece"))
+            .filter(F.col("n_toks") > 0))
+
+
 def doc_ngrams(df: DataFrame, id_col: str, text_col: str,
                n: int = 8, out_col: str = "ngram") -> DataFrame:
     """Distinct token n-grams per document: (id, ngram), one row per

@@ -1087,6 +1087,76 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "mixture_by_lang",
+    """
+    WITH counts AS (SELECT lang, count(*)::DOUBLE AS c
+                    FROM documents GROUP BY lang),
+    tgt AS (SELECT * FROM (VALUES ('en', 0.5), ('zh', 0.3), ('de', 0.2))
+            AS t(lang, w)),
+    s AS (SELECT min(c / w) AS s FROM counts JOIN tgt USING (lang)),
+    th AS (SELECT tgt.lang,
+                  floor(tgt.w * s.s / counts.c * 10000)::BIGINT AS keep
+           FROM tgt JOIN counts USING (lang) CROSS JOIN s)
+    SELECT d.doc_id, d.lang FROM documents d
+    JOIN th ON th.lang = d.lang
+    WHERE translate(substr(sha256(d.doc_id::VARCHAR || ':mixture'), 1, 6),
+                    'abcdef', '012345')::BIGINT % 10000 < th.keep
+    """,
+)
+def mixture_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: resample to a 50/30/20 en/zh/de mixture with maximum
+    retention — the binding language is kept whole, the rest are
+    hash-downsampled to their share; unlisted languages drop. The
+    oracle re-derives counts, the achievable total, every per-domain
+    threshold, and the exact kept row set."""
+    from sync_cosmos_db_spark.operators.curation import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "doc_id", "lang",
+                          {"en": 0.5, "zh": 0.3, "de": 0.2}) \
+        .select("doc_id", "lang")
+
+
+@query(
+    "pack_sequences_64",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    o AS (SELECT doc_id, w, len(w)::BIGINT AS n,
+                 coalesce(sum(len(w)) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0)::BIGINT AS off
+          FROM t),
+    s AS (SELECT doc_id, w, n, off,
+                 unnest(generate_series(off // 64, (off + n - 1) // 64))
+                   AS seq_id
+          FROM o WHERE n > 0)
+    SELECT seq_id, doc_id,
+           (greatest(seq_id * 64, off) - off)::BIGINT AS start_tok,
+           (least((seq_id + 1) * 64, off + n)
+            - greatest(seq_id * 64, off))::BIGINT AS n_toks,
+           array_to_string(
+             w[(greatest(seq_id * 64, off) - off + 1)
+               :(least((seq_id + 1) * 64, off + n) - off)], ' ') AS piece
+    FROM s
+    """,
+)
+def pack_sequences_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation: concat-and-chunk packing into 64-token training
+    sequences — documents concatenated in doc_id order, boundary docs
+    split across consecutive sequences, zero padding waste. The Spark
+    side computes the global offset with a TWO-PHASE distributed scan
+    (range buckets from approx quantiles + per-bucket window + bucket
+    prefix broadcast — never a single-partition window); the oracle
+    recomputes the same layout with DuckDB's plain global window, so
+    the hash check proves the distributed scan equals the naive scan
+    on every span and every piece of text."""
+    from sync_cosmos_db_spark.operators.curation import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", seq_len=64)
+
+
+@query(
     "decontam_eval_train_overlap",
     """
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -163,3 +163,78 @@ def test_flag_contaminated_counts_and_clean_zero(spark):
                  ev.select("doc_id"), pairs, "doc_id").collect()}
     assert flags[100] == (1, True)
     assert flags[101] == (0, False)
+
+
+def test_pack_sequences_reconstruction(spark):
+    from sync_cosmos_db_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"d{i}t{j}" for j in range(5 + (i * 7) % 11)))
+         for i in range(1, 40)],
+        "doc_id long, text string")
+    out = sorted(pack_sequences(docs, "doc_id", "text", seq_len=16,
+                                n_buckets=4).collect(),
+                 key=lambda r: (r.seq_id, r.doc_id, r.start_tok))
+    # 1) global stream reconstruction: pieces in (seq, doc, start) order
+    #    concatenate to exactly the id-ordered token stream
+    stream = " ".join(r.piece for r in out).split()
+    expect = [t for _, text in
+              sorted((r.doc_id, r.text) for r in docs.collect())
+              for t in text.split()]
+    assert stream == expect
+    # 2) every sequence except the last is exactly seq_len tokens
+    per_seq = {}
+    for r in out:
+        per_seq[r.seq_id] = per_seq.get(r.seq_id, 0) + r.n_toks
+    last = max(per_seq)
+    for sid, n in per_seq.items():
+        assert n == 16 or sid == last
+    # 3) piece text matches the doc's own token sub-range
+    texts = {r.doc_id: r.text.split() for r in docs.collect()}
+    for r in out:
+        assert r.piece.split() == \
+            texts[r.doc_id][r.start_tok:r.start_tok + r.n_toks]
+
+
+def test_global_token_offsets_match_naive(spark):
+    from sync_cosmos_db_spark.operators.curation import (
+        global_token_offsets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 13) % 7 + 1) for i in range(200)],
+        "doc_id long, n long")
+    got = {r["doc_id"]: r["__offset"]
+           for r in global_token_offsets(df, "doc_id", "n",
+                                         n_buckets=8).collect()}
+    acc = 0
+    for i in range(200):
+        assert got[i] == acc
+        acc += (i * 13) % 7 + 1
+
+
+def test_mixture_sample_retention_and_determinism(spark, sf_dir):
+    from sync_cosmos_db_spark.operators.curation import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"en": 0.5, "zh": 0.3, "de": 0.2}
+    kept = mixture_sample(docs, "doc_id", "lang", targets)
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in
+         mixture_sample(docs, "doc_id", "lang", targets).collect()}
+    assert a == b  # rerun-identical
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert set(counts) <= set(targets)  # unlisted domains dropped
+    # the binding domain is kept (nearly) whole: its keep threshold is
+    # granularity or one ulp under
+    S = min(totals[d] / w for d, w in targets.items())
+    binding = min(targets, key=lambda d: totals[d] / targets[d])
+    assert counts[binding] >= 0.95 * totals[binding]
+    assert S <= totals[binding] / targets[binding] + 1e-9
+    with pytest.raises(ValueError, match="no target domain"):
+        mixture_sample(docs, "doc_id", "lang", {"xx": 1.0})
