@@ -151,3 +151,68 @@ def winnowing_fingerprints(col: Column | str, k: int = 3,
         F.size(grams) < window, F.array().cast("array<string>")
     ).otherwise(F.array_distinct(
         F.transform(starts, lambda i: F.array_min(F.slice(grams, i, window)))))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repeatable quality rules (public Rae et al. 2021 heuristics)
+# ---------------------------------------------------------------------------
+
+def word_alpha_ratio(col: Column | str) -> Column:
+    """Fraction of TOKENS containing at least one ASCII letter (Gopher's
+    80%-alphabetic-words rule operates on words, not characters)."""
+    t = tokens(col)
+    return F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]"))) / F.size(t)
+
+
+def symbol_to_word_ratio(col: Column | str) -> Column:
+    """(# of '#' chars + # of '...' runs) / word count — the Gopher
+    symbol-spam signal. Counted by length deltas so any SQL engine
+    reproduces it exactly."""
+    c = F.col(col) if isinstance(col, str) else col
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    dots = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / 3
+    return (hashes + dots) / token_count(c)
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """# of distinct stopwords of ``lang`` present in the document."""
+    t = F.array_distinct(tokens(col))
+    return F.size(F.array_intersect(
+        t, F.array(*[F.lit(w) for w in STOPWORDS[lang]]))).cast("long")
+
+
+def gopher_rules(
+    col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_word_alpha_ratio: float = 0.80,
+    min_stopword_hits: int = 2,
+) -> dict[str, Column]:
+    """The Gopher repeatable-quality rule set as named boolean Columns —
+    each True means the document PASSES that rule. One codegen'd
+    projection per rule; a 100 TB curation pass computes all of them in
+    a single scan and filters on the conjunction (or keeps the flags
+    for audit — the usual practice, since rule tuning wants the
+    marginals)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = token_count(c)
+    return {
+        "ok_word_count": (n >= min_words) & (n <= max_words),
+        "ok_mean_word_len": (mean_token_len(c) >= min_mean_word_len)
+        & (mean_token_len(c) <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_to_word_ratio(c) <= max_symbol_ratio,
+        "ok_word_alpha": word_alpha_ratio(c) >= min_word_alpha_ratio,
+        "ok_stopwords": stopword_hits(c) >= min_stopword_hits,
+    }
+
+
+def gopher_filter(col: Column | str, **kwargs) -> Column:
+    """Conjunction of every Gopher rule — the keep/drop decision."""
+    rules = gopher_rules(col, **kwargs)
+    out = F.lit(True)
+    for name in sorted(rules):
+        out = out & rules[name]
+    return out

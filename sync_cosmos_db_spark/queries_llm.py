@@ -1087,6 +1087,52 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gopher_quality_flags",
+    """
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             n, (length(text) - (n - 1)) / n AS mwl,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3.0)
+             / n AS sym,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+             / n AS alpha,
+             len(list_intersect(list_distinct(w),
+                 ['the','a','of','and','to','in','is','it','that','for']))
+               AS sw
+      FROM t)
+    SELECT doc_id,
+           n >= 50 AND n <= 100000 AS ok_word_count,
+           mwl >= 3.0 AND mwl <= 10.0 AS ok_mean_word_len,
+           sym <= 0.1 AS ok_symbol_ratio,
+           alpha >= 0.80 AS ok_word_alpha,
+           sw >= 2 AS ok_stopwords,
+           (n >= 50 AND n <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0)
+             AND sym <= 0.1 AND alpha >= 0.80 AND sw >= 2 AS keep
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 curation: the Gopher repeatable-quality rule set (word-count
+    bounds, mean word length, symbol-to-word ratio, alphabetic-word
+    ratio, stopword presence) as per-doc audit flags plus the keep
+    conjunction — all five rules in ONE codegen'd scan, the shape a
+    100 TB quality pass wants. Every rule marginal is hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = X.gopher_rules("text")
+    return docs.select(
+        "doc_id",
+        *[rules[k].alias(k) for k in
+          ("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+           "ok_word_alpha", "ok_stopwords")],
+        X.gopher_filter("text").alias("keep"))
+
+
+@query(
     "mixture_by_lang",
     """
     WITH counts AS (SELECT lang, count(*)::DOUBLE AS c

@@ -84,3 +84,27 @@ def test_content_hash_ignores_column_order(spark, docs):
     h1 = df.select(content_hash(["payload", "email"]).alias("h"))
     h2 = df.select(content_hash(["email", "payload"]).alias("h"))
     assert [r.h for r in h1.collect()] == [r.h for r in h2.collect()]
+
+
+def test_gopher_rules_individual_failures(spark):
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.operators import text as X
+
+    good = "the quick brown fox likes to run and jump over it " * 10
+    docs = spark.createDataFrame(
+        [(1, good.strip()),                           # passes all
+         (2, "the of and to in"),                     # too short
+         (3, ("the " + "# " * 60 + "of and is it " * 20).strip()),  # symbols
+         (4, ("the of " + "99 00 11 " * 40).strip()),  # non-alpha words
+         (5, ("zz yy xx ww vv uu tt ss " * 15).strip())],  # no stopwords
+        "doc_id long, text string")
+    rules = X.gopher_rules("text")
+    rows = {r.doc_id: r for r in docs.select(
+        "doc_id", *[c.alias(n) for n, c in rules.items()],
+        X.gopher_filter("text").alias("keep")).collect()}
+    assert rows[1].keep
+    assert not rows[2].ok_word_count and not rows[2].keep
+    assert not rows[3].ok_symbol_ratio and not rows[3].keep
+    assert not rows[4].ok_word_alpha and not rows[4].keep
+    assert not rows[5].ok_stopwords and not rows[5].keep
