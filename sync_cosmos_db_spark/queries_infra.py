@@ -199,3 +199,33 @@ def migration_metrics_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.getField("skipped").cast("long").alias("skipped"),
         doc.getField("errors").cast("long").alias("errors"),
     )
+
+
+@query(
+    "jsonl_roundtrip_documents",
+    """
+    SELECT doc_id, lang, source, length(text)::BIGINT AS text_len,
+           sha256(text) AS text_sha
+    FROM documents
+    """,
+)
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL source/sink roundtrip (sources/jsonl.py): documents written
+    as lang-partitioned gzip JSONL, read back with an EXPLICIT schema
+    (no inference pass), every row content-hash-compared against the
+    parquet original by the oracle. Covers the writer layout, partition
+    column recovery, and the reader's schema path end to end."""
+    from sync_cosmos_db_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = os.path.join(tempfile.mkdtemp(prefix="jsonl_rt_"), "docs")
+    write_jsonl(docs.select("doc_id", "source", "text", "lang"), d,
+                partition_by=["lang"])
+    back = read_jsonl(spark, d,
+                      schema="doc_id bigint, source string, text string, "
+                             "lang string",
+                      keep_corrupt=False)
+    return back.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("long").alias("text_len"),
+        F.sha2(F.col("text"), 256).alias("text_sha"))

@@ -633,6 +633,34 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fround("sum_value", 2).alias("sum_value")))
 
 
+@query(
+    "stream_dedup_events",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7/X1: streaming exact dedup — the events stream UNIONED WITH
+    ITSELF (every row arrives twice) flows through
+    ``dropDuplicatesWithinWatermark`` keyed on event_id; the output must
+    be exactly the original table, which the oracle reads directly.
+    Duplicate copies are identical rows, so the emitted set is
+    deterministic regardless of which copy wins the state race."""
+    import os
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="events_dedup_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    src = SW.read_events_stream(spark, d)
+    doubled = src.unionByName(src)
+    deduped = SW.dedup_stream(doubled).select(
+        "event_id", "user_id", "event_type", "value")
+    return SW.run_stream_to_memory(
+        spark, deduped, f"dedup_mem_{uuid.uuid4().hex[:8]}", mode="append")
+
+
 # ---------------------------------------------------------------------------
 # X8 — sketches (approximate → rows-only) + exact percentile twin
 # ---------------------------------------------------------------------------

@@ -125,6 +125,21 @@ def session_counts_stream(events: DataFrame, gap: str = "5 minutes",
     )
 
 
+def dedup_stream(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = DEFAULT_WATERMARK,
+                 ts_col: str = "ts") -> DataFrame:
+    """Streaming exact deduplication with state BOUNDED by the
+    watermark: ``dropDuplicatesWithinWatermark`` keeps one row per key
+    and evicts key state once the watermark passes, so state size is
+    O(keys per watermark horizon) instead of O(all keys ever) — the
+    property plain ``dropDuplicates`` loses on an unbounded stream.
+    This is the streaming twin of the batch exact-dedup operator (X1):
+    an ingestion pipeline dedupes in-flight with this, then the batch
+    pass handles horizon-crossing duplicates."""
+    return (events.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys or ["event_id"]))
+
+
 def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
                          table_name: str, mode: str = "complete"):
     """Execute a streaming query with the availableNow trigger into a

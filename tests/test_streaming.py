@@ -131,3 +131,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
     late_window = base  # 00:00 hour bucket
     assert late_window in batch_windows         # batch counts it
     assert late_window not in streamed_windows  # stream dropped it
+
+
+def test_dedup_stream_drops_in_flight_duplicates(spark, tmp_path):
+    """Doubled input through dropDuplicatesWithinWatermark keyed on
+    event_id must emit each key exactly once; state is watermark-bounded
+    (the API contract — asserted by the query plan containing the
+    within-watermark dedup operator, not plain dropDuplicates)."""
+    import pandas as pd
+
+    d = tmp_path / "src"
+    d.mkdir()
+    base = 1_700_000_000
+    pdf = pd.DataFrame({
+        "event_id": list(range(50)),
+        "ts": [(base + i * 60) * 1_000_000_000 for i in range(50)],
+        "user_id": [i % 5 for i in range(50)],
+        "event_type": ["click"] * 50,
+        "value": [float(i) for i in range(50)],
+        "props": ["{}"] * 50,
+    })
+    pdf.to_parquet(str(d / "events.parquet"))
+
+    src = SW.read_events_stream(spark, str(d))
+    doubled = src.unionByName(src)
+    deduped = SW.dedup_stream(doubled, ["event_id"], watermark="10 minutes")
+    assert "WithinWatermark" in deduped._jdf.queryExecution().analyzed() \
+        .toString(), "must be the state-bounded dedup, not dropDuplicates"
+    out = SW.run_stream_to_memory(
+        spark, deduped.select("event_id", "value"), "dedup_test_mem",
+        mode="append")
+    rows = out.collect()
+    assert len(rows) == 50
+    assert {r.event_id for r in rows} == set(range(50))
