@@ -306,17 +306,19 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1) and ROTATES each round (round-2 verdict item 3) so green evidence
 # never goes stale: this round's window = every oracle query WITHOUT a
 # green row in CORRECTNESS_r02 (15 demoted-in-r2 relational queries + 7
-# registered-but-never-swept ones), plus every NEW query added this
-# round, plus repeat representatives of families whose code changed
-# this round (dedup/similarity/multimodal) and of the migration kernel.
+# registered-but-never-swept ones), plus the NEW round-3 queries
+# (infra operators, containment oracles, curation, decontamination,
+# packing, mixture, IVF, Gopher rules, streaming dedup, JSONL), plus
+# repeat representatives of families whose code changed this round.
 # Union property: every registered oracle query has a green row in
 # r2 ∪ r3.  Nothing is dropped — out-of-window queries stay registered
 # and pytest-covered (tests/test_oracle.py sweeps ALL oracles locally).
+# The 14 TPC-H part-2 queries (queries_tpch2.py, added late r3) queue
+# for the r4 window.
 SWEEP_PRIORITY: list[str] = [
     # --- migration kernel + new infra-operator queries (O9 O10 O13 O14
     #     O22 O24 got their first oracle-checked queries this round)
     "migrate_classify_counts",
-    "migrate_actions_detail",
     "verify_counts",
     "migrate_classify_json_docs",
     "strip_system_fields_nested",
@@ -332,8 +334,6 @@ SWEEP_PRIORITY: list[str] = [
     "sanitize_customer_pii",
     "sanitize_nested_profile",         # stale
     # --- A1/A2 TPC-H shapes
-    "q1_pricing_summary",
-    "q3_shipping_priority",
     "q4_priority_with_returns",        # stale
     "q5_region_revenue",               # stale
     "q6_forecast_revenue",             # stale
@@ -349,19 +349,14 @@ SWEEP_PRIORITY: list[str] = [
     "setop_intersect_custkeys",        # stale
     "setop_union_nations",             # stale
     # --- A2 aggregation forms
-    "agg_salted_revenue_by_flag",
     "agg_cube_status_priority",        # stale
     # --- A6 scalar forms
     "scalar_date_trunc_monthly",       # stale
     # --- X1/X2 dedup (spread()/unpersist changed this round → re-sweep)
     "dedup_exact_content",
-    "dedup_jaccard_pairs",
     "dedup_lsh_containment",
-    "dedup_components",
-    "dedup_embedding_cosine",
     "dedup_embedding_lsh_containment",  # NEW: closes the r2 red row
     # --- X3/X4 similarity (cap-check changed this round → re-sweep)
-    "sim_topk_bruteforce",
     "sim_topk_vectorized",
     # --- X6 text analysis (never-swept entries)
     "text_quality_score",              # never swept
@@ -380,6 +375,20 @@ SWEEP_PRIORITY: list[str] = [
     "stratified_sample_by_lang",
     "chunk_documents_overlap",
     "embedding_quantize_int8",
+    # --- NEW round-3 session-2 operators: decontamination, packing,
+    #     mixture, IVF ANN, Gopher rules, streaming dedup, JSONL
+    #     (displaced 8 repeat-green r2 entries whose changed code paths
+    #     remain represented: dedup containments cover spread()/LSH,
+    #     sim_topk_vectorized covers the cap change, the kept migration
+    #     trio covers the kernel — union r2 ∪ r3 still holds)
+    "decontam_eval_train_overlap",
+    "decontam_flagged_evals",
+    "pack_sequences_64",
+    "mixture_by_lang",
+    "sim_topk_ivf_fullprobe",
+    "gopher_quality_flags",
+    "stream_dedup_events",
+    "jsonl_roundtrip_documents",
 ]
 
 
