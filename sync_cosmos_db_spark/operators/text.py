@@ -216,3 +216,143 @@ def gopher_filter(col: Column | str, **kwargs) -> Column:
     for name in sorted(rules):
         out = out & rules[name]
     return out
+
+
+# ---------------------------------------------------------------------------
+# Gopher REPETITION rules (the other half of the Gopher filter: the
+# repeatable-quality rules above catch low-quality prose; these catch
+# machine-generated / boilerplate repetition).  Reference has no text
+# analysis at all (SURVEY.md §2.3); rule set and thresholds follow the
+# public Gopher paper (Rae et al. 2021, table A1).
+# ---------------------------------------------------------------------------
+
+#: (threshold, direction) per profile column — a doc KEEPS only if every
+#: fraction is <= its bound.  Values are the published Gopher bounds.
+REPETITION_BOUNDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup10_char_frac": 0.10,
+}
+
+
+def _fround(c: Column, n: int) -> Column:
+    """floor(x*10^n + 0.5)/10^n — the cross-engine-stable rounding used
+    by every oracle query (Spark's round() HALF_UPs BigDecimal ties
+    differently from DuckDB). Local twin of queries.fround (importing it
+    here would be circular)."""
+    p = 10 ** n
+    return F.floor(c * p + F.lit(0.5)) / p
+
+
+def _grams(w: Column, n: int) -> Column:
+    """Word n-grams of a token array (ALL occurrences, not distinct —
+    repetition counting needs multiplicity). sequence→slice→concat_ws,
+    all in-row codegen; sub-n docs get [] (sequence(1, x<1) would
+    DESCEND in Spark)."""
+    starts = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+
+def repetition_profile(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    round_digits: int = 6,
+):
+    """Per-document Gopher repetition profile.
+
+    Columns produced (all fractions rounded to ``round_digits`` with the
+    cross-engine-stable _fround, and the keep flag computed FROM the
+    rounded values so the oracle can't disagree at a threshold boundary):
+
+    - ``dup_line_frac`` / ``dup_para_frac``: occurrences-beyond-first of
+      identical lines (split on \\n, empties dropped) / paragraphs
+      (split on \\n\\n), over total occurrences.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: same, weighted by
+      unit character length.
+    - ``top{n}_char_frac`` (n in top_ns): chars covered by ALL
+      occurrences of the single most frequent word n-gram / doc chars.
+      Tie-break: max (count, gram_len, gram) — deterministic in both
+      engines (binary string order; corpus is ASCII).
+    - ``dup{n}_char_frac`` (n in dup_ns): chars in occurrences-beyond-
+      first of repeated word n-grams / doc chars. Overlapping repeats
+      double-count (deterministic simplification of the paper's
+      each-char-once rule, which needs interval union per doc).
+    - ``keep``: conjunction of every bound in REPETITION_BOUNDS.
+
+    Scale shape: ONE explode of per-doc tagged units (lines, paragraphs,
+    each n) → ONE (doc, kind, unit) count keyed by the document → ONE
+    conditional per-doc aggregate. Both aggregations are map-side
+    combinable and shuffle only (id, kind, unit-hash)-sized rows; no
+    UDFs, no driver state — a per-doc pass that survives 100 TB.
+    """
+    c = F.col(text_col)
+    w = F.split(c, r"\s+")
+
+    def tag(kind: str, arr: Column) -> Column:
+        return F.transform(arr, lambda x: F.struct(
+            F.lit(kind).alias("kind"), x.alias("u")))
+
+    lines = F.filter(F.split(c, r"\n"), lambda x: x != F.lit(""))
+    paras = F.filter(F.split(c, r"\n\n"), lambda x: x != F.lit(""))
+    units = F.concat(
+        tag("line", lines), tag("para", paras),
+        *[tag(f"top{n}", _grams(w, n)) for n in top_ns],
+        *[tag(f"dup{n}", _grams(w, n)) for n in dup_ns])
+
+    exploded = df.select(
+        F.col(id_col), F.length(c).alias("__tlen"),
+        F.explode(units).alias("t"))
+    counts = (exploded
+              .groupBy(id_col, "t.kind", "t.u")
+              .agg(F.count("*").alias("c"), F.first("__tlen").alias("tlen"))
+              .withColumn("L", F.length("u")))
+
+    k = F.col("kind")
+    cc, L = F.col("c"), F.col("L")
+    aggs = [F.first("tlen").alias("tlen")]
+    for fam in ("line", "para"):
+        aggs += [
+            F.sum(F.when(k == fam, cc - 1)).alias(f"{fam}_dup"),
+            F.sum(F.when(k == fam, cc)).alias(f"{fam}_tot"),
+            F.sum(F.when(k == fam, (cc - 1) * L)).alias(f"{fam}_dup_ch"),
+            F.sum(F.when(k == fam, cc * L)).alias(f"{fam}_tot_ch"),
+        ]
+    for n in top_ns:
+        aggs.append(F.max(F.when(k == f"top{n}", F.struct(cc, L, F.col("u"))))
+                    .alias(f"top{n}"))
+    for n in dup_ns:
+        aggs.append(F.sum(F.when(k == f"dup{n}", (cc - 1) * L))
+                    .alias(f"dup{n}_ch"))
+    prof = counts.groupBy(id_col).agg(*aggs)
+
+    r = round_digits
+    fracs = {
+        "dup_line_frac": F.col("line_dup") / F.col("line_tot"),
+        "dup_para_frac": F.col("para_dup") / F.col("para_tot"),
+        "dup_line_char_frac": F.col("line_dup_ch") / F.col("line_tot_ch"),
+        "dup_para_char_frac": F.col("para_dup_ch") / F.col("para_tot_ch"),
+    }
+    for n in top_ns:
+        t = F.col(f"top{n}")
+        fracs[f"top{n}_char_frac"] = (t["c"] * t["L"]) / F.col("tlen")
+    for n in dup_ns:
+        fracs[f"dup{n}_char_frac"] = F.col(f"dup{n}_ch") / F.col("tlen")
+
+    cols = [F.coalesce(_fround(expr, r), F.lit(0.0)).alias(name)
+            for name, expr in fracs.items()]
+    out = prof.select(F.col(id_col), *cols)
+    keep = F.lit(True)
+    for name, bound in REPETITION_BOUNDS.items():
+        if name in fracs:
+            keep = keep & (F.col(name) <= F.lit(bound))
+    return out.withColumn("keep", keep)

@@ -1380,3 +1380,151 @@ def dedup_embedding_lsh_containment(spark: SparkSession,
         F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
         .alias("n_exact_pairs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X14b — Gopher REPETITION rules (line/paragraph/n-gram repetition; the
+# other half of the Gopher filter, complementing gopher_quality_flags)
+# ---------------------------------------------------------------------------
+
+def _corpus_with_line_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw corpus has no newlines, so the line/paragraph rules would
+    be vacuously zero on it. Reconstitute deterministic structure
+    IN-QUERY (mirrored in the oracle CTE): 8-token lines, 2-line
+    paragraphs joined by blank lines — and for every doc_id % 3 == 0 the
+    first line is appended again at the end, planting a genuine
+    duplicate line for the rules to catch."""
+    docs = load_table(spark, sf_dir, "documents")
+    d1 = docs.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    d2 = d1.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.ceil(F.size("w") / F.lit(8.0)).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i * 8 + 1, 8)))
+        .alias("lines"))
+    d3 = d2.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("lines"), F.slice(F.col("lines"), 1, 1)))
+        .otherwise(F.col("lines")).alias("lines"))
+    return d3.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0),
+                           F.ceil(F.size("lines") / F.lit(2.0)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(F.col("lines"), i * 2 + 1, 2),
+                                       "\n")),
+            "\n\n").alias("text"))
+
+
+_LINE_CORPUS_CTE = """
+WITH b AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+l AS (SELECT doc_id,
+        list_transform(generate_series(0, CAST(ceil(len(w)/8.0) AS INT) - 1),
+          i -> array_to_string(list_slice(w, i*8+1, i*8+8), ' ')) AS lines
+      FROM b),
+l2 AS (SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN list_append(lines, lines[1])
+             ELSE lines END AS lines FROM l),
+corpus AS (SELECT doc_id,
+        array_to_string(
+          list_transform(
+            generate_series(0, CAST(ceil(len(lines)/2.0) AS INT) - 1),
+            i -> array_to_string(list_slice(lines, i*2+1, i*2+2), chr(10))),
+          chr(10) || chr(10)) AS text
+      FROM l2)
+"""
+
+
+@query(
+    "gopher_repetition_flags",
+    _LINE_CORPUS_CTE + """
+    , base AS (SELECT doc_id, text, length(text) AS tlen,
+               string_split_regex(text, '\\s+') AS w,
+               list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+               list_filter(string_split(text, chr(10) || chr(10)),
+                           x -> x <> '') AS ps
+             FROM corpus),
+    lc AS (SELECT doc_id, u, count(*) AS c, length(u) AS L
+           FROM (SELECT doc_id, unnest(ls) AS u FROM base)
+           GROUP BY doc_id, u),
+    lstat AS (SELECT doc_id,
+             floor(sum(c-1)::DOUBLE/sum(c)*1000000 + 0.5)/1000000
+               AS dup_line_frac,
+             floor(sum((c-1)*L)::DOUBLE/sum(c*L)*1000000 + 0.5)/1000000
+               AS dup_line_char_frac
+           FROM lc GROUP BY doc_id),
+    pc AS (SELECT doc_id, u, count(*) AS c, length(u) AS L
+           FROM (SELECT doc_id, unnest(ps) AS u FROM base)
+           GROUP BY doc_id, u),
+    pstat AS (SELECT doc_id,
+             floor(sum(c-1)::DOUBLE/sum(c)*1000000 + 0.5)/1000000
+               AS dup_para_frac,
+             floor(sum((c-1)*L)::DOUBLE/sum(c*L)*1000000 + 0.5)/1000000
+               AS dup_para_char_frac
+           FROM pc GROUP BY doc_id),
+    g AS (SELECT doc_id, n, u, count(*) AS c, length(u) AS L FROM (
+           SELECT base.doc_id, ns.n,
+                  unnest(CASE WHEN len(base.w) >= ns.n THEN
+                    list_transform(generate_series(1, len(base.w)-ns.n+1),
+                      i -> array_to_string(list_slice(base.w, i, i+ns.n-1),
+                                           ' '))
+                    ELSE [] END) AS u
+           FROM base, (VALUES (2),(3),(4),(5),(10)) ns(n))
+          GROUP BY doc_id, n, u),
+    tops AS (SELECT doc_id, n, c, L FROM (
+            SELECT doc_id, n, c, L,
+                   row_number() OVER (PARTITION BY doc_id, n
+                                      ORDER BY c DESC, L DESC, u DESC) AS rn
+            FROM g) WHERE rn = 1),
+    dups AS (SELECT doc_id, n, sum((c-1)*L) AS dch FROM g
+             WHERE n IN (5, 10) GROUP BY doc_id, n),
+    m AS (SELECT base.doc_id,
+        coalesce(lstat.dup_line_frac, 0.0) AS dup_line_frac,
+        coalesce(pstat.dup_para_frac, 0.0) AS dup_para_frac,
+        coalesce(lstat.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+        coalesce(pstat.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+        coalesce(floor(t2.c*t2.L::DOUBLE/base.tlen*1000000 + 0.5)/1000000,
+                 0.0) AS top2_char_frac,
+        coalesce(floor(t3.c*t3.L::DOUBLE/base.tlen*1000000 + 0.5)/1000000,
+                 0.0) AS top3_char_frac,
+        coalesce(floor(t4.c*t4.L::DOUBLE/base.tlen*1000000 + 0.5)/1000000,
+                 0.0) AS top4_char_frac,
+        coalesce(floor(d5.dch::DOUBLE/base.tlen*1000000 + 0.5)/1000000,
+                 0.0) AS dup5_char_frac,
+        coalesce(floor(d10.dch::DOUBLE/base.tlen*1000000 + 0.5)/1000000,
+                 0.0) AS dup10_char_frac
+      FROM base
+      LEFT JOIN lstat USING (doc_id)
+      LEFT JOIN pstat USING (doc_id)
+      LEFT JOIN tops t2 ON t2.doc_id = base.doc_id AND t2.n = 2
+      LEFT JOIN tops t3 ON t3.doc_id = base.doc_id AND t3.n = 3
+      LEFT JOIN tops t4 ON t4.doc_id = base.doc_id AND t4.n = 4
+      LEFT JOIN dups d5 ON d5.doc_id = base.doc_id AND d5.n = 5
+      LEFT JOIN dups d10 ON d10.doc_id = base.doc_id AND d10.n = 10)
+    SELECT doc_id, dup_line_frac, dup_para_frac, dup_line_char_frac,
+           dup_para_char_frac, top2_char_frac, top3_char_frac,
+           top4_char_frac, dup5_char_frac, dup10_char_frac,
+           dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+             AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+             AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+             AND top4_char_frac <= 0.16 AND dup5_char_frac <= 0.15
+             AND dup10_char_frac <= 0.10 AS keep
+    FROM m
+    """,
+)
+def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 completion: the Gopher REPETITION rule set (Rae et al. 2021,
+    table A1) — duplicate line/paragraph fractions (count- and
+    char-weighted), top-{2,3,4}-gram char coverage, duplicated
+    {5,10}-gram char coverage — as per-doc audit flags plus the keep
+    conjunction, over a line-structured fixture corpus with planted
+    duplicate lines. Every marginal fraction is hash-checked against an
+    independent DuckDB recomputation (window-functions-vs-struct-max
+    argmax tie-break included). One explode + two keyed map-side-
+    combinable aggregates; no UDFs — the per-doc repetition pass a
+    100 TB curation run wants."""
+    corpus = _corpus_with_line_structure(spark, sf_dir)
+    return X.repetition_profile(corpus, id_col="doc_id", text_col="text")
