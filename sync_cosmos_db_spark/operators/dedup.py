@@ -514,3 +514,73 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
                 F.col(f"{id_col}_b").alias("id_b"),
                 _fround4(F.col("cosine_sim")).alias("cosine_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): find token spans of length >= n
+# that occur verbatim in more than one document, and measure how much of
+# each document those shared spans cover.  The paper builds a corpus
+# suffix array; the distributed re-expression is gram-keyed: a span of
+# length >= n is duplicated iff every length-n window inside it is, so
+# per-position n-gram sharing gives exact span coverage without any
+# global index.  Reference has no dedup at all (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+def duplicated_span_coverage(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text",
+                             n: int = 8) -> DataFrame:
+    """Per-document coverage by cross-document duplicated token spans.
+
+    Returns (id, n_tokens, covered_tokens, dup_span_frac) where
+    covered_tokens counts distinct token positions lying inside at
+    least one length-``n`` gram that also occurs verbatim in ANOTHER
+    document.  ``dup_span_frac`` is the fraction a span-removal pass
+    would delete (the usual act-on threshold is frac > 0, dropping or
+    trimming the doc).
+
+    Scale shape: one explode to (doc, start, gram) rows; gram sharing
+    decided by min(doc) != max(doc) per gram — a map-side-combinable
+    aggregate that never builds a doc list; a left-semi join back on the
+    gram; one bounded explode (n positions per shared occurrence) and a
+    distinct keyed by (doc, pos).  Every shuffle key is a gram hash or
+    the doc id — no suffix array, no driver state, no skew beyond
+    genuinely viral grams (which a count gate could cap the same way
+    minhash_lsh_pairs gates oversized buckets).
+    """
+    w = words(text_col)
+    starts = F.when(
+        F.size(w) >= n,
+        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    units = F.transform(starts, lambda i: F.struct(
+        i.alias("s"), F.concat_ws(" ", F.slice(w, i, n)).alias("g")))
+
+    base = df.select(F.col(id_col), F.size(w).alias("n_tokens"),
+                     F.explode_outer(units).alias("t"))
+    occ = base.select(id_col, "n_tokens", "t.s", "t.g")
+
+    shared = (occ.filter(F.col("g").isNotNull())
+              .groupBy("g")
+              .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
+              .filter(F.col("__a") != F.col("__b"))
+              .select("g"))
+
+    covered = (occ.join(shared, "g", "left_semi")
+               .select(F.col(id_col),
+                       F.explode(F.sequence(F.col("s"),
+                                            F.col("s") + F.lit(n - 1)))
+                       .alias("p"))
+               .distinct()
+               .groupBy(id_col)
+               .agg(F.count("*").alias("covered_tokens")))
+
+    totals = occ.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
+    return (totals.join(covered, id_col, "left_outer")
+            .select(
+                F.col(id_col),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long")
+                .alias("covered_tokens"),
+                _fround4(F.coalesce(F.col("covered_tokens"), F.lit(0))
+                         / F.col("n_tokens")).alias("dup_span_frac")))

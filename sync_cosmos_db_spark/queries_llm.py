@@ -1528,3 +1528,71 @@ def gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB curation run wants."""
     corpus = _corpus_with_line_structure(spark, sf_dir)
     return X.repetition_profile(corpus, id_col="doc_id", text_col="text")
+
+
+# ---------------------------------------------------------------------------
+# X2b — exact substring-span dedup (Lee et al. 2022 re-expressed
+# gram-keyed; see operators/dedup.py duplicated_span_coverage)
+# ---------------------------------------------------------------------------
+
+def _corpus_with_partial_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ partial plagiarists: for every doc_id % 13 == 0, a new
+    doc (id +300000) opening with the source's first 16 tokens and
+    ending in 4 novel tokens — so shared >=8-token spans exist in BOTH
+    directions but neither doc is a full duplicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    head16 = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 16))
+    partial = (docs.filter(F.col("doc_id") % 13 == 0)
+               .select((F.col("doc_id") + 300000).alias("doc_id"),
+                       F.concat(head16, F.lit(" qq ww ee rr")).alias("text")))
+    return docs.select("doc_id", "text").unionByName(partial)
+
+
+@query(
+    "dedup_span_coverage",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 300000 AS doc_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')
+               || ' qq ww ee rr' AS text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    b AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    occ AS (SELECT doc_id, u.s AS s, u.g AS g FROM (
+            SELECT doc_id, unnest(
+              CASE WHEN len(w) >= 8 THEN
+                list_transform(generate_series(1, len(w)-7),
+                  i -> {'s': i,
+                        'g': array_to_string(list_slice(w, i, i+7), ' ')})
+              ELSE [] END) AS u
+            FROM b)),
+    shared AS (SELECT g FROM (
+            SELECT g, min(doc_id) AS a, max(doc_id) AS b2
+            FROM occ GROUP BY g) t
+            WHERE a <> b2),
+    cov AS (SELECT doc_id, count(*) AS covered_tokens FROM (
+            SELECT DISTINCT doc_id, p FROM (
+              SELECT occ.doc_id, unnest(generate_series(s, s+7)) AS p
+              FROM occ JOIN shared USING (g)))
+            GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(w) AS n_tokens FROM b)
+    SELECT t.doc_id, t.n_tokens::BIGINT AS n_tokens,
+           coalesce(c.covered_tokens, 0)::BIGINT AS covered_tokens,
+           floor(coalesce(c.covered_tokens, 0)::DOUBLE / t.n_tokens
+                 * 10000 + 0.5)/10000 AS dup_span_frac
+    FROM tot t LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 substring-level dedup: per-doc coverage by >=8-token spans
+    that occur verbatim in another document — the distributed
+    re-expression of suffix-array exact-substring dedup (a span >= n is
+    duplicated iff every length-n window in it is, so gram-position
+    sharing reconstructs exact span coverage with only gram-keyed
+    shuffles). Runs over a corpus with planted partial plagiarists;
+    every count and fraction is hash-checked against DuckDB."""
+    corpus = _corpus_with_partial_copies(spark, sf_dir)
+    return D.duplicated_span_coverage(corpus, id_col="doc_id",
+                                      text_col="text", n=8)

@@ -125,3 +125,46 @@ def test_connected_components_raises_on_nonconvergence(spark):
         [(i, i + 1) for i in range(1, 10)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         D.connected_components(chain, max_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (duplicated_span_coverage)
+# ---------------------------------------------------------------------------
+
+def test_span_coverage_shared_prefix(spark):
+    from sync_cosmos_db_spark.operators.dedup import duplicated_span_coverage
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h X Y"),
+         (2, "a b c d e f g h Z")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            duplicated_span_coverage(df, n=8).collect()}
+    # only the length-8 prefix gram is shared -> positions 1..8 covered
+    assert (rows[1]["n_tokens"], rows[1]["covered_tokens"]) == (10, 8)
+    assert (rows[2]["n_tokens"], rows[2]["covered_tokens"]) == (9, 8)
+    assert rows[1]["dup_span_frac"] == 0.8
+
+
+def test_span_coverage_within_doc_repeat_not_counted(spark):
+    from sync_cosmos_db_spark.operators.dedup import duplicated_span_coverage
+    # the same 8-gram occurs twice in ONE doc but in no other doc:
+    # cross-document dedup must not flag it
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h a b c d e f g h"),
+         (2, "p q r s t u v w x")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            duplicated_span_coverage(df, n=8).collect()}
+    assert rows[1]["covered_tokens"] == 0
+    assert rows[2]["covered_tokens"] == 0
+
+
+def test_span_coverage_short_doc_retained(spark):
+    from sync_cosmos_db_spark.operators.dedup import duplicated_span_coverage
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            duplicated_span_coverage(df, n=8).collect()}
+    # sub-n docs contribute no grams (even identical ones) but keep a row
+    assert rows[1]["n_tokens"] == 3 and rows[1]["covered_tokens"] == 0
+    assert rows[1]["dup_span_frac"] == 0.0
