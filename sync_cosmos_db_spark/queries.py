@@ -327,11 +327,12 @@ SWEEP_PRIORITY: list[str] = [
     "merge_writeback_roundtrip",
     "migration_metrics_summary",
     "json_schema_inference_roundtrip",
-    # --- A9 SQL frontend
-    "sql_exists_high_value_customers",
+    # --- A9 SQL frontend (sql_exists_* is double-green r1+r2 with
+    #     untouched code → displaced for a NEW round-3 query; the family
+    #     stays represented by the stale scalar-subquery twin)
     "sql_scalar_subquery_orders",      # stale: green r1, unswept r2
-    # --- O19 sanitizer
-    "sanitize_customer_pii",
+    # --- O19 sanitizer (sanitize_customer_pii double-green, displaced
+    #     likewise; the nested-profile twin re-evidences the family)
     "sanitize_nested_profile",         # stale
     # --- A1/A2 TPC-H shapes
     "q4_priority_with_returns",        # stale
@@ -389,6 +390,10 @@ SWEEP_PRIORITY: list[str] = [
     "gopher_quality_flags",
     "stream_dedup_events",
     "jsonl_roundtrip_documents",
+    # --- NEW round-3 session-3: Gopher repetition rules + exact
+    #     substring-span dedup (both hash-checked vs DuckDB)
+    "gopher_repetition_flags",
+    "dedup_span_coverage",
 ]
 
 
