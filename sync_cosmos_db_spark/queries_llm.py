@@ -1596,3 +1596,32 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_partial_copies(spark, sf_dir)
     return D.duplicated_span_coverage(corpus, id_col="doc_id",
                                       text_col="text", n=8)
+
+
+@query(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    freq AS (SELECT tok, count(*)::DOUBLE AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS t FROM freq),
+    per AS (SELECT doc_id, count(*) AS n, sum(ln(freq.c)) AS slc
+            FROM toks JOIN freq USING (tok) GROUP BY doc_id)
+    SELECT per.doc_id, per.n::BIGINT AS n_tokens,
+           floor((ln(tot.t) - per.slc / per.n) * 1000000 + 0.5)/1000000
+             AS avg_neg_logprob
+    FROM per, tot
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 curation: CCNet-style LM quality scoring with the corpus's own
+    unigram distribution (ln(T) - avg ln c_tok per doc — the
+    self-perplexity proxy used for head/middle/tail bucketing when no
+    external LM is available). Token-keyed shuffles only; the corpus
+    total rejoins on a constant equi-key as a BroadcastHashJoin. The
+    oracle recomputes the whole distribution and every per-doc average
+    in DuckDB — cross-engine ln() drift is absorbed by the shared
+    floor-rounding to 6 digits."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.unigram_logprob_profile(docs, id_col="doc_id",
+                                     text_col="text")

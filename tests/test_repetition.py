@@ -59,3 +59,33 @@ def test_short_doc_has_no_grams(spark):
     r = _profile(spark, "p q r")
     assert r["dup5_char_frac"] == 0.0
     assert r["dup10_char_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM scoring (operators/text.py unigram_logprob_profile)
+# ---------------------------------------------------------------------------
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+    from sync_cosmos_db_spark.operators.text import unigram_logprob_profile
+    df = spark.createDataFrame([(1, "a a b"), (2, "a b")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in unigram_logprob_profile(df).collect()}
+    # corpus: a x3, b x2, T=5
+    exp1 = math.log(5) - (2 * math.log(3) + math.log(2)) / 3
+    exp2 = math.log(5) - (math.log(3) + math.log(2)) / 2
+    assert abs(rows[1]["avg_neg_logprob"] - exp1) < 1e-5
+    assert abs(rows[2]["avg_neg_logprob"] - exp2) < 1e-5
+    # the doc weighted toward the rarer token scores as MORE atypical
+    assert rows[2]["avg_neg_logprob"] > rows[1]["avg_neg_logprob"]
+
+
+def test_unigram_logprob_uniform_corpus_constant(spark):
+    import math
+    from sync_cosmos_db_spark.operators.text import unigram_logprob_profile
+    # every token unique -> every doc scores exactly ln(T)
+    df = spark.createDataFrame([(1, "p q"), (2, "r s t")],
+                               "doc_id long, text string")
+    rows = unigram_logprob_profile(df).collect()
+    for r in rows:
+        assert abs(r["avg_neg_logprob"] - math.log(5)) < 1e-5
