@@ -342,7 +342,9 @@ SWEEP_PRIORITY: list[str] = [
     "q14_big_part_share",              # stale
     # --- A1 join forms
     "asof_join_latest_snapshot",
-    "range_join_event_windows",
+    # (range_join_event_windows: double-green r1+r2, temporal.py
+    #  untouched → displaced for the new unigram-LM query; the family
+    #  stays represented by the as-of join)
     # --- A3 windows
     "window_lag_gap_days",             # stale
     "window_ntile_first_last",         # stale
@@ -394,6 +396,7 @@ SWEEP_PRIORITY: list[str] = [
     #     substring-span dedup (both hash-checked vs DuckDB)
     "gopher_repetition_flags",
     "dedup_span_coverage",
+    "text_unigram_logprob",
 ]
 
 
