@@ -1625,3 +1625,50 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return X.unigram_logprob_profile(docs, id_col="doc_id",
                                      text_col="text")
+
+
+@query(
+    "stream_interval_join_attribution",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id,
+           (epoch_us(p.ts) - epoch_us(c.ts))::BIGINT AS lag_us
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts BETWEEN p.ts - INTERVAL '1 hour' AND p.ts
+    """,
+)
+def stream_interval_join_attribution(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """X7/A1: stream-stream interval join executed as a REAL streaming
+    query (availableNow trigger, memory sink, append mode): every
+    purchase joins the same user's clicks from the preceding hour —
+    the attribution pipeline shape. Watermarks on both sides plus the
+    two-sided time bound give Spark evictable join state (bounded by
+    the lookback + watermark horizon, not the stream length). The
+    oracle recomputes the join in batch SQL; results must match
+    exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="events_ivj_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    src = SW.read_events_stream(spark, d)
+    purchases = (src.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"), "user_id"))
+    clicks = (src.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"), "user_id"))
+    joined = SW.interval_join_stream(
+        purchases, clicks, key="user_id",
+        left_ts="p_ts", right_ts="c_ts", lookback="1 hour")
+    out = joined.select(
+        "purchase_id", "click_id", "user_id",
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts"))
+        .cast("bigint").alias("lag_us"))
+    return SW.run_stream_to_memory(
+        spark, out, f"ivj_mem_{uuid.uuid4().hex[:8]}", mode="append")

@@ -152,3 +152,38 @@ def run_stream_to_memory(spark: SparkSession, streaming_df: DataFrame,
          .start())
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def interval_join_stream(left: DataFrame, right: DataFrame,
+                         key: str,
+                         left_ts: str, right_ts: str,
+                         lookback: str = "1 hour",
+                         watermark: str = DEFAULT_WATERMARK) -> DataFrame:
+    """Stream-stream INNER interval join: each left row matches right
+    rows with the same ``key`` whose timestamp lies in
+    ``[left_ts - lookback, left_ts]`` — the attribution shape (join a
+    purchase to the clicks that preceded it).
+
+    Both sides carry watermarks and the join condition bounds event
+    time in BOTH directions, which is exactly what lets Spark evict
+    join state: a right row's state can be dropped once the left
+    watermark passes ``right_ts + lookback``, so state is
+    O(rows per lookback+watermark horizon), not O(stream). Without the
+    time bound this would be a correct but unboundedly-stateful join —
+    the difference between a pipeline that runs for a day and one that
+    runs for a year. Column names must already be disjoint (rename
+    before calling); the same expressions run in batch for the oracle
+    twin."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    lk, rk = f"l_{key}", f"r_{key}"
+    lw = lw.withColumnRenamed(key, lk)
+    rw = rw.withColumnRenamed(key, rk)
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(right_ts)
+           >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
+        & (F.col(right_ts) <= F.col(left_ts))
+    )
+    return (lw.join(rw, cond, "inner")
+            .withColumnRenamed(lk, key).drop(rk))

@@ -164,3 +164,34 @@ def test_dedup_stream_drops_in_flight_duplicates(spark, tmp_path):
     rows = out.collect()
     assert len(rows) == 50
     assert {r.event_id for r in rows} == set(range(50))
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir,
+                                            events_stream_dir):
+    """Stream-stream interval join == the identical batch join, and
+    every emitted pair respects the [ts - lookback, ts] bound."""
+    from pyspark.sql import functions as F
+
+    def shape(src):
+        purchases = (src.filter(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("ts").alias("p_ts"), "user_id"))
+        clicks = (src.filter(F.col("event_type") == "click")
+                  .select(F.col("event_id").alias("click_id"),
+                          F.col("ts").alias("c_ts"), "user_id"))
+        return SW.interval_join_stream(purchases, clicks, key="user_id",
+                                       left_ts="p_ts", right_ts="c_ts",
+                                       lookback="1 hour")
+
+    streamed = SW.run_stream_to_memory(
+        spark, shape(SW.read_events_stream(spark, events_stream_dir)),
+        "ivj_parity_mem", mode="append")
+    batch = shape(load_table(spark, sf_dir, "events"))
+
+    cols = ["purchase_id", "click_id", "user_id"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+    assert streamed.count() > 0  # the fixture data has real matches
+    out_of_bound = streamed.filter(
+        (F.col("c_ts") > F.col("p_ts"))
+        | (F.col("c_ts") < F.col("p_ts") - F.expr("INTERVAL 1 hour")))
+    assert out_of_bound.count() == 0
