@@ -229,3 +229,34 @@ def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.length("text").cast("long").alias("text_len"),
         F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+@query(
+    "csv_roundtrip_documents",
+    """
+    SELECT doc_id, lang, source, length(text)::BIGINT AS text_len,
+           sha256(text) AS text_sha
+    FROM documents
+    """,
+)
+def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink roundtrip (sources/csv.py): documents written as
+    lang-partitioned gzip CSV with a pinned dialect, read back with an
+    EXPLICIT schema (no inference pass, multiLine off so input stays
+    splittable), every row content-hash-compared against the parquet
+    original by the oracle. The corpus is single-line text, so the CSV
+    quoting path carries it byte-exactly."""
+    from sync_cosmos_db_spark.sources.csv import read_csv, write_csv
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = os.path.join(tempfile.mkdtemp(prefix="csv_rt_"), "docs")
+    write_csv(docs.select("doc_id", "source", "text", "lang"), d,
+              partition_by=["lang"])
+    back = read_csv(spark, d,
+                    schema="doc_id bigint, source string, text string, "
+                           "lang string",
+                    keep_corrupt=False)
+    return back.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("long").alias("text_len"),
+        F.sha2(F.col("text"), 256).alias("text_sha"))
