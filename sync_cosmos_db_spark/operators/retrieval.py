@@ -1,0 +1,119 @@
+"""Keyword retrieval over the document corpus: inverted index + BM25.
+
+The reference has no text-retrieval surface (its queries are key
+lookups and full scans, ``/root/reference/src/cosmos_reader.py``); this
+is an extension operator for the corpus-curation posture — keyword
+search over a 100 TB corpus is the classic MapReduce workload and has
+an exact, fully relational Spark expression: one token explode feeding
+term-keyed aggregations.  No UDFs anywhere.
+
+Scale shape:
+
+* ``build_inverted_index`` — explode → groupBy(term): map-side partial
+  aggregation, one term-keyed shuffle.  Postings are kept as counts +
+  per-term document frequency; materializing full posting *lists* is a
+  ``sort_array(collect_list(...))`` away but is deliberately a separate
+  opt-in (a hot term's list is unbounded — the count form is always
+  safe).
+* ``bm25_topk`` — query terms are a tiny inline table broadcast into
+  the tf join; corpus stats (N, avgdl) are a 1-row aggregate joined
+  back on a column-derived constant equi-key (BroadcastHashJoin, never
+  a nested-loop join — same trick as the unigram LM operator).  The
+  final top-k is a global sort of per-doc scores LIMIT k — k is small,
+  Spark runs it as TakeOrderedAndProject (per-partition heaps, no full
+  sort shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), r"\s+"))
+                     .alias("term"))
+
+
+def build_inverted_index(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Term statistics table: ``(term, df, tf_total)`` — document
+    frequency and corpus-wide term frequency.  One explode, one
+    term-keyed shuffle with map-side partials."""
+    toks = _tokens(df, id_col, text_col)
+    return (toks.groupBy("term")
+            .agg(F.count_distinct(F.col(id_col)).cast("long").alias("df"),
+                 F.count("*").cast("long").alias("tf_total")))
+
+
+def posting_lists(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  max_postings: int = 10_000) -> DataFrame:
+    """Materialized posting lists ``(term, postings: array<struct<doc_id,
+    tf>>)``, each list sorted by doc_id and capped at ``max_postings``
+    entries (stop-word-grade terms keep their first ``max_postings``
+    postings by doc id; the cap is applied with ``slice`` AFTER an
+    in-group sort so the kept prefix is deterministic)."""
+    toks = _tokens(df, id_col, text_col)
+    tf = toks.groupBy("term", id_col).agg(
+        F.count("*").cast("long").alias("tf"))
+    return (tf.groupBy("term")
+            .agg(F.slice(
+                F.sort_array(F.collect_list(F.struct(F.col(id_col), "tf"))),
+                1, max_postings).alias("postings")))
+
+
+def bm25_topk(
+    spark: SparkSession,
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents for a bag of query terms under BM25.
+
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   (the Lucene form —
+    always positive, so stop-word-grade terms dilute rather than flip
+    rankings); score(d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+
+    Scores are rounded to ``round_digits`` BEFORE ranking so the
+    ordering is reproducible across engines and runs (float ulp noise
+    cannot flip ranks); ties break on ascending doc id.
+    """
+    terms = spark.createDataFrame([(t,) for t in query_terms],
+                                  "term string").distinct()
+    toks = _tokens(df, id_col, text_col)
+    dl = df.select(F.col(id_col),
+                   F.size(F.split(F.col(text_col), r"\s+"))
+                   .cast("double").alias("dl"))
+
+    tf = (toks.join(F.broadcast(terms), "term")
+          .groupBy(id_col, "term")
+          .agg(F.count("*").cast("double").alias("tf")))
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df_t"))
+    stats = (dl.agg(F.count("*").cast("double").alias("n_docs"),
+                    F.avg("dl").alias("avgdl"))
+             .withColumn("__k", F.floor(F.col("n_docs") * 0)))
+
+    idf = F.log((F.col("n_docs") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5) + 1.0)
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1.0) / norm
+
+    p = 10 ** round_digits
+    scored = (tf.join(dl, id_col)
+              .withColumn("__k", F.floor(F.col("tf") * 0))
+              .join(F.broadcast(stats), "__k")
+              .join(F.broadcast(dfreq), "term")
+              .groupBy(id_col)
+              .agg((F.floor(F.sum(contrib) * p + F.lit(0.5)) / p)
+                   .alias("score")))
+    return (scored
+            .orderBy(F.desc("score"), F.asc(id_col))
+            .limit(k))

@@ -108,3 +108,45 @@ def range_join_bucketed(
                 & (F.col(event_time) < F.col(end_col)))
         .drop("__bucket")
     )
+
+
+def scd2_history(
+    updates: DataFrame,
+    key: str,
+    time_col: str,
+    value_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from an update
+    stream: one validity interval per run of equal values per key.
+
+    Classic warehouse operator the reference cannot express (it has no
+    windows; its sync is last-write-wins per id). Three window passes
+    over the SAME (key, time) partitioning — Catalyst reuses one
+    exchange for all three, so the whole build is a single shuffle:
+
+    1. drop consecutive duplicates (``lag(value)`` per key),
+    2. ``valid_from = time``, ``valid_to = lead(time)`` (NULL = open),
+    3. ``is_current`` on the open interval.
+
+    At 100 TB this is partitioned by ``key`` — no global sort, no
+    driver state; per-key history fits the window's spillable sorter.
+    Ties at identical timestamps are made deterministic by
+    ``tiebreak_col`` (default: the value column itself).
+    """
+    tb = tiebreak_col or value_col
+    w = W.partitionBy(key).orderBy(F.col(time_col), F.col(tb))
+    # null-safe run detection: the first row per key has __prev NULL and
+    # must be kept; a NULL value after a NULL value is the same run.
+    runs = (updates
+            .withColumn("__prev", F.lag(value_col).over(w))
+            .withColumn("__first",
+                        F.row_number().over(w) == 1)
+            .filter(F.col("__first")
+                    | ~F.col(value_col).eqNullSafe(F.col("__prev")))
+            .drop("__prev", "__first"))
+    w2 = W.partitionBy(key).orderBy(F.col(time_col), F.col(tb))
+    return (runs
+            .withColumn("valid_from", F.col(time_col))
+            .withColumn("valid_to", F.lead(time_col).over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull()))

@@ -317,16 +317,19 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for the r4 window.
 SWEEP_PRIORITY: list[str] = [
     # --- migration kernel + new infra-operator queries (O9 O10 O13 O14
-    #     O22 O24 got their first oracle-checked queries this round)
+    #     O22 O24 got their first oracle-checked queries this round).
+    #     verify_counts / migrate_classify_json_docs /
+    #     json_schema_inference_roundtrip are double-green r1+r2 with
+    #     their code paths untouched since → displaced for the new
+    #     pipeline-extension queries; the kernel stays represented by
+    #     the flagship and materialize_pk_backfill covers the one
+    #     document_model change this round.
     "migrate_classify_counts",
-    "verify_counts",
-    "migrate_classify_json_docs",
     "strip_system_fields_nested",
     "materialize_pk_backfill",
     "actions_partitioned_counts",
     "merge_writeback_roundtrip",
     "migration_metrics_summary",
-    "json_schema_inference_roundtrip",
     # --- A9 SQL frontend (sql_exists_* is double-green r1+r2 with
     #     untouched code → displaced for a NEW round-3 query; the family
     #     stays represented by the stale scalar-subquery twin)
@@ -340,11 +343,9 @@ SWEEP_PRIORITY: list[str] = [
     "q6_forecast_revenue",             # stale
     "q10_returned_revenue_by_customer",  # stale
     "q14_big_part_share",              # stale
-    # --- A1 join forms
-    "asof_join_latest_snapshot",
-    # (range_join_event_windows: double-green r1+r2, temporal.py
-    #  untouched → displaced for the new unigram-LM query; the family
-    #  stays represented by the as-of join)
+    # --- A1 temporal join forms: asof/range both double-green r1+r2
+    #     with the asof/range code untouched (this round's temporal.py
+    #     change is the additive scd2_history, swept below) → displaced.
     # --- A3 windows
     "window_lag_gap_days",             # stale
     "window_ntile_first_last",         # stale
@@ -359,20 +360,21 @@ SWEEP_PRIORITY: list[str] = [
     "dedup_exact_content",
     "dedup_lsh_containment",
     "dedup_embedding_lsh_containment",  # NEW: closes the r2 red row
-    # --- X3/X4 similarity (cap-check changed this round → re-sweep)
-    "sim_topk_vectorized",
-    # --- X6 text analysis (never-swept entries)
+    # --- X3/X4 similarity: sim_topk_vectorized is r2-green and the
+    #     cap-change is pytest-oracle-covered; the family's r3 driver
+    #     row is the (new) IVF full-probe below.
+    # --- X6 text analysis (never-swept entries; profile_by_lang_source
+    #     stays pytest-covered, displaced for the new BPE query)
     "text_quality_score",              # never swept
     "text_token_counts",               # never swept
     "text_fingerprint",                # never swept
-    "text_profile_by_lang_source",     # never swept
     # --- X7 event windows (sliding oracle bounds rewritten this round)
     "events_sliding_1h_30m",           # never swept
     # --- X5 multimodal (PNG unfilter vectorized this round → re-sweep;
     #     binary_stats/frame_sample get their first driver rows)
     "multimodal_png_roundtrip",
     "multimodal_binary_stats",         # never swept
-    "multimodal_frame_sample",         # never swept
+    # (multimodal_frame_sample: pytest-oracle-covered; displaced)
     # --- NEW curation operators (operators/curation.py, this round)
     "split_train_eval",
     "stratified_sample_by_lang",
@@ -385,7 +387,7 @@ SWEEP_PRIORITY: list[str] = [
     #     sim_topk_vectorized covers the cap change, the kept migration
     #     trio covers the kernel — union r2 ∪ r3 still holds)
     "decontam_eval_train_overlap",
-    "decontam_flagged_evals",
+    # (decontam_flagged_evals: same operator family, pytest-covered)
     "pack_sequences_64",
     "mixture_by_lang",
     "sim_topk_ivf_fullprobe",
@@ -397,6 +399,17 @@ SWEEP_PRIORITY: list[str] = [
     "gopher_repetition_flags",
     "dedup_span_coverage",
     "text_unigram_logprob",
+    # --- NEW round-3 session-4 (queries_pipeline.py): entity linkage,
+    #     inverted index + BM25, free-text PII redaction, SCD2 history,
+    #     numeric profiling, distributed BPE — all hash-checked.
+    "linkage_fuzzy_customers",
+    "retrieval_index_stats",
+    "retrieval_bm25_topk",
+    "redact_pii_text",
+    "scd2_user_event_type",
+    "profile_price_histogram",
+    "profile_null_rates",
+    "bpe_pair_counts",
 ]
 
 
@@ -414,6 +427,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_llm  # noqa: F401
     from sync_cosmos_db_spark import queries_infra  # noqa: F401
     from sync_cosmos_db_spark import queries_tpch2  # noqa: F401
+    from sync_cosmos_db_spark import queries_pipeline  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -422,6 +436,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_llm  # noqa: F401
     from sync_cosmos_db_spark import queries_infra  # noqa: F401
     from sync_cosmos_db_spark import queries_tpch2  # noqa: F401
+    from sync_cosmos_db_spark import queries_pipeline  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

@@ -341,3 +341,36 @@ def sanitize_dataframe(df: DataFrame,
             repl = F.when(only_when, repl).otherwise(F.col(f.name))
         out = out.withColumn(f.name, repl)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Free-text PII redaction (extension: the reference sanitizes only known
+# FIELDS, /root/reference/src/sanitizer.py:6-38 — it has no treatment for
+# PII embedded in text bodies, which is where training-corpus leakage
+# actually lives).
+# ---------------------------------------------------------------------------
+
+#: Conservative regex syntax shared by Java (Spark) and RE2-ish engines
+#: (DuckDB): character classes, bounded repetition, no lookaround.
+REDACT_PATTERNS: dict[str, str] = {
+    # local@domain.tld — lowercase corpus form; bounded TLD.
+    "EMAIL": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,6}",
+    # +CC nnn nnn... international-style groups as injected upstream.
+    "PHONE": r"\+[0-9]{1,3} [0-9]{3} [0-9]{3}[0-9 ]*[0-9]",
+    # 16-digit card-like runs, space/dash grouped.
+    "CARD": r"[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}",
+}
+
+
+def redact_text(col: Column | str,
+                patterns: dict[str, str] | None = None) -> Column:
+    """Replace every PII pattern occurrence in a text column with a
+    ``<LABEL>`` token.  Pure ``regexp_replace`` chain — codegen'd
+    JVM-side, one pass per pattern, no UDF; order is sorted by label so
+    the composition is deterministic.  At 100 TB this is a per-row map
+    with zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for label in sorted((patterns or REDACT_PATTERNS)):
+        pat = (patterns or REDACT_PATTERNS)[label]
+        c = F.regexp_replace(c, pat, f"<{label}>")
+    return c
