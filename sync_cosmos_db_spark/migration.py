@@ -222,3 +222,33 @@ def verify_migration(source: DataFrame, target: DataFrame,
         ok = src_norm.exceptAll(tgt_norm).isEmpty() and \
             tgt_norm.exceptAll(src_norm).isEmpty()
     return ok, src_count, tgt_count
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_col: str,
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Symmetric snapshot diff: classify every key across two snapshots
+    of a keyed table as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged``.
+
+    The superset of the one-directional insert/update/skip classifier
+    (``classify_actions`` — the reference's sync semantics,
+    ``src/migration.py:124-131``, which can never observe deletions
+    because it only iterates the source).  Returns ``(key, change)``.
+
+    Shape: both sides reduce to ``(key, content_hash)`` projections —
+    256-bit digests instead of full rows — then ONE full outer join on
+    the key.  At 100 TB the join ships 40-byte rows, not documents, and
+    the hash computation is a map-side projection on each scan.
+    """
+    cols = compare_cols or sorted(
+        c for c in old.columns if c != key_col and c in new.columns)
+    o = old.select(F.col(key_col).alias("key"),
+                   content_hash(cols).alias("__oh"))
+    n = new.select(F.col(key_col).alias("key"),
+                   content_hash(cols).alias("__nh"))
+    j = o.join(n, "key", "full_outer")
+    change = (F.when(F.col("__oh").isNull(), F.lit("added"))
+              .when(F.col("__nh").isNull(), F.lit("removed"))
+              .when(F.col("__oh") != F.col("__nh"), F.lit("changed"))
+              .otherwise(F.lit("unchanged")))
+    return j.select("key", change.alias("change"))

@@ -1,0 +1,126 @@
+"""Behavioral analytics over event streams: funnels, cohort retention,
+Markov transition matrices.
+
+The reference has no event-analytics surface at all (its only stream
+treatment is the migration classifier's full-container diff,
+``/root/reference/migrate.py:61-78``); these are extension operators for
+the product-analytics posture every event warehouse needs, expressed
+relationally so Catalyst plans them like any other aggregate.
+
+Scale shapes (all shuffles are user- or group-keyed, nothing driver-side):
+
+* **funnel** — k sequential conditional min-timestamp aggregates, each
+  keyed by user: step i's events join the (user, t_{i-1}) table and keep
+  only events after t_{i-1}.  k is the funnel length (small constant);
+  the per-step state is one row per surviving user, strictly shrinking
+  down the funnel.  No sessionization, no collect_list of raw events.
+* **cohort retention** — two user-keyed aggregates: first-activity week
+  per user, then (cohort_week, week_offset) distinct-user counts.
+* **transition matrix** — one window pass per user ordered by (ts, id)
+  producing (state, next_state) pairs, then a pair-keyed count; the
+  row-normalizing total is a window over the tiny (|states|²) count
+  table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def funnel_times(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered-funnel timestamps: ``(user, t0, t1, ... t{k-1})``
+    where ``t_i`` is the earliest occurrence of ``steps[i]`` strictly
+    after ``t_{i-1}`` (NULL once the funnel is abandoned).  Strict
+    ordering means a user must re-perform a later step after the earlier
+    one — simultaneous events do not satisfy the funnel."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    times = (df.filter(F.col(type_col) == steps[0])
+             .groupBy(user_col)
+             .agg(F.min(ts_col).alias("t0")))
+    for i in range(1, len(steps)):
+        nxt = (df.filter(F.col(type_col) == steps[i])
+               .join(times.select(user_col, f"t{i - 1}"), user_col)
+               .filter(F.col(ts_col) > F.col(f"t{i - 1}"))
+               .groupBy(user_col)
+               .agg(F.min(ts_col).alias(f"t{i}")))
+        times = times.join(nxt, user_col, "left")
+    return times
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel conversion table: ``(step, step_name, n_users)`` — users
+    reaching each step in order.  Monotonically non-increasing by
+    construction."""
+    times = funnel_times(df, steps, user_col, ts_col, type_col)
+    aggs = [F.count(F.col(f"t{i}")).cast("long").alias(f"n{i}")
+            for i in range(len(steps))]
+    row = times.agg(*aggs)
+    pairs = ", ".join(
+        f"{i}L, '{s}', n{i}" for i, s in enumerate(steps))
+    return row.selectExpr(
+        f"stack({len(steps)}, {pairs}) as (step, step_name, n_users)")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention: ``(cohort_week_s, week_offset, n_users)``
+    — users whose FIRST activity fell in cohort week w and who were
+    active again ``week_offset`` weeks later.  Weeks are ISO
+    Monday-start (``date_trunc('week', ...)`` in both engines); the
+    cohort week surfaces as epoch seconds so the column is
+    engine-portable."""
+    first = df.groupBy(user_col).agg(F.min(ts_col).alias("__first_ts"))
+    j = df.select(user_col, ts_col).join(first, user_col)
+    cohort = F.date_trunc("week", F.col("__first_ts"))
+    wk = F.date_trunc("week", F.col(ts_col))
+    return (j.groupBy(
+        F.unix_timestamp(cohort).alias("cohort_week_s"),
+        (F.datediff(wk, cohort) / 7).cast("long").alias("week_offset"))
+        .agg(F.count_distinct(F.col(user_col)).cast("long")
+             .alias("n_users")))
+
+
+def transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``(from_type, to_type, n, p)`` where ``p`` row-normalizes
+    over ``from_type``.  Sequence order is (ts, id) so simultaneous
+    events are deterministic.  One user-keyed window pass + one
+    pair-keyed count; the normalizing window runs on the |states|²-row
+    result, not the event stream."""
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (df
+             .withColumn("__next", F.lead(type_col).over(w))
+             .filter(F.col("__next").isNotNull())
+             .groupBy(F.col(type_col).alias("from_type"),
+                      F.col("__next").alias("to_type"))
+             .agg(F.count("*").cast("long").alias("n")))
+    tot = W.partitionBy("from_type")
+    p = 10 ** round_digits
+    return pairs.withColumn(
+        "p",
+        F.floor(F.col("n") / F.sum("n").over(tot) * p + F.lit(0.5)) / p)

@@ -353,3 +353,28 @@ def dequantize_error(vec: Column | str, codes: Column) -> Column:
     return F.when(amax == 0, F.lit(0.0)).otherwise(
         F.array_max(F.zip_with(dv, codes,
                                lambda x, q: F.abs(x - q * inv))))
+
+
+def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+                  max_rows: int, salt: str = "cap") -> DataFrame:
+    """Deterministic per-group row cap — the C4/RefinedWeb "pages per
+    domain" rule: keep at most ``max_rows`` rows per group, chosen by
+    sha2-hash order of the row id (a reproducible uniform draw, never
+    ``rand()``), ties broken by id.
+
+    One window pass partitioned by the group key.  Spark's
+    WindowGroupLimit pushes the ``row_number() <= k`` filter into a
+    per-partition top-k (partial limits map-side before the shuffle), so
+    a hot group streams through a bounded heap instead of sorting its
+    whole partition — the skew-safe shape for domain caps at 100 TB.
+
+    SQL twin: ``row_number() OVER (PARTITION BY grp ORDER BY
+    sha256(id::VARCHAR || ':SALT'), id) <= k``.
+    """
+    from pyspark.sql import Window as W
+    h = F.sha2(F.concat(F.col(id_col).cast("string"),
+                        F.lit(":" + salt)), 256)
+    w = W.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_rows)
+            .drop("__rn"))

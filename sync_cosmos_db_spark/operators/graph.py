@@ -1,0 +1,101 @@
+"""Graph algorithms on DataFrames: weighted PageRank by fixed-point
+iteration.
+
+Complements the label-propagation connected-components operator
+(``operators/dedup.connected_components``) with the other canonical
+distributed graph workload.  The reference has no graph surface; this
+is an extension operator (training-data pipelines rank hosts / domains
+/ documents by link authority — the original web-scale use).
+
+Scale design — the standard Pregel-as-joins shape, no GraphX/RDDs:
+
+* Edges live in a ``(src, dst, w)`` DataFrame; per-iteration work is
+  ONE equi-join of the rank vector onto the edge list (shuffle keyed by
+  ``src``) and ONE ``dst``-keyed aggregate of contributions.  At 100 TB
+  both shuffles hash-partition on node ids; nothing is broadcast except
+  the scalar node count.
+* The rank vector is re-derived from ``nodes`` each iteration with a
+  left join, so nodes with no inbound edges keep the teleport term
+  (their rank is ``(1−d)/N``), and the iteration count is a fixed small
+  constant supplied by the caller — each iteration is one Spark job on
+  lineage, with an optional persist each round to keep the plan linear.
+* Dangling mass: nodes with no OUT-edges leak their rank (the simple
+  formulation).  For ranking use-cases this only rescales; callers who
+  need the stochastic-matrix invariant should add self-loops.  The
+  choice is deliberate: redistribution needs an extra global aggregate
+  per iteration, and the oracle (an unrolled SQL replay) must stay
+  bit-comparable.
+
+Edge weights are used as transition probabilities after out-weight
+normalization: contribution(src→dst) = pr(src) · w / Σ_out w(src).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    persist_each_iter: bool = True,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an edge DataFrame.
+
+    Returns ``(node, pr)`` (unrounded doubles — round at the query
+    surface).  ``n_iter`` is a fixed constant: at corpus scale you run
+    10–20 iterations, each one join + one aggregate; convergence
+    detection would add a global delta-aggregate per round for little
+    benefit at fixed budgets.
+
+    With ``persist_each_iter`` the RESULT is left persisted (it is the
+    live output; every intermediate cache is explicitly released here) —
+    the caller owns the final ``unpersist()``.
+    """
+    if n_iter < 0:
+        raise ValueError("n_iter must be >= 0")
+    outw = edges.groupBy(src).agg(F.sum(weight).alias("__outw"))
+    e = (edges.join(outw, src)
+         .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+                 (F.col(weight) / F.col("__outw")).alias("__share")))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .union(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    if persist_each_iter:
+        nodes = nodes.persist()
+        e = e.persist()
+    n_nodes = nodes.count()  # scalar to the driver — bounded by design
+    teleport = (1.0 - damping) / n_nodes
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+    prev = None
+    try:
+        for _ in range(n_iter):
+            contrib = (e.join(pr.withColumnRenamed("node", "__src"),
+                              "__src")
+                       .groupBy(F.col("__dst").alias("node"))
+                       .agg(F.sum(F.col("pr") * F.col("__share"))
+                            .alias("__c")))
+            nxt = (nodes.join(contrib, "node", "left")
+                   .select("node",
+                           (F.lit(teleport)
+                            + damping * F.coalesce(F.col("__c"),
+                                                   F.lit(0.0)))
+                           .alias("pr")))
+            if persist_each_iter:
+                nxt = nxt.persist()
+                nxt.count()  # materialize; keeps lineage one-hop deep
+                if prev is not None:
+                    prev.unpersist()
+                prev = nxt
+            pr = nxt
+    finally:
+        if persist_each_iter:
+            nodes.unpersist()
+            e.unpersist()
+    return pr

@@ -71,3 +71,106 @@ def null_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     pairs = ", ".join(f"'{c}', __r_{c}, __n_{c}" for c in cols)
     return row.selectExpr(
         f"stack({len(cols)}, {pairs}) as (col_name, n_rows, n_null)")
+
+
+def corr_pairs(df: DataFrame, cols: list[str],
+               round_digits: int = 6) -> DataFrame:
+    """Pearson correlation for every column pair in ONE scan:
+    ``(col_x, col_y, n, r)``.
+
+    All O(k²) sufficient statistics (Σx, Σx², Σxy) come from a single
+    aggregate — never k² passes — and ``r`` is assembled with the
+    explicit textbook formula ``(n·Σxy − ΣxΣy) / √((n·Σx²−(Σx)²) ·
+    (n·Σy²−(Σy)²))`` so any engine recomputes it bit-comparably from
+    the same sums (built-in ``corr()`` implementations differ in
+    accumulation strategy across engines).  Rows with a NULL in either
+    column of a pair are excluded pairwise (SQL ``corr`` semantics).
+    """
+    aggs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            cx = F.col(x).cast("double")
+            cy = F.col(y).cast("double")
+            both = cx.isNotNull() & cy.isNotNull()
+            vx = F.when(both, cx)
+            vy = F.when(both, cy)
+            tag = f"{x}__{y}"
+            aggs += [
+                F.count(vx).cast("double").alias(f"__n_{tag}"),
+                F.sum(vx).alias(f"__sx_{tag}"),
+                F.sum(vy).alias(f"__sy_{tag}"),
+                F.sum(vx * vx).alias(f"__sxx_{tag}"),
+                F.sum(vy * vy).alias(f"__syy_{tag}"),
+                F.sum(vx * vy).alias(f"__sxy_{tag}"),
+            ]
+    row = df.agg(*aggs)
+    p = 10 ** round_digits
+    parts = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1:]:
+            t = f"{x}__{y}"
+            num = (f"(__n_{t} * __sxy_{t} - __sx_{t} * __sy_{t})")
+            den = (f"sqrt((__n_{t} * __sxx_{t} - __sx_{t} * __sx_{t})"
+                   f" * (__n_{t} * __syy_{t} - __sy_{t} * __sy_{t}))")
+            parts.append(
+                f"'{x}', '{y}', cast(__n_{t} as bigint), "
+                f"floor(({num}) / ({den}) * {p} + 0.5) / {p}")
+    k = len(parts)
+    return row.selectExpr(
+        f"stack({k}, {', '.join(parts)}) as (col_x, col_y, n, r)")
+
+
+def group_trend(df: DataFrame, key_col: str, x_col: Column | str,
+                y_col: Column | str, min_n: int = 2,
+                round_digits: int = 6) -> DataFrame:
+    """Per-group least-squares linear trend ``y = slope·x + intercept``:
+    ``(key, n, slope, intercept)`` from the closed-form sums — one
+    group-keyed aggregate with map-side partials, no iteration.  Groups
+    with fewer than ``min_n`` points or zero x-variance are dropped
+    (slope undefined).  The formula is spelled out (not ``regr_slope``)
+    for cross-engine bit-comparability."""
+    cx = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    cy = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    g = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").cast("double").alias("__n"),
+        F.sum(cx).alias("__sx"), F.sum(cy).alias("__sy"),
+        F.sum(cx * cx).alias("__sxx"), F.sum(cx * cy).alias("__sxy"))
+    varx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = ((F.col("__n") * F.col("__sxy")
+              - F.col("__sx") * F.col("__sy")) / varx)
+    intercept = (F.col("__sy") - slope * F.col("__sx")) / F.col("__n")
+    p = 10 ** round_digits
+    return (g.filter((F.col("__n") >= min_n) & (varx > 0))
+            .select("key", F.col("__n").cast("long").alias("n"),
+                    (F.floor(slope * p + F.lit(0.5)) / p).alias("slope"),
+                    (F.floor(intercept * p + F.lit(0.5)) / p)
+                    .alias("intercept")))
+
+
+def iqr_outliers(df: DataFrame, group_col: str, value_col: str,
+                 k: float = 1.5, round_digits: int = 6) -> DataFrame:
+    """Per-group Tukey-fence outlier profile: ``(group, n, q1, q3,
+    n_outliers)`` with fences at ``q1 − k·IQR`` / ``q3 + k·IQR``.
+
+    Two group-keyed aggregates (exact interpolated percentiles, then a
+    conditional count against the broadcast per-group bounds) — the
+    bounds table has one row per group, so the join back is a broadcast
+    hash join, and the raw values never shuffle twice.  Quartiles and
+    fences are deterministically rounded BEFORE the comparison so the
+    outlier classification is reproducible across engines."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    v = F.col(value_col).cast("double")
+    q = df.groupBy(F.col(group_col).alias("grp")).agg(
+        fr(F.percentile(v, F.lit(0.25))).alias("q1"),
+        fr(F.percentile(v, F.lit(0.75))).alias("q3"))
+    q = q.withColumn("lo", fr(F.col("q1") - k * (F.col("q3") - F.col("q1")))) \
+         .withColumn("hi", fr(F.col("q3") + k * (F.col("q3") - F.col("q1"))))
+    j = df.select(F.col(group_col).alias("grp"), v.alias("__v")) \
+          .join(F.broadcast(q), "grp")
+    return (j.groupBy("grp")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.first("q1").alias("q1"), F.first("q3").alias("q3"),
+                 F.sum(((F.col("__v") < F.col("lo"))
+                        | (F.col("__v") > F.col("hi"))).cast("long"))
+                 .cast("long").alias("n_outliers")))

@@ -407,3 +407,58 @@ def unigram_logprob_profile(df, id_col: str = "doc_id",
                 F.col("n_tokens").cast("long").alias("n_tokens"),
                 (F.floor((F.log("t") - F.col("__slc") / F.col("n_tokens"))
                          * p + F.lit(0.5)) / p).alias("avg_neg_logprob")))
+
+
+def bigram_pmi(df, text_col: str = "text", min_count: int = 5,
+               round_digits: int = 6):
+    """Corpus-level bigram pointwise mutual information — the classic
+    collocation detector (Church & Hanks 1990): pmi(a,b) =
+    ln( (c_ab / B) / ((c_a / U) · (c_b / U)) ) with c_ab counted over
+    adjacent token pairs (B bigram tokens total) and c_a/c_b over
+    unigrams (U tokens total).  High-PMI pairs are multi-word units
+    ("San Francisco"); training pipelines use the table for tokenizer
+    seeding and boilerplate phrase mining.
+
+    Scale shape: bigrams come from ``zip_with`` over the in-row token
+    array (no positional self-join), one pair-keyed count; unigram
+    counts are one token-keyed count; the two scalar totals ride the
+    constant-equi-key broadcast trick (BroadcastHashJoin, never BNLJ).
+    The c_a/c_b lookups are vocabulary-keyed equi-joins.  ``min_count``
+    prunes the bigram tail BEFORE the lookup joins — at 100 TB the
+    hapax tail is most of the table and carries no signal.
+    """
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.expr(f"slice(split({text_col}, '\\\\s+'), 2, "
+               f"size(split({text_col}, '\\\\s+')) - 1)"),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+    big = (df.filter(n >= 2)
+           .select(F.explode(grams).alias("g"))
+           .groupBy(F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+           .agg(F.count("*").cast("double").alias("c_ab"))
+           .filter(F.col("c_ab") >= min_count))
+    uni = (df.select(F.explode(toks).alias("tok"))
+           .filter(F.col("tok") != "")
+           .groupBy("tok")
+           .agg(F.count("*").cast("double").alias("c")))
+    totals = (uni.agg(F.sum("c").alias("u_total"))
+              .withColumn("__k", F.floor(F.col("u_total") * 0)))
+    btotal = (big.agg(F.sum("c_ab").alias("b_total"))
+              .withColumn("__k", F.floor(F.col("b_total") * 0)))
+    p = 10 ** round_digits
+    return (big
+            .join(uni.select(F.col("tok").alias("a"),
+                             F.col("c").alias("c_a")), "a")
+            .join(uni.select(F.col("tok").alias("b"),
+                             F.col("c").alias("c_b")), "b")
+            .withColumn("__k", F.floor(F.col("c_ab") * 0))
+            .join(F.broadcast(totals), "__k")
+            .join(F.broadcast(btotal), "__k")
+            .select(
+                "a", "b", F.col("c_ab").cast("long").alias("n_ab"),
+                (F.floor(F.log((F.col("c_ab") / F.col("b_total"))
+                               / ((F.col("c_a") / F.col("u_total"))
+                                  * (F.col("c_b") / F.col("u_total"))))
+                         * p + F.lit(0.5)) / p).alias("pmi")))

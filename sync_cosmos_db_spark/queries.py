@@ -428,6 +428,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_infra  # noqa: F401
     from sync_cosmos_db_spark import queries_tpch2  # noqa: F401
     from sync_cosmos_db_spark import queries_pipeline  # noqa: F401
+    from sync_cosmos_db_spark import queries_analytics  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -437,6 +438,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_infra  # noqa: F401
     from sync_cosmos_db_spark import queries_tpch2  # noqa: F401
     from sync_cosmos_db_spark import queries_pipeline  # noqa: F401
+    from sync_cosmos_db_spark import queries_analytics  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

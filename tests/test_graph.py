@@ -1,0 +1,90 @@
+"""PageRank (operators/graph.py): invariants on small graphs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators.graph import pagerank
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w double")
+
+
+def test_uniform_cycle_stays_uniform(spark):
+    # 3-cycle with equal weights: the stationary distribution is uniform,
+    # and every iteration preserves it exactly.
+    e = _edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)])
+    pr = {r.node: r.pr for r in pagerank(e, n_iter=5).collect()}
+    for v in pr.values():
+        assert v == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_mass_conserved_without_dangling(spark):
+    # every node has out-edges → total rank mass stays 1.
+    e = _edges(spark, [(1, 2, 1.0), (2, 1, 1.0), (2, 3, 3.0),
+                       (3, 1, 2.0), (3, 2, 1.0)])
+    pr = pagerank(e, n_iter=4)
+    total = pr.agg(F.sum("pr")).collect()[0][0]
+    assert total == pytest.approx(1.0, abs=1e-9)
+
+
+def test_authority_ordering(spark):
+    # star graph: everything points at hub 1 (and back, so no dangling);
+    # the hub must outrank every leaf.
+    rows = []
+    for leaf in (2, 3, 4, 5):
+        rows += [(leaf, 1, 1.0), (1, leaf, 1.0)]
+    pr = {r.node: r.pr
+          for r in pagerank(_edges(spark, rows), n_iter=6).collect()}
+    hub = pr.pop(1)
+    assert all(hub > v for v in pr.values())
+
+
+def test_weights_shift_rank(spark):
+    # 1 sends 9x more weight to 2 than to 3 (with return edges so the
+    # chain mixes): 2 must outrank 3.
+    e = _edges(spark, [(1, 2, 9.0), (1, 3, 1.0),
+                       (2, 1, 1.0), (3, 1, 1.0)])
+    pr = {r.node: r.pr for r in pagerank(e, n_iter=8).collect()}
+    assert pr[2] > pr[3]
+
+
+def test_isolated_receiver_gets_teleport_only(spark):
+    # node 3 has an in-edge but its only "activity" is inbound; node 4
+    # appears only as a dst of a zero-contribution path — here: 3 has no
+    # out-edges (dangling), so its rank leaks but others still get the
+    # teleport floor.
+    e = _edges(spark, [(1, 2, 1.0), (2, 1, 1.0), (1, 3, 1.0)])
+    pr = {r.node: r.pr for r in pagerank(e, n_iter=3).collect()}
+    teleport = (1 - 0.85) / 3
+    assert all(v >= teleport - 1e-12 for v in pr.values())
+
+
+def test_no_lingering_cache(spark):
+    # every INTERMEDIATE cache (nodes, normalized edges, per-iteration
+    # rank vectors) is released inside pagerank; only the documented
+    # result cache remains, and the caller's unpersist returns the
+    # session to its prior cache census.
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    e = _edges(spark, [(1, 2, 1.0), (2, 1, 1.0)])
+    pr = pagerank(e, n_iter=2)
+    pr.collect()
+    assert jsc.getPersistentRDDs().size() == before + 1  # just the result
+    pr.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_n_iter_zero_is_uniform(spark):
+    e = _edges(spark, [(1, 2, 1.0), (2, 1, 1.0)])
+    pr = {r.node: r.pr for r in pagerank(e, n_iter=0).collect()}
+    assert pr == {1: 0.5, 2: 0.5}
+
+
+def test_negative_iter_raises(spark):
+    e = _edges(spark, [(1, 2, 1.0)])
+    with pytest.raises(ValueError):
+        pagerank(e, n_iter=-1)
