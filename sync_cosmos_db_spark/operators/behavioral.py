@@ -124,3 +124,34 @@ def transition_matrix(
     return pairs.withColumn(
         "p",
         F.floor(F.col("n") / F.sum("n").over(tot) * p + F.lit(0.5)) / p)
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Batch sessionization: assign a per-user ``session_idx`` (1-based)
+    that increments whenever the gap to the previous event exceeds
+    ``gap_seconds`` — the classic lag + running-sum construction, the
+    BATCH twin of the native streaming ``session_window``.
+
+    Gap arithmetic runs in integer MICROSECONDS (``unix_micros``) so
+    the boundary decision is exact and engine-portable (second-level
+    epoch extraction truncates in Spark but rounds in DuckDB).  Both
+    window passes share one (user, ts, id) sort; the running sum uses
+    an explicit ROWS frame (ties are impossible — ``id_col`` breaks
+    them — but implicit RANGE frames invite peer-row surprises)."""
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_s = F.when(
+        prev.isNull()
+        | ((us - F.unix_micros(prev)) > gap_seconds * 1_000_000),
+        F.lit(1)).otherwise(F.lit(0))
+    run = (W.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return df.withColumn("session_idx",
+                         F.sum(new_s).over(run).cast("long"))

@@ -437,3 +437,82 @@ def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.length("text").cast("long").alias("text_len"),
         F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (behavioral.sessionize) + stream-static enrichment
+# ---------------------------------------------------------------------------
+
+@query(
+    "session_stats_30m",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+          FROM o)
+    SELECT user_id, session_idx, count(*)::BIGINT AS n_events,
+           (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS duration_us
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def session_stats_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (behavioral.sessionize, 30-min gap): per
+    (user, session) event count and microsecond-exact duration.  The
+    lag + running-sum construction shares one (user, ts, id) sort; gap
+    math is integer micros so the boundary decision is engine-exact."""
+    from sync_cosmos_db_spark.operators.behavioral import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    return (s.groupBy("user_id", "session_idx")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 (F.max(F.unix_micros("ts"))
+                  - F.min(F.unix_micros("ts"))).cast("long")
+                 .alias("duration_us")))
+
+
+@query(
+    "stream_enrich_segment",
+    """
+    SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n_events,
+           floor(sum(e.value) * 100 + 0.5) / 100 AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/windows.enrich_stream): the
+    events STREAM left-joins the broadcast customer dimension per
+    micro-batch (stateless, no stream shuffle), then aggregates per
+    market segment.  Executed as a real availableNow stream into a
+    memory sink; the oracle recomputes the join + aggregate in batch
+    SQL."""
+    import uuid
+
+    from sync_cosmos_db_spark.streaming import windows as SW
+
+    # the file-source stream scans a DIRECTORY; expose only events.parquet
+    d = tempfile.mkdtemp(prefix="enrich_stream_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    src = SW.read_events_stream(spark, d)
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select(F.col("c_custkey").alias("user_id"),
+                      F.col("c_mktsegment").alias("segment"))
+    enriched = SW.enrich_stream(src, dim, "user_id")
+    agg = (enriched.groupBy("segment")
+           .agg(F.count("*").cast("long").alias("n_events"),
+                (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
+                .alias("sum_value")))
+    return SW.run_stream_to_memory(
+        spark, agg, f"enrich_mem_{uuid.uuid4().hex[:8]}", mode="complete")

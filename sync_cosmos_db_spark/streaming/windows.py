@@ -187,3 +187,19 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     )
     return (lw.join(rw, cond, "inner")
             .withColumnRenamed(lk, key).drop(rk))
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame,
+                  key: str) -> DataFrame:
+    """Stream-static dimension enrichment: LEFT-join a (small) static
+    dimension onto a stream with an explicit broadcast.
+
+    The static side is planned ONCE and shipped to every executor —
+    per-microbatch it is a stateless map-side hash join, so the
+    enrichment adds zero streaming state and no shuffle of the stream.
+    This is the canonical "attach user/product attributes at ingest"
+    shape; for dimensions too big to broadcast, pre-bucket both sides
+    on the key instead (see SCALING.md).  Left join keeps stream rows
+    whose key is missing from the dimension (attributes null) — an
+    enrichment must never drop events."""
+    return events.join(F.broadcast(dim), key, "left")

@@ -102,3 +102,27 @@ def test_transition_matrix_tiebreak_on_event_id(spark):
     got = [(r.from_type, r.to_type)
            for r in transition_matrix(_ev(spark, rows)).collect()]
     assert got == [("A", "B")]
+
+
+def test_sessionize_gap_boundary_is_strict(spark):
+    from sync_cosmos_db_spark.operators.behavioral import sessionize
+
+    rows = [
+        (1, _t(0), 1, "A"),
+        (2, _t(30), 1, "A"),      # exactly 30 min gap → SAME session
+        (3, _t(61), 1, "A"),      # 31 min gap → new session
+        (4, _t(0), 2, "A"),       # second user independent
+    ]
+    s = {r.event_id: r.session_idx
+         for r in sessionize(_ev(spark, rows), gap_seconds=1800).collect()}
+    assert s == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_preserves_rows_and_columns(spark):
+    from sync_cosmos_db_spark.operators.behavioral import sessionize
+
+    rows = [(1, _t(0), 1, "A"), (2, _t(100), 1, "B")]
+    out = sessionize(_ev(spark, rows), gap_seconds=60)
+    assert out.count() == 2
+    assert set(out.columns) == {"event_id", "ts", "user_id",
+                                "event_type", "session_idx"}

@@ -195,3 +195,27 @@ def test_interval_join_stream_matches_batch(spark, sf_dir,
         (F.col("c_ts") > F.col("p_ts"))
         | (F.col("c_ts") < F.col("p_ts") - F.expr("INTERVAL 1 hour")))
     assert out_of_bound.count() == 0
+
+
+def test_enrich_stream_matches_batch_and_keeps_unmatched(
+        spark, sf_dir, events_stream_dir):
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    # dimension deliberately missing user_ids >= 5 → those events
+    # must survive with a NULL segment (left join, never drops)
+    dim = (cust.filter(F.col("c_custkey") < 5)
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    batch = (ev.join(dim, "user_id", "left")
+             .groupBy("segment").agg(F.count("*").alias("n")))
+    src = SW.read_events_stream(spark, events_stream_dir)
+    streamed = SW.run_stream_to_memory(
+        spark, SW.enrich_stream(src, dim, "user_id")
+        .groupBy("segment").agg(F.count("*").alias("n")),
+        "enrich_test_mem", mode="complete")
+    a = {(r.segment, r.n) for r in batch.collect()}
+    b = {(r.segment, r.n) for r in streamed.collect()}
+    assert a == b
+    assert any(seg is None for seg, _ in b)
