@@ -378,3 +378,35 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= max_rows)
             .drop("__rn"))
+
+
+def weighted_sample_k(df: DataFrame, id_col: str, weight_col: str,
+                      k: int, salt: str = "wsample") -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact-k, deterministic:
+    the Efraimidis–Spirakis A-ES scheme in its exponential-clocks form.
+    Each row draws a reproducible uniform u from a sha2 digest of its
+    id and gets key = −ln(u)/w; the k SMALLEST keys are the sample —
+    provably equivalent to sequential weighted draws without
+    replacement.
+
+    Every step is chosen for cross-engine replay: the uniform comes
+    from the digit-translate of the digest's first 12 hex chars (the
+    same construction as ``hash_bucket`` — deterministic everywhere,
+    and any monotone deterministic u works for A-ES), and ties on the
+    key break by id.  At 100 TB the global top-k runs as
+    TakeOrderedAndProject — per-partition bounded heaps, never a full
+    sort shuffle.  Rows with non-positive weight are excluded (their
+    inclusion probability is 0 by definition)."""
+    c = F.col(id_col)
+    digits = F.translate(
+        F.substring(F.sha2(F.concat(c.cast("string"), F.lit(":" + salt)),
+                           256), 1, 12),
+        "abcdef", "012345").cast("long")
+    u = (digits + 1) / F.lit(1_000_000_000_001.0)
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (df.filter(w > 0)
+            .withColumn("__k", key)
+            .orderBy(F.col("__k"), c)
+            .limit(k)
+            .drop("__k"))

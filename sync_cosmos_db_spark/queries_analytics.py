@@ -516,3 +516,55 @@ def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("sum_value")))
     return SW.run_stream_to_memory(
         spark, agg, f"enrich_mem_{uuid.uuid4().hex[:8]}", mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (curation.weighted_sample_k) + parquet compaction
+# ---------------------------------------------------------------------------
+
+@query(
+    "weighted_sample_docs",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             -ln((translate(substr(sha256(doc_id::VARCHAR || ':wsample'),
+                                   1, 12), 'abcdef', '012345')::BIGINT + 1)
+                 / 1000000000001.0) / n_chars AS key
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars FROM s ORDER BY key, doc_id LIMIT 100
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sample without replacement (A-ES exponential
+    clocks, weight = document length).  The OUTPUT is integer columns
+    only — the float sort key never surfaces — and the oracle replays
+    the identical draw, so the exact sampled id set is hash-verified."""
+    from sync_cosmos_db_spark.operators.curation import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, "doc_id", "n_chars", 100) \
+        .select("doc_id", "n_chars")
+
+
+@query(
+    "compact_roundtrip_documents",
+    """
+    SELECT doc_id, lang, sha256(text) AS text_sha FROM documents
+    """,
+)
+def compact_roundtrip_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Small-file compaction (sinks.compact_parquet): documents written
+    as 24 deliberately-tiny files, compacted in place to size-targeted
+    files, read back and content-hash-compared against the original —
+    lake hygiene verified end to end (O13/O14 family)."""
+    from sync_cosmos_db_spark.sinks import compact_parquet
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = os.path.join(tempfile.mkdtemp(prefix="compact_rt_"), "docs")
+    docs.select("doc_id", "lang", "text").repartition(24) \
+        .write.parquet(d)
+    compact_parquet(spark, d, target_file_mb=256)
+    back = spark.read.parquet(d)
+    return back.select("doc_id", "lang",
+                       F.sha2(F.col("text"), 256).alias("text_sha"))

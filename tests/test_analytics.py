@@ -150,3 +150,40 @@ def test_orc_schema_pinning_drops_extra_column(spark):
     back = read_orc(spark, d, schema="id long, body string")
     assert back.columns == ["id", "body"]
     assert back.collect()[0].body == "x"
+
+
+# --- weighted sampling (A-ES) ----------------------------------------------
+
+def test_weighted_sample_exact_k_and_deterministic(spark):
+    from sync_cosmos_db_spark.operators.curation import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(200)], "id long, w double")
+    a = sorted(r.id for r in
+               weighted_sample_k(df, "id", "w", 30).collect())
+    b = sorted(r.id for r in
+               weighted_sample_k(df, "id", "w", 30).collect())
+    assert len(a) == 30 and a == b
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from sync_cosmos_db_spark.operators.curation import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 1.0), (4, 2.0)], "id long, w double")
+    got = sorted(r.id for r in
+                 weighted_sample_k(df, "id", "w", 10).collect())
+    assert got == [3, 4]
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from sync_cosmos_db_spark.operators.curation import weighted_sample_k
+
+    # 50 heavy rows (w=50) vs 450 light rows (w=1): heavy mass fraction
+    # is 2500/2950 ≈ 0.85, so a 100-row sample should be heavy-dominated.
+    rows = [(i, 50.0) for i in range(50)]
+    rows += [(i, 1.0) for i in range(50, 500)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [r.id for r in weighted_sample_k(df, "id", "w", 100).collect()]
+    n_heavy = sum(1 for i in got if i < 50)
+    assert n_heavy >= 35  # all-but-certain under A-ES; salt-deterministic
