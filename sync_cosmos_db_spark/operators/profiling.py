@@ -174,3 +174,52 @@ def iqr_outliers(df: DataFrame, group_col: str, value_col: str,
                  F.sum(((F.col("__v") < F.col("lo"))
                         | (F.col("__v") > F.col("hi"))).cast("long"))
                  .cast("long").alias("n_outliers")))
+
+
+def centroid_outliers(df: DataFrame, id_col: str = "vec_id",
+                      label_col: str = "label",
+                      vec_col: str = "embedding",
+                      top_n: int = 5, round_digits: int = 4) -> DataFrame:
+    """Per-class embedding outliers: the ``top_n`` vectors farthest
+    (Euclidean) from their class centroid — the standard first-pass
+    mislabel/contamination screen over an embedded corpus.
+
+    Scale shape: the centroid is computed *relationally* — posexplode
+    to (label, pos, value), avg per (label, pos), regroup to one
+    64-float array per label — so the shuffle carries (labels × dims)
+    partial-agg rows, never vectors; the tiny centroid table then
+    broadcast-joins back and the distance is a single in-row
+    ``zip_with``/``aggregate`` HOF (no UDF, no second shuffle).  The
+    final per-label top-n is one window over (labels × top_n)-bounded
+    output.
+
+    Determinism: centroids are rounded to ``round_digits+2`` and
+    distances to ``round_digits`` BEFORE ranking, so an engine
+    recomputing with a different summation order ranks identically;
+    ties break on the smaller id.
+    """
+    from pyspark.sql import Window as W
+
+    pc = 10 ** (round_digits + 2)
+    pd_ = 10 ** round_digits
+    e = df.select(
+        label_col,
+        F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    cent = (e.groupBy(label_col, "pos")
+            .agg((F.floor(F.avg(F.col("v").cast("double")) * pc
+                          + F.lit(0.5)) / pc).alias("c")))
+    cent_arr = (cent.groupBy(label_col)
+                .agg(F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda s: s["c"]).alias("cvec")))
+    sq = F.zip_with(F.col(vec_col),
+                    F.col("cvec"),
+                    lambda x, c: (x.cast("double") - c)
+                    * (x.cast("double") - c))
+    dist = F.sqrt(F.aggregate(sq, F.lit(0.0), lambda a, x: a + x))
+    d = (df.join(F.broadcast(cent_arr), label_col)
+         .select(id_col, label_col,
+                 (F.floor(dist * pd_ + F.lit(0.5)) / pd_).alias("dist")))
+    w = W.partitionBy(label_col).orderBy(F.desc("dist"), F.asc(id_col))
+    return (d.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= top_n))

@@ -117,3 +117,56 @@ def bm25_topk(
     return (scored
             .orderBy(F.desc("score"), F.asc(id_col))
             .limit(k))
+
+
+def tfidf_related(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", max_df: int = 500,
+                  top_n: int = 1, round_digits: int = 6) -> DataFrame:
+    """Most-similar document per document under L2-normalized TF-IDF
+    cosine — "related articles" over the corpus, fully relational.
+
+    weight(d,t) = tf(d,t) · ln(N / df(t)), L2-normalized per doc;
+    cos(a,b) = Σ_t ŵ(a,t)·ŵ(b,t) accumulated by a self-join of the
+    inverted index on ``term``.
+
+    Scale shape: the self-join is term-keyed, so its cost is
+    Σ_t df(t)² — bounded by dropping terms with ``df(t) > max_df``
+    (stop-word-grade terms contribute near-zero idf weight but
+    quadratic pairs; the cap is the same posting-list guard as
+    ``posting_lists``).  Cosines are pre-rounded before ranking so
+    float summation order can't flip ranks; ties break on the smaller
+    partner id.  One explode, three term/doc-keyed shuffles, no UDFs
+    and no n² driver work.
+    """
+    from pyspark.sql import Window as W
+
+    toks = _tokens(df, id_col, text_col)
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count("*").cast("double").alias("tf"))
+    n_docs = df.count()  # one scalar; scan is count-only (pruned)
+    dfreq = (tf.groupBy("term")
+             .agg(F.count("*").cast("double").alias("df_t"))
+             .where(F.col("df_t") <= max_df))
+    w = tf.join(dfreq, "term").withColumn(
+        "w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")))
+    norm = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    unit = (w.join(norm, id_col)
+            .select(id_col, "term", (F.col("w") / F.col("nrm")).alias("u")))
+
+    a = unit.select(F.col(id_col).alias("a"), "term", F.col("u").alias("ua"))
+    b = unit.select(F.col(id_col).alias("b"), "term", F.col("u").alias("ub"))
+    p = 10 ** round_digits
+    pairs = (a.join(b, "term")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg((F.floor(F.sum(F.col("ua") * F.col("ub")) * p
+                           + F.lit(0.5)) / p).alias("cosine")))
+    both = pairs.union(pairs.select(F.col("b").alias("a"),
+                                    F.col("a").alias("b"), "cosine"))
+    rk = W.partitionBy("a").orderBy(F.desc("cosine"), F.asc("b"))
+    return (both.withColumn("rk", F.row_number().over(rk))
+            .where(F.col("rk") <= top_n)
+            .select(F.col("a").alias(id_col),
+                    F.col("b").alias("related_id"), "cosine",
+                    F.col("rk").cast("long").alias("rk")))

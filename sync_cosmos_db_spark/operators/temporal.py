@@ -150,3 +150,47 @@ def scd2_history(
             .withColumn("valid_from", F.col(time_col))
             .withColumn("valid_to", F.lead(time_col).over(w2))
             .withColumn("is_current", F.col("valid_to").isNull()))
+
+
+def gap_fill(df: DataFrame, keys: list[str], ts_col: str,
+             value_cols: list[str], step: str = "1 day") -> DataFrame:
+    """Regularize a sparse per-key time series: emit one row per key
+    per ``step`` between that key's first and last observation, left-
+    joining the observed rows in and forward-filling ``value_cols``
+    (TimescaleDB calls this time_bucket_gapfill + locf; the reference
+    has no time axis at all).
+
+    Scale shape — three relational steps, one key-partitioned window:
+
+    * bounds: ``groupBy(keys).agg(min/max(ts))`` — map-side partials,
+      one tiny shuffle (one row per key).
+    * spine: ``explode(sequence(lo, hi, step))`` — generated from the
+      1-row-per-key bounds, so the expensive explode never touches the
+      fact table and its width is data-bounded (span/step rows per
+      key, not a cross join against a global calendar).
+    * fill: left join spine↔observations on (keys, ts) — both sides
+      hash-partitioned by key — then ``last(v, ignorenulls)`` over a
+      key-partitioned window.  One exchange feeds both the join and
+      the window (same keys), and state per window partition is one
+      scalar per value column.
+
+    ``step`` is a SQL interval literal (e.g. ``'1 day'``).  ``ts_col``
+    must already be truncated to the grid (the operator fills gaps, it
+    does not bucket).
+    """
+    from pyspark.sql import Window as W
+
+    lo, hi = "__lo__", "__hi__"
+    bounds = df.groupBy(*keys).agg(F.min(ts_col).alias(lo),
+                                   F.max(ts_col).alias(hi))
+    spine = bounds.select(
+        *keys,
+        F.explode(F.expr(f"sequence({lo}, {hi}, interval {step})"))
+        .alias(ts_col))
+    filled = spine.join(df, [*keys, ts_col], "left")
+    w = (W.partitionBy(*keys).orderBy(ts_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    for v in value_cols:
+        filled = filled.withColumn(
+            f"{v}_filled", F.last(v, ignorenulls=True).over(w))
+    return filled

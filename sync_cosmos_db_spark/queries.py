@@ -313,8 +313,10 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Union property: every registered oracle query has a green row in
 # r2 ∪ r3.  Nothing is dropped — out-of-window queries stay registered
 # and pytest-covered (tests/test_oracle.py sweeps ALL oracles locally).
-# The 14 TPC-H part-2 queries (queries_tpch2.py, added late r3) queue
-# for the r4 window.
+# The 14 TPC-H part-2 queries (queries_tpch2.py, added late r3) and
+# the queries_scale.py five (runtime filter, gap-fill, TF-IDF,
+# incremental agg, centroid outliers — added late r3) queue for the
+# r4 window; all are swept by tests/test_oracle.py meanwhile.
 SWEEP_PRIORITY: list[str] = [
     # --- migration kernel + new infra-operator queries (O9 O10 O13 O14
     #     O22 O24 got their first oracle-checked queries this round).
@@ -429,6 +431,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_tpch2  # noqa: F401
     from sync_cosmos_db_spark import queries_pipeline  # noqa: F401
     from sync_cosmos_db_spark import queries_analytics  # noqa: F401
+    from sync_cosmos_db_spark import queries_scale  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -439,6 +442,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_tpch2  # noqa: F401
     from sync_cosmos_db_spark import queries_pipeline  # noqa: F401
     from sync_cosmos_db_spark import queries_analytics  # noqa: F401
+    from sync_cosmos_db_spark import queries_scale  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

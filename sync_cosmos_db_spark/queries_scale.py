@@ -1,0 +1,232 @@
+"""Round-3 scale-pattern queries: runtime-filter join pruning,
+time-series gap-fill + forward fill, TF-IDF related documents,
+incremental aggregate maintenance, and embedding centroid outliers.
+
+Every query is oracle-checked (hash-compared against DuckDB at
+sf0.01).  Two of them are *algebra proofs* as much as value checks:
+
+* ``runtime_filter_orders`` — the pruned plan must equal the unpruned
+  semi join bit-for-bit (no false negatives in the hash filter);
+* ``incr_agg_orders_merge`` — states built over an old/new split and
+  merged must equal one full-scan aggregate (mergeability of the
+  count/sum/min/max monoid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators import aggstate as S
+from sync_cosmos_db_spark.operators.profiling import centroid_outliers
+from sync_cosmos_db_spark.operators.pruning import runtime_filter_semi_join
+from sync_cosmos_db_spark.operators.retrieval import tfidf_related
+from sync_cosmos_db_spark.operators.temporal import gap_fill
+from sync_cosmos_db_spark.queries import fround, query
+from sync_cosmos_db_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# Runtime-filter join pruning (operators/pruning.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "runtime_filter_orders",
+    """
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           count(*)::BIGINT AS n_orders,
+           floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer
+      WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500)
+    GROUP BY month
+    """,
+)
+def runtime_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue for a selective customer segment, with
+    the fact side pruned by a runtime hash filter BEFORE the exact
+    semi join (operators/pruning.py).  The oracle is the plain
+    unpruned semi join — hash equality proves the filter admits no
+    false negatives, the core Bloom/runtime-filter contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 7500))
+    kept = runtime_filter_semi_join(orders, cust, "o_custkey", "c_custkey",
+                                    num_buckets=1 << 12)
+    return (kept.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.count("*").cast("long").alias("n_orders"),
+             fround(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill + forward fill (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "gapfill_daily_order_revenue",
+    """
+    WITH daily AS (
+      SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
+             floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+      FROM orders WHERE o_orderkey % 50 = 0 GROUP BY prio, d),
+    bounds AS (SELECT prio, min(d) AS lo, max(d) AS hi
+               FROM daily GROUP BY prio),
+    spine AS (SELECT prio,
+                     unnest(generate_series(lo, hi, INTERVAL 1 day)) AS ts
+              FROM bounds),
+    sp AS (SELECT prio, ts::DATE AS d FROM spine)
+    SELECT sp.prio, sp.d, daily.rev,
+           last_value(daily.rev IGNORE NULLS) OVER (
+             PARTITION BY sp.prio ORDER BY sp.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS rev_filled
+    FROM sp LEFT JOIN daily USING (prio, d)
+    """,
+)
+def gapfill_daily_order_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Daily revenue of a sparse order subset (1-in-50 keys) gap-filled
+    to a dense per-priority day grid with last-observation-carried-
+    forward (operators/temporal.py gap_fill).  Observed values are
+    rounded BEFORE the fill so fill-then-round vs round-then-fill
+    can't diverge between engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.where(F.col("o_orderkey") % 50 == 0)
+             .groupBy(F.col("o_orderpriority").alias("prio"),
+                      F.to_date("o_orderdate").alias("d"))
+             .agg(fround(F.sum("o_totalprice"), 2).alias("rev")))
+    return gap_fill(daily, ["prio"], "d", ["rev"], step="1 day").select(
+        "prio", "d", "rev", F.col("rev_filled"))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF related documents (operators/retrieval.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tfidf_related_docs",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             text || ' ka' || (doc_id % 23) || ' kb' || (doc_id % 41) AS t
+      FROM documents),
+    toks AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term
+             FROM corpus),
+    tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+           FROM toks GROUP BY doc_id, term),
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM corpus),
+    dfreq AS (SELECT term, count(*)::DOUBLE AS df_t FROM tf
+              GROUP BY term HAVING count(*) <= 50),
+    w AS (SELECT tf.doc_id, tf.term,
+                 tf.tf * ln(n.n_docs / dfreq.df_t) AS w
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+    unit AS (SELECT doc_id, term,
+                    w / sqrt(sum(w * w) OVER (PARTITION BY doc_id)) AS u
+             FROM w),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             floor(sum(a.u * b.u) * 1000000 + 0.5) / 1000000 AS cosine
+      FROM unit a JOIN unit b USING (term)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    sym AS (SELECT a, b, cosine FROM pairs
+            UNION ALL SELECT b, a, cosine FROM pairs)
+    SELECT a AS doc_id, b AS related_id, cosine,
+           row_number() OVER (PARTITION BY a
+                              ORDER BY cosine DESC, b)::BIGINT AS rk
+    FROM sym
+    QUALIFY rk <= 1
+    """,
+)
+def tfidf_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 related document per document under L2-normalized TF-IDF
+    cosine (operators/retrieval.py tfidf_related).  The corpus gets two
+    injected low-df marker tokens per doc so the df cap (50) does real
+    work: the 31 natural stop-word-grade terms (df ≈ 400/500) are
+    pruned from the quadratic term self-join while the markers
+    (df ≈ 13-22) and one genuinely rare natural term survive —
+    exactly the stop-word-vs-signal split the cap exists for."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" ka"), (F.col("doc_id") % 23).cast("string"),
+                 F.lit(" kb"), (F.col("doc_id") % 41).cast("string"))
+        .alias("text"))
+    return tfidf_related(corpus, max_df=50, top_n=1)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (operators/aggstate.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "incr_agg_orders_merge",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)::BIGINT AS n,
+           floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS total,
+           floor(min(o_totalprice) * 10000 + 0.5) / 10000 AS lo,
+           floor(max(o_totalprice) * 10000 + 0.5) / 10000 AS hi,
+           floor(sum(o_totalprice) / count(*) * 10000 + 0.5) / 10000
+             AS mean
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def incr_agg_orders_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/aggstate.py):
+    mergeable count/sum/min/max states built SEPARATELY over an
+    old/new split of orders (before/after 1999-01-01), merged without
+    touching base rows, then finalized (avg derived at the end).  The
+    oracle is one full-scan aggregate — hash equality is the
+    mergeability proof that lets a standing 100 TB aggregate absorb a
+    daily delta with delta-only scan cost."""
+    orders = load_table(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cut = F.lit("1999-01-01").cast("timestamp")
+    base = S.agg_state(orders.where(F.col("o_orderdate") < cut),
+                       keys, "o_totalprice")
+    delta = S.agg_state(orders.where(F.col("o_orderdate") >= cut),
+                        keys, "o_totalprice")
+    return S.finalize(S.merge_states(base, delta, keys), keys)
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid outliers (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_centroid_outliers",
+    """
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    cent AS (SELECT label, pos,
+                    floor(avg(v) * 1000000 + 0.5) / 1000000 AS c
+             FROM e GROUP BY label, pos),
+    d AS (SELECT e.vec_id, e.label,
+                 floor(sqrt(sum((e.v - cent.c) * (e.v - cent.c)))
+                       * 10000 + 0.5) / 10000 AS dist
+          FROM e JOIN cent USING (label, pos)
+          GROUP BY e.vec_id, e.label)
+    SELECT vec_id, label, dist,
+           row_number() OVER (PARTITION BY label
+                              ORDER BY dist DESC, vec_id)::BIGINT AS rk
+    FROM d
+    QUALIFY rk <= 5
+    """,
+)
+def embedding_centroid_outliers(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: top-5 vectors farthest from their
+    class centroid (operators/profiling.py centroid_outliers).
+    Centroids are computed relationally (shuffle carries label×dim
+    partial aggregates, never vectors) and rounded before the distance
+    HOF; distances are rounded before ranking, so both engines rank
+    identically despite different summation orders."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, top_n=5)

@@ -42,6 +42,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Untagged parquet timestamps (isAdjustedToUTC=false) read as
+        # plain TIMESTAMP, not TIMESTAMP_NTZ: keeps epoch functions
+        # (unix_micros & co) applicable and matches how DuckDB treats
+        # naive timestamps in the oracle twin. load_table additionally
+        # pins this per-read so it holds under ANY caller's session.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
@@ -63,25 +69,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     ``src/migration.py:78-82``); in production the same call site uses
     the Cosmos Spark connector (see ``sources/cosmos.py``).
 
-    TIMESTAMP(NANOS) parquet columns (the ``events`` table) are illegal
-    for Spark's vectorized reader; we read them as long nanos via the
-    legacy conf and rebuild a proper TIMESTAMP column. The testdata has
-    no sub-microsecond components, so the conversion is lossless.
+    Two timestamp-encoding quirks are normalized here, because harness
+    regenerations have shipped both:
+
+    * TIMESTAMP(NANOS) columns (an older ``events`` table) are illegal
+      for Spark's vectorized reader; we read them as long nanos via the
+      legacy conf and rebuild a proper TIMESTAMP column. The testdata
+      has no sub-microsecond components, so the conversion is lossless.
+    * Untagged micros (isAdjustedToUTC=false) infer as TIMESTAMP_NTZ
+      on sessions with default confs — which breaks the strict epoch
+      functions (``unix_micros``) and diverges from the DuckDB oracle's
+      naive-timestamp handling. Since the correctness driver calls us
+      with ITS OWN session, we can't rely on ``get_spark``'s conf pin;
+      instead any NTZ column triggers a re-read with a user-pinned
+      schema (TimestampType), which bypasses NTZ inference and keeps
+      the stored micros as epoch micros, exactly like DuckDB.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     path = f"{sf_dir}/{name}.parquet"
-    if name != "events":
-        return spark.read.parquet(path)
-
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    try:
+    if name == "events":
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                              "false")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        for fld in df.schema.fields:
+            if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
         df = spark.read.parquet(path)
-    finally:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    for fld in df.schema.fields:
-        if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    ntz = {f.name for f in df.schema.fields
+           if f.dataType.simpleString() == "timestamp_ntz"}
+    if ntz:
+        pinned = T.StructType([
+            T.StructField(f.name,
+                          T.TimestampType() if f.name in ntz else f.dataType,
+                          f.nullable)
+            for f in df.schema.fields])
+        df = spark.read.schema(pinned).parquet(path)
     return df

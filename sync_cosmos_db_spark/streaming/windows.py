@@ -86,9 +86,32 @@ def session_counts(events: DataFrame, gap: str = "5 minutes",
 # ---------------------------------------------------------------------------
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the harness events parquet. The nanos
-    timestamp is read as long (Spark 4 rejects TIMESTAMP(NANOS)) and
-    rebuilt, mirroring session.load_table."""
+    """File-source stream over the harness events parquet.
+
+    The harness has shipped two physical encodings for ``ts`` across
+    regenerations — TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects outright, and untagged TIMESTAMP(MICROS), which infers as
+    TIMESTAMP_NTZ on default sessions (breaking strict epoch
+    functions).  Both normalize through the same path: read the
+    physical int64 as ``bigint`` (driver-side footer sniff picks the
+    unit) and rebuild an absolute TIMESTAMP from epoch micros,
+    mirroring session.load_table."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    unit = "us"
+    for f in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
+        try:
+            unit = _pq.read_schema(f).field("ts").type.unit
+        except (KeyError, OSError):  # no ts field / unreadable footer
+            pass
+        break
+    div = {"ns": 1000, "us": 1, "ms": 0}.get(unit, 1)
+    if div == 0:  # millis: multiply instead
+        rebuild = F.timestamp_millis(F.col("ts"))
+    else:
+        rebuild = F.timestamp_micros(F.expr(f"ts div {div}"))
     schema = ("event_id bigint, ts bigint, user_id bigint, "
               "event_type string, value double, props string")
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
@@ -98,7 +121,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                .parquet(f"{sf_dir}"))
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", rebuild)
 
 
 def tumbling_counts_stream(events: DataFrame, duration: str = "1 hour",

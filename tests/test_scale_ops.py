@@ -1,0 +1,181 @@
+"""Unit tests for the round-3 scale-pattern operators: runtime-filter
+pruning, gap-fill, TF-IDF related docs, mergeable aggregate states,
+and centroid outliers."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators import aggstate as S
+from sync_cosmos_db_spark.operators.profiling import centroid_outliers
+from sync_cosmos_db_spark.operators.pruning import (
+    apply_hash_filter, build_hash_filter, runtime_filter_semi_join)
+from sync_cosmos_db_spark.operators.retrieval import tfidf_related
+from sync_cosmos_db_spark.operators.temporal import gap_fill
+
+
+# ---------------------------------------------------------------------------
+# pruning
+# ---------------------------------------------------------------------------
+
+def test_runtime_filter_no_false_negatives_and_prunes(spark):
+    fact = spark.range(0, 1000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 1000, 100).select(F.col("id").alias("dk"))  # 10 keys
+
+    got = runtime_filter_semi_join(fact, dim, "k", "dk", num_buckets=64)
+    want = fact.join(dim.select(F.col("dk").alias("k")), "k", "left_semi")
+    assert (sorted(r.k for r in got.collect())
+            == sorted(r.k for r in want.collect()))
+
+    # the hash filter really drops rows before the exact join: with 64
+    # buckets and 10 keys, far fewer than 1000 fact rows survive.
+    filt = build_hash_filter(dim, "dk", num_buckets=64)
+    survivors = apply_hash_filter(fact, filt, "k", num_buckets=64).count()
+    assert survivors < 1000
+    # ...but never fewer than the true matches (no false negatives).
+    assert survivors >= want.count()
+
+
+def test_hash_filter_bounded_by_num_buckets(spark):
+    dim = spark.range(0, 100_000).select(F.col("id").alias("k"))
+    assert build_hash_filter(dim, "k", num_buckets=32).count() <= 32
+
+
+def test_runtime_filter_broadcasts_the_filter(spark):
+    fact = spark.range(0, 100).select(F.col("id").alias("k"))
+    dim = spark.range(0, 10).select(F.col("id").alias("dk"))
+    plan = runtime_filter_semi_join(
+        fact, dim, "k", "dk")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# gap_fill
+# ---------------------------------------------------------------------------
+
+def test_gap_fill_fills_and_carries_forward(spark):
+    d = datetime.date
+    df = spark.createDataFrame(
+        [("a", d(2024, 1, 1), 1.0),
+         ("a", d(2024, 1, 4), 4.0),
+         ("b", d(2024, 1, 2), 2.0)],
+        "k string, d date, v double")
+    out = {(r.k, r.d): (r.v, r.v_filled)
+           for r in gap_fill(df, ["k"], "d", ["v"]).collect()}
+    # dense spine per key, bounded by that key's own min/max
+    assert set(out) == {("a", d(2024, 1, 1)), ("a", d(2024, 1, 2)),
+                        ("a", d(2024, 1, 3)), ("a", d(2024, 1, 4)),
+                        ("b", d(2024, 1, 2))}
+    # observed rows keep their value; gap rows are NULL + carried forward
+    assert out[("a", d(2024, 1, 2))] == (None, 1.0)
+    assert out[("a", d(2024, 1, 3))] == (None, 1.0)
+    assert out[("a", d(2024, 1, 4))] == (4.0, 4.0)
+    assert out[("b", d(2024, 1, 2))] == (2.0, 2.0)
+
+
+def test_gap_fill_no_leading_rows_before_first_observation(spark):
+    d = datetime.date
+    df = spark.createDataFrame([("a", d(2024, 1, 5), 1.0)],
+                               "k string, d date, v double")
+    rows = gap_fill(df, ["k"], "d", ["v"]).collect()
+    assert len(rows) == 1 and rows[0].d == d(2024, 1, 5)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_related
+# ---------------------------------------------------------------------------
+
+def test_tfidf_related_hand_computed(spark):
+    # doc 1 and 2 share the rare term "x"; doc 3 shares nothing rare.
+    df = spark.createDataFrame(
+        [(1, "common x"), (2, "common x"), (3, "common y")],
+        "doc_id long, text string")
+    # max_df=2 prunes "common" (df=3); "x" (df=2) and "y" (df=1) survive.
+    out = {r.doc_id: (r.related_id, r.cosine)
+           for r in tfidf_related(df, max_df=2).collect()}
+    # docs 1,2 each have a single surviving unit-weight term -> cos = 1
+    assert out[1] == (2, 1.0) and out[2] == (1, 1.0)
+    # doc 3's only surviving term is unshared -> no pair at all
+    assert 3 not in out
+
+
+def test_tfidf_df_cap_prunes_stopwords(spark):
+    df = spark.createDataFrame(
+        [(i, "stop every doc") for i in range(10)],
+        "doc_id long, text string")
+    # every term has df=10 > cap -> no surviving terms -> no pairs
+    assert tfidf_related(df, max_df=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# aggstate
+# ---------------------------------------------------------------------------
+
+def test_aggstate_merge_equals_full_recompute(spark):
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 1.5 - 100).alias("v"))
+    full = S.agg_state(df, ["g"], "v")
+    merged = S.merge_states(
+        S.agg_state(df.where("id % 2 = 0"), ["g"], "v"),
+        S.agg_state(df.where("id % 2 = 1"), ["g"], "v"), ["g"])
+    f = {r.g: r for r in S.finalize(full, ["g"]).collect()}
+    m = {r.g: r for r in S.finalize(merged, ["g"]).collect()}
+    assert f.keys() == m.keys()
+    for g in f:
+        assert tuple(f[g]) == tuple(m[g])
+
+
+def test_aggstate_merge_associative(spark):
+    df = spark.range(0, 300).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("double").alias("v"))
+    a = S.agg_state(df.where("id < 100"), ["g"], "v")
+    b = S.agg_state(df.where("id >= 100 and id < 200"), ["g"], "v")
+    c = S.agg_state(df.where("id >= 200"), ["g"], "v")
+    left = S.merge_states(S.merge_states(a, b, ["g"]), c, ["g"])
+    right = S.merge_states(a, S.merge_states(b, c, ["g"]), ["g"])
+    lrows = sorted(tuple(r) for r in S.finalize(left, ["g"]).collect())
+    rrows = sorted(tuple(r) for r in S.finalize(right, ["g"]).collect())
+    assert lrows == rrows
+
+
+def test_aggstate_merge_disjoint_group_appears_once(spark):
+    base = S.agg_state(
+        spark.createDataFrame([("a", 1.0)], "g string, v double"),
+        ["g"], "v")
+    delta = S.agg_state(
+        spark.createDataFrame([("b", 2.0)], "g string, v double"),
+        ["g"], "v")
+    rows = {r.g: r for r in
+            S.finalize(S.merge_states(base, delta, ["g"]), ["g"]).collect()}
+    assert rows["a"].n == 1 and rows["b"].n == 1
+
+
+# ---------------------------------------------------------------------------
+# centroid_outliers
+# ---------------------------------------------------------------------------
+
+def test_centroid_outliers_planted_outlier_ranks_first(spark):
+    rows = [(i, 0, [0.0, 0.0]) for i in range(10)]
+    rows.append((99, 0, [100.0, 100.0]))  # far from the centroid
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    out = centroid_outliers(df, top_n=1).collect()
+    assert len(out) == 1 and out[0].vec_id == 99 and out[0].rk == 1
+
+
+def test_centroid_outliers_respects_labels(spark):
+    rows = ([(i, 0, [0.0]) for i in range(5)]
+            + [(100 + i, 1, [50.0]) for i in range(5)])
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>")
+    out = centroid_outliers(df, top_n=2)
+    assert out.count() == 4  # 2 per label
+    assert out.where("label = 0").count() == 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
