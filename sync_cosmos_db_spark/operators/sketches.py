@@ -1,0 +1,98 @@
+"""Misra-Gries heavy hitters: find every item whose frequency exceeds
+n/(k+1) with bounded memory per partition and an exact final answer.
+
+The reference has no frequency analysis at all; Spark's built-ins
+cover approximate distinct (HLL) and quantiles but not frequent items
+with a guarantee.  The classic two-phase shape:
+
+1. **Sketch** — each partition runs a Misra-Gries summary with ``k``
+   counters over its rows (``mapInPandas``, Arrow-batched; O(k)
+   memory regardless of partition size).  MG guarantees any item with
+   partition count > n_p/(k+1) survives its partition, and by
+   pigeonhole any item with GLOBAL count > n/(k+1) beats that bar in
+   at least one partition — so the union of partition survivors is a
+   superset of the true heavy hitters.  That containment is the whole
+   correctness story, and it holds for ANY partitioning of the input.
+2. **Verify** — exact recount of the candidate set only: candidates
+   broadcast into a semi join (≤ k · partitions items, tiny), one
+   group-keyed aggregate over the filtered scan, integer threshold
+   ``count·(k+1) > n``.  Output is EXACT — same rows a full groupBy +
+   HAVING would produce — which is what lets the driver hash-compare
+   it against a plain SQL oracle while the memory-bounded sketch does
+   the heavy lifting.
+
+At 100 TB the win over a straight groupBy-then-filter is the shuffle:
+the sketch pass shuffles nothing and the verify pass shuffles only
+rows whose item is among ≤ k·partitions candidates, not the full
+(item, partial-count) space of a billion-key vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CANDIDATE_SCHEMA = "item string, est long"
+
+
+def _mg_summary(values, k: int) -> dict:
+    """Textbook Misra-Gries over an iterable: at most ``k`` counters;
+    a full table decrements all (dropping zeros) instead of evicting."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            counters = {i: c - 1 for i, c in counters.items() if c > 1}
+    return counters
+
+
+def mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-partition MG summaries → (item, est) candidate rows
+    (≤ k rows per partition)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from itertools import chain
+
+        counters = _mg_summary(
+            chain.from_iterable(pdf[item_col] for pdf in batches), k)
+        yield pd.DataFrame({"item": list(counters.keys()),
+                            "est": list(counters.values())})
+
+    return items.select(F.col(item_col)).mapInPandas(
+        run, schema=CANDIDATE_SCHEMA)
+
+
+def heavy_hitters(items: DataFrame, item_col: str = "item",
+                  k: int = 20) -> DataFrame:
+    """Exact set of items with count > n/(k+1), computed via the
+    MG-sketch-then-verify pipeline above.  Returns (item, cnt)."""
+    total = items.count()
+    cands = mg_candidates(items, item_col, k).select("item").distinct()
+    exact = (items.select(F.col(item_col).alias("item"))
+             .join(F.broadcast(cands), "item", "left_semi")
+             .groupBy("item")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    # integer-arithmetic threshold: cnt·(k+1) > n — exact cross-engine
+    return exact.where(F.col("cnt") * (k + 1) > F.lit(total))
+
+
+def _register_self_for_pickle_by_value() -> None:
+    """Ship this module's code inside task closures so executors don't
+    need the package installed (mirrors operators/multimodal.py)."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except (ImportError, AttributeError, KeyError):
+        pass  # older cloudpickle: fall back to normal --py-files deployment
+
+
+_register_self_for_pickle_by_value()

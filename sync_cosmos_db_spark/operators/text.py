@@ -462,3 +462,31 @@ def bigram_pmi(df, text_col: str = "text", min_count: int = 5,
                                / ((F.col("c_a") / F.col("u_total"))
                                   * (F.col("c_b") / F.col("u_total"))))
                          * p + F.lit(0.5)) / p).alias("pmi")))
+
+
+def clean_text(col: Column | str, lowercase: bool = False) -> Column:
+    """Curation-grade text cleanup, stricter than ``normalize_text``:
+    strip ASCII control characters, squeeze runs of 3+ repeated
+    sentence punctuation down to one ("!!!!!" → "!"), collapse
+    whitespace runs, trim, and optionally lowercase.
+
+    Every step is a single-pass JVM regexp over the row — zero
+    shuffle, stays inside whole-stage codegen, the right shape for a
+    per-document pass over 100 TB.  Patterns stick to ASCII classes
+    with no backreferences so the identical regex is valid in both
+    Java's engine and RE2-family engines (the DuckDB oracle runs the
+    same patterns; the byte-exact hash check is what enforces that the
+    two engines agree)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+    # one replace per punctuation char: a backreference form
+    # ([!?.,])\1{2,} would be terser but RE2 engines reject pattern
+    # backrefs, and oracle parity requires RE2-safe patterns
+    for ch, esc in (("!", "!"), ("?", r"\?"), (".", r"\."),
+                    (",", ","), (";", ";"), (":", ":")):
+        c = F.regexp_replace(c, esc + "{3,}", ch)
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return c

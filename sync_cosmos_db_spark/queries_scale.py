@@ -230,3 +230,189 @@ def embedding_centroid_outliers(spark: SparkSession,
     identically despite different summation orders."""
     emb = load_table(spark, sf_dir, "embeddings")
     return centroid_outliers(emb, top_n=5)
+
+
+# ---------------------------------------------------------------------------
+# Curation text cleanup (operators/text.py clean_text)
+# ---------------------------------------------------------------------------
+
+@query(
+    "clean_text_roundtrip",
+    r"""
+    WITH noisy AS (
+      SELECT doc_id,
+             text || chr(9) || 'wow!!!!!' || chr(1) || '   done...........'
+                  || chr(11) || '  ' AS t
+      FROM documents),
+    cleaned AS (
+      SELECT doc_id, t,
+        trim(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
+            regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+            '!{3,}', '!', 'g'), '\?{3,}', '?', 'g'),
+            '\.{3,}', '.', 'g'),
+          '\s+', ' ', 'g')) AS c
+      FROM noisy)
+    SELECT doc_id, sha256(c) AS clean_sha,
+           (length(t) - length(c))::BIGINT AS removed
+    FROM cleaned
+    """,
+)
+def clean_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation text cleanup (operators/text.py clean_text) over a
+    corpus with deterministically injected noise: control characters,
+    punctuation runs, whitespace runs, trailing blanks.  The cleaned
+    text is sha-hash-compared byte-for-byte, so both engines are held
+    to the exact same normalization semantics (the reason every
+    pattern is RE2-safe)."""
+    from sync_cosmos_db_spark.operators.text import clean_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit("\twow!!!!!\x01   done...........\x0b  "))
+        .alias("t"))
+    return noisy.select(
+        "doc_id",
+        F.sha2(clean_text("t"), 256).alias("clean_sha"),
+        (F.length("t") - F.length(clean_text("t")))
+        .cast("long").alias("removed"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (operators/url.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "url_canonical_groups",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+        CASE doc_id % 4
+          WHEN 0 THEN 'https://www.site' || (doc_id % 5)
+                      || '.com/p/' || (doc_id % 10) || '?a=1&b=2'
+          WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id % 5)
+                      || '.COM:443/p/' || (doc_id % 10) || '?b=2&a=1#frag'
+          WHEN 2 THEN 'https://www.site' || (doc_id % 5)
+                      || '.com:443/p/' || (doc_id % 10) || '?a=1&b=2#x'
+          ELSE 'not a url ' || doc_id
+        END AS url
+      FROM documents),
+    expected AS (
+      -- the INDEPENDENT expectation: canonical form derived from the
+      -- synthetic arithmetic, not by re-running any URL parser
+      SELECT doc_id,
+        CASE WHEN doc_id % 4 = 3 THEN 'not a url ' || doc_id
+             ELSE 'https://www.site' || (doc_id % 5) || '.com/p/'
+                  || (doc_id % 10) || '?a=1&b=2' END AS canon,
+        CASE WHEN doc_id % 4 = 3 THEN ''
+             ELSE 'site' || (doc_id % 5) || '.com' END AS domain
+      FROM urls)
+    SELECT canon, domain, count(*)::BIGINT AS n_variants,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM expected GROUP BY canon, domain
+    """,
+)
+def url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (operators/url.py): host/scheme case,
+    explicit default ports, fragments, and query-parameter order all
+    collapse to one canonical form; non-URLs pass through trimmed.
+    The oracle computes the EXPECTED canonical directly from the
+    synthetic derivation arithmetic — an independent expectation, so a
+    bug in the regexp chain can't cancel out of both sides."""
+    from sync_cosmos_db_spark.operators.url import (canonicalize_url,
+                                                    registrable_domain)
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = (F.col("doc_id") % 5).cast("string")
+    m = (F.col("doc_id") % 10).cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(F.lit("https://www.site"), k,
+                                   F.lit(".com/p/"), m, F.lit("?a=1&b=2")))
+           .when(v == 1, F.concat(F.lit("HTTPS://WWW.SITE"), k,
+                                  F.lit(".COM:443/p/"), m,
+                                  F.lit("?b=2&a=1#frag")))
+           .when(v == 2, F.concat(F.lit("https://www.site"), k,
+                                  F.lit(".com:443/p/"), m,
+                                  F.lit("?a=1&b=2#x")))
+           .otherwise(F.concat(F.lit("not a url "),
+                               F.col("doc_id").cast("string"))))
+    urls = docs.select("doc_id", url.alias("url"))
+    return (urls.select(
+        "doc_id",
+        canonicalize_url("url").alias("canon"),
+        F.when(v == 3, F.lit(""))
+        .otherwise(registrable_domain("url")).alias("domain"))
+        .groupBy("canon", "domain")
+        .agg(F.count("*").cast("long").alias("n_variants"),
+             F.count_distinct("doc_id").cast("long").alias("n_docs")))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "heavy_hitter_terms",
+    """
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item
+                  FROM documents),
+    n AS (SELECT count(*) AS total FROM toks)
+    SELECT item, count(*)::BIGINT AS cnt
+    FROM toks CROSS JOIN n
+    GROUP BY item, n.total
+    HAVING count(*) * 21 > n.total
+    """,
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (terms with count > n/21) via the
+    Misra-Gries sketch-then-verify pipeline (operators/sketches.py,
+    k=20): bounded-memory per-partition summaries (mapInPandas) feed a
+    candidate superset — guaranteed to contain every true heavy hitter
+    under any partitioning — and an exact recount of only the
+    candidates applies the integer threshold.  The oracle is the plain
+    full groupBy + HAVING, so hash equality proves the sketch's
+    containment guarantee end-to-end."""
+    from sync_cosmos_db_spark.operators.sketches import heavy_hitters
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("item"))
+    return heavy_hitters(toks, "item", k=20)
+
+
+# ---------------------------------------------------------------------------
+# Time-hierarchy rollup (A9 SQL frontend / A2 GROUPING SETS)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_time_hierarchy",
+    """
+    SELECT year(o_orderdate)::BIGINT AS y,
+           month(o_orderdate)::BIGINT AS mo,
+           count(*)::BIGINT AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((year(o_orderdate)),
+                            (year(o_orderdate), month(o_orderdate)))
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate shape: yearly and monthly order revenue in
+    ONE scan via GROUPING SETS (the time-hierarchy twin of agg_cube /
+    agg_rollup).  Spark expands grouping sets in a single Expand +
+    aggregate — one pass over the fact table feeds every granularity,
+    the same plan a hypertable rollup maintains incrementally."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__orders_th")
+    return spark.sql("""
+        SELECT year(o_orderdate) AS y,
+               month(o_orderdate) AS mo,
+               count(*) AS n,
+               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM __orders_th
+        GROUP BY GROUPING SETS ((year(o_orderdate)),
+                                (year(o_orderdate), month(o_orderdate)))
+    """).select(F.col("y").cast("long"), F.col("mo").cast("long"),
+                F.col("n").cast("long"), "revenue")

@@ -179,3 +179,103 @@ def test_centroid_outliers_respects_labels(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+# ---------------------------------------------------------------------------
+# clean_text / canonicalize_url
+# ---------------------------------------------------------------------------
+
+def test_clean_text_behaviors(spark):
+    from sync_cosmos_db_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [("a\x01b!!!!! wow....   done\t\n ",)], "t string")
+    out = df.select(clean_text("t").alias("c")).collect()[0].c
+    assert out == "ab! wow. done"
+
+
+def test_clean_text_preserves_short_punct_runs(spark):
+    from sync_cosmos_db_spark.operators.text import clean_text
+
+    df = spark.createDataFrame([("hi!! ok.. sure",)], "t string")
+    assert (df.select(clean_text("t").alias("c")).collect()[0].c
+            == "hi!! ok.. sure")
+
+
+def test_canonicalize_url_variants_collapse(spark):
+    from sync_cosmos_db_spark.operators.url import canonicalize_url
+
+    variants = [
+        ("https://www.ex.com/p?a=1&b=2",),
+        ("HTTPS://WWW.EX.COM:443/p?b=2&a=1#f",),
+        ("https://www.ex.com:443/p?a=1&b=2#x",),
+    ]
+    df = spark.createDataFrame(variants, "url string")
+    got = {r.c for r in
+           df.select(canonicalize_url("url").alias("c")).collect()}
+    assert got == {"https://www.ex.com/p?a=1&b=2"}
+
+
+def test_canonicalize_url_edge_cases(spark):
+    from sync_cosmos_db_spark.operators.url import canonicalize_url
+
+    df = spark.createDataFrame(
+        [("http://h.io:8080",), ("not a url",), ("  http://a.b/x  ",)],
+        "url string")
+    got = [r.c for r in
+           df.select(canonicalize_url("url").alias("c")).collect()]
+    # non-default port kept, empty path becomes /, non-URL passes
+    # through trimmed, surrounding whitespace stripped before parse
+    assert got == ["http://h.io:8080/", "not a url", "http://a.b/x"]
+
+
+def test_registrable_domain(spark):
+    from sync_cosmos_db_spark.operators.url import registrable_domain
+
+    df = spark.createDataFrame(
+        [("https://news.site.com/x",), ("https://site.com/x",)],
+        "url string")
+    got = [r.d for r in
+           df.select(registrable_domain("url").alias("d")).collect()]
+    assert got == ["site.com", "site.com"]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_mg_summary_reference_guarantee():
+    from sync_cosmos_db_spark.operators.sketches import _mg_summary
+
+    # 60×"a", 25×"b", 15 singletons: n=100, k=3 -> bar n/(k+1)=25
+    stream = ["a"] * 60 + ["b"] * 25 + [f"s{i}" for i in range(15)]
+    counters = _mg_summary(stream, 3)
+    assert "a" in counters          # 60 > 25: must survive
+    assert len(counters) <= 3
+    assert counters["a"] >= 60 - 100 // 4   # MG undercount bound
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    from sync_cosmos_db_spark.operators.sketches import heavy_hitters
+
+    df = (spark.range(0, 2000)
+          .select(F.when(F.col("id") % 3 == 0, "hot")
+                  .when(F.col("id") % 3 == 1, "warm")
+                  .otherwise(F.concat(F.lit("cold"), F.col("id")))
+                  .alias("item"))
+          .repartition(8))
+    k = 10
+    got = {(r.item, r.cnt) for r in heavy_hitters(df, "item", k).collect()}
+    want = {(r.item, r.cnt) for r in
+            df.groupBy("item").agg(F.count("*").cast("long").alias("cnt"))
+            .where(F.col("cnt") * (k + 1) > 2000).collect()}
+    assert got == want and len(want) == 2
+
+
+def test_mg_candidates_bounded_per_partition(spark):
+    from sync_cosmos_db_spark.operators.sketches import mg_candidates
+
+    df = (spark.range(0, 5000)
+          .select(F.concat(F.lit("i"), (F.col("id") % 500)).alias("item"))
+          .repartition(4))
+    assert mg_candidates(df, "item", 7).count() <= 7 * 4
