@@ -1,0 +1,55 @@
+"""Declarative data-quality expectations: evaluate a rule set against
+a table in ONE scan and emit a per-rule violation report.
+
+The reference's only quality surface is the id/pk validity split
+(``/root/reference/src/document_model.py``, mirrored in
+``document_model.split_valid_invalid``); production pipelines need the
+generalized form — "these invariants must hold, tell me how badly they
+don't" (the Deequ / dbt-test / Great-Expectations shape).
+
+Scale design: every row-local rule compiles to
+``sum(CASE WHEN violated THEN 1 ELSE 0 END)`` inside a single
+aggregate, so N rules cost ONE pass over the table and the output is N
+tiny rows — at 100 TB the scan dominates and adding a rule is free.
+Referential rules (foreign key exists in a dimension) are the one
+exception: each adds a broadcast LEFT ANTI join (the dimension's keys
+ship to the executors; the fact never shuffles).  Rules are plain
+Column predicates, so Catalyst folds constants and prunes columns the
+rule set doesn't touch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Evaluate named row-level predicates (True = row VIOLATES the
+    rule).  Returns ``(rule, n_violations, n_rows, pass_rate)`` — one
+    row per rule, one scan total."""
+    aggs = [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+            for name, cond in rules.items()]
+    counts = df.agg(F.count("*").cast("long").alias("__n"), *aggs)
+    # one wide row -> long form via stack (in-row, no shuffle)
+    pairs = ", ".join(f"'{n}', {n}" for n in rules)
+    long_form = counts.select(
+        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
+        F.col("__n"))
+    rate = (F.lit(1.0)
+            - F.col("n_violations").cast("double") / F.col("__n"))
+    return long_form.select(
+        "rule",
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.col("__n").alias("n_rows"),
+        (F.floor(rate * 1000000 + F.lit(0.5)) / 1000000).alias("pass_rate"))
+
+
+def referential_violations(fact: DataFrame, fact_key: str,
+                           dim: DataFrame, dim_key: str) -> DataFrame:
+    """Rows of ``fact`` whose ``fact_key`` has no match in
+    ``dim[dim_key]`` (NULL keys are violations too, matching FK
+    semantics with required keys).  Broadcast LEFT ANTI — the fact
+    side never shuffles."""
+    keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    return fact.join(F.broadcast(keys), fact_key, "left_anti")

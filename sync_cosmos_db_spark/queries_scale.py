@@ -416,3 +416,167 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (year(o_orderdate), month(o_orderdate)))
     """).select(F.col("y").cast("long"), F.col("mo").cast("long"),
                 F.col("n").cast("long"), "revenue")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations (operators/expectations.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "expectations_orders",
+    """
+    WITH n AS (SELECT count(*) AS t FROM orders),
+    v AS (
+      SELECT 'custkey_not_null' AS rule,
+             count(*) FILTER (WHERE o_custkey IS NULL) AS nv FROM orders
+      UNION ALL
+      SELECT 'price_positive',
+             count(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+      UNION ALL
+      SELECT 'status_in_domain',
+             count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P'))
+      FROM orders
+      UNION ALL
+      SELECT 'priority_format',
+             count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority,
+                                                       '^[1-5]-'))
+      FROM orders
+      UNION ALL
+      SELECT 'date_in_range',
+             count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                              OR o_orderdate >= TIMESTAMP '2010-01-01')
+      FROM orders)
+    SELECT rule, nv::BIGINT AS n_violations, n.t::BIGINT AS n_rows,
+           floor((1.0 - nv::DOUBLE / n.t) * 1000000 + 0.5) / 1000000
+             AS pass_rate
+    FROM v CROSS JOIN n
+    """,
+)
+def expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/expectations.py)
+    over orders: five invariants (null key, non-positive price, status
+    domain, priority format, date range) evaluated in ONE scan — each
+    rule is a conditional sum inside a single aggregate, so rule count
+    doesn't multiply passes.  The oracle recomputes each violation
+    count independently."""
+    from sync_cosmos_db_spark.operators.expectations import check_rules
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "custkey_not_null": F.col("o_custkey").isNull(),
+        "price_positive": F.col("o_totalprice") <= 0,
+        "status_in_domain": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        "priority_format": ~F.col("o_orderpriority").rlike("^[1-5]-"),
+        "date_in_range":
+            (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("o_orderdate")
+               >= F.lit("2010-01-01").cast("timestamp")),
+    }
+    return check_rules(orders, rules)
+
+
+@query(
+    "referential_orphans",
+    """
+    WITH fact AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 10000000
+                  ELSE o_custkey END AS fk
+      FROM orders)
+    SELECT count(*)::BIGINT AS n_orphans,
+           min(o_orderkey)::BIGINT AS first_bad,
+           max(o_orderkey)::BIGINT AS last_bad
+    FROM fact
+    WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = fact.fk)
+    """,
+)
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity expectation: orders rows whose (planted,
+    1-in-97) customer key has no match in the dimension, found with a
+    broadcast LEFT ANTI join — dimension keys ship to executors, the
+    fact table never shuffles (operators/expectations.py
+    referential_violations)."""
+    from sync_cosmos_db_spark.operators.expectations import (
+        referential_violations)
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    fact = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0,
+               F.col("o_custkey") + 10_000_000)
+        .otherwise(F.col("o_custkey")).alias("fk"))
+    bad = referential_violations(fact, "fk", cust, "c_custkey")
+    return bad.agg(F.count("*").cast("long").alias("n_orphans"),
+                   F.min("o_orderkey").cast("long").alias("first_bad"),
+                   F.max("o_orderkey").cast("long").alias("last_bad"))
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (A2 adjunct)
+# ---------------------------------------------------------------------------
+
+@query(
+    "unpivot_customer_metrics",
+    """
+    SELECT c_custkey, 'acctbal' AS metric,
+           floor(c_acctbal * 100 + 0.5) / 100 AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey', c_nationkey::DOUBLE FROM customer
+    """,
+)
+def unpivot_customer_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) of per-customer metrics via the in-row
+    ``stack`` generator — the inverse of ``agg_pivot_*``.  No shuffle:
+    each input row expands to k output rows inside the scan projection,
+    which is the only shape that survives a 100 TB melt (a join-based
+    melt would shuffle the fact k times)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr("""stack(2,
+            'acctbal', floor(c_acctbal * 100 + 0.5) / 100,
+            'nationkey', cast(c_nationkey AS double))
+            AS (metric, value)"""))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "triangle_count_docs",
+    """
+    WITH raw AS (
+      SELECT doc_id AS s, (doc_id * 7 + 3) % 500 AS d FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 1) % 500 FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id + 2) % 500 FROM documents),
+    e AS (SELECT DISTINCT least(s, d) AS lo, greatest(s, d) AS hi
+          FROM raw WHERE s <> d)
+    SELECT count(*)::BIGINT AS n_triangles
+    FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+              JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi
+    """,
+)
+def triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count (operators/graph.py triangle_count) over a
+    synthetic doc-graph (ring chords guarantee a known-dense triangle
+    population).  Spark enumerates wedges from the canonical low-node
+    orientation and probes closing edges — the compact-forward bound
+    that keeps hub wedges from exploding; the oracle counts the same
+    triangles with an independent 3-way self-join formulation."""
+    from sync_cosmos_db_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = (docs.select(F.col("doc_id").alias("src"),
+                       ((F.col("doc_id") * 7 + 3) % 500).alias("dst"))
+           .unionByName(docs.select(
+               F.col("doc_id").alias("src"),
+               ((F.col("doc_id") + 1) % 500).alias("dst")))
+           .unionByName(docs.select(
+               F.col("doc_id").alias("src"),
+               ((F.col("doc_id") + 2) % 500).alias("dst"))))
+    return triangle_count(raw)

@@ -103,7 +103,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit = "us"
     for f in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
         try:
-            unit = _pq.read_schema(f).field("ts").type.unit
+            t = _pq.read_schema(f).field("ts").type
+            # raw-int64 fixtures follow the original harness
+            # convention (nanos); timestamp columns carry their unit
+            unit = getattr(t, "unit", "ns")
         except (KeyError, OSError):  # no ts field / unreadable footer
             pass
         break

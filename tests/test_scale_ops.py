@@ -279,3 +279,72 @@ def test_mg_candidates_bounded_per_partition(spark):
           .select(F.concat(F.lit("i"), (F.col("id") % 500)).alias("item"))
           .repartition(4))
     assert mg_candidates(df, "item", 7).count() <= 7 * 4
+
+
+# ---------------------------------------------------------------------------
+# expectations
+# ---------------------------------------------------------------------------
+
+def test_check_rules_counts_and_single_scan(spark):
+    from sync_cosmos_db_spark.operators.expectations import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (None, 3.0), (4, -1.0)],
+        "k int, v double")
+    out = {r.rule: r for r in check_rules(df, {
+        "k_not_null": F.col("k").isNull(),
+        "v_positive": F.col("v") <= 0,
+    }).collect()}
+    assert out["k_not_null"].n_violations == 1
+    assert out["v_positive"].n_violations == 2
+    assert out["v_positive"].n_rows == 4
+    assert out["v_positive"].pass_rate == 0.5
+
+
+def test_check_rules_one_aggregate_in_plan(spark):
+    from sync_cosmos_db_spark.operators.expectations import check_rules
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    plan = check_rules(df, {
+        "a": F.col("k") < 0, "b": F.col("k") > 1000,
+    })._jdf.queryExecution().executedPlan().toString()
+    # N rules compile into ONE aggregate pass, not N scans
+    assert plan.count("Scan") <= 2  # initial + AQE re-listing at most
+
+
+def test_referential_violations_finds_only_orphans(spark):
+    from sync_cosmos_db_spark.operators.expectations import (
+        referential_violations)
+
+    fact = spark.createDataFrame([(1, 10), (2, 99), (3, None)],
+                                 "id int, fk int")
+    dim = spark.createDataFrame([(10,), (20,)], "k int")
+    bad = sorted(r.id for r in
+                 referential_violations(fact, "fk", dim, "k").collect())
+    assert bad == [2, 3]  # missing key AND null key violate
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+def test_triangle_count_known_graphs(spark):
+    from sync_cosmos_db_spark.operators.graph import triangle_count
+
+    # K4 has 4 triangles; edges given in mixed orientation + a dup
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    df = spark.createDataFrame(k4, "src int, dst int")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+
+    # a 4-cycle has none
+    c4 = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                               "src int, dst int")
+    assert triangle_count(c4).collect()[0].n_triangles == 0
+
+
+def test_triangle_count_ignores_self_loops(spark):
+    from sync_cosmos_db_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (1, 1)], "src int, dst int")
+    assert triangle_count(df).collect()[0].n_triangles == 1
