@@ -580,3 +580,202 @@ def triangle_count_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.col("doc_id").alias("src"),
                ((F.col("doc_id") + 2) % 500).alias("dst"))))
     return triangle_count(raw)
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid radius join (operators/spatial.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "spatial_radius_pairs",
+    """
+    WITH pts AS (
+      SELECT c_custkey AS pid,
+             (c_custkey % 97)::DOUBLE + (c_custkey % 13)::DOUBLE / 26.0
+               AS x,
+             (c_custkey % 89)::DOUBLE + (c_custkey % 7)::DOUBLE / 14.0
+               AS y
+      FROM customer)
+    SELECT a.pid AS a_id, b.pid AS b_id,
+           floor(sqrt((a.x - b.x) * (a.x - b.x)
+                      + (a.y - b.y) * (a.y - b.y)) * 10000 + 0.5) / 10000
+             AS dist
+    FROM pts a JOIN pts b ON a.pid < b.pid
+    WHERE sqrt((a.x - b.x) * (a.x - b.x)
+               + (a.y - b.y) * (a.y - b.y)) <= 0.5
+    """,
+)
+def spatial_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius self-join (operators/spatial.py): all
+    customer-point pairs within r=0.5 on a synthetic plane.  Spark
+    equi-joins on 3×3-replicated grid cells with the exact Euclidean
+    predicate as a residual filter — no theta-join, no cross product;
+    the oracle is the UNBLOCKED n² form, so hash equality doubles as a
+    proof that the grid decomposition loses no pairs."""
+    from sync_cosmos_db_spark.operators.spatial import radius_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") % 97).cast("double")
+         + (F.col("c_custkey") % 13).cast("double") / 26.0).alias("x"),
+        ((F.col("c_custkey") % 89).cast("double")
+         + (F.col("c_custkey") % 7).cast("double") / 14.0).alias("y"))
+    a = pts.select(F.col("pid").alias("a_id"), F.col("x").alias("ax"),
+                   F.col("y").alias("ay"))
+    b = pts.select(F.col("pid").alias("b_id"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"))
+    joined = radius_join(a, b, 0.5, "ax", "ay", "bx", "by")
+    return (joined.where(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id",
+                    (F.floor(F.col("dist") * 10000 + F.lit(0.5)) / 10000)
+                    .alias("dist")))
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface completion: remaining window / aggregate / array functions
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_rank_distributions",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000
+             AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cume,
+           floor(nth_value(o_totalprice, 3) OVER
+             (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 100 + 0.5) / 100 AS third_lowest
+    FROM orders
+    WHERE o_orderkey % 20 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 completion: percent_rank, cume_dist, nth_value — the rank-
+    distribution window functions not yet covered by window_* queries.
+    Orders are made unique-sortable (price, key) so both engines rank
+    identically; ratios are pre-rounded."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 20 == 0)
+    w = (W.partitionBy("o_orderstatus")
+         .orderBy("o_totalprice", "o_orderkey"))
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    p = 10 ** 6
+    return orders.select(
+        "o_orderkey", "o_orderstatus",
+        (F.floor(F.percent_rank().over(w) * p + F.lit(0.5)) / p)
+        .alias("pct_rank"),
+        (F.floor(F.cume_dist().over(w) * p + F.lit(0.5)) / p)
+        .alias("cume"),
+        (F.floor(F.nth_value("o_totalprice", 3).over(wf) * 100
+                 + F.lit(0.5)) / 100).alias("third_lowest"))
+
+
+@query(
+    "agg_median_mode",
+    """
+    SELECT o_orderstatus,
+           floor(median(o_totalprice) * 10000 + 0.5) / 10000 AS med_price,
+           min(o_orderpriority ORDER BY o_orderpriority) FILTER (
+             WHERE o_orderpriority IN (
+               SELECT o_orderpriority FROM orders o2
+               WHERE o2.o_orderstatus = orders.o_orderstatus
+               GROUP BY o_orderpriority
+               HAVING count(*) = (
+                 SELECT max(c) FROM (
+                   SELECT count(*) AS c FROM orders o3
+                   WHERE o3.o_orderstatus = orders.o_orderstatus
+                   GROUP BY o_orderpriority))))
+             AS mode_priority
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 completion: exact MEDIAN and (deterministic smallest-value)
+    MODE per group.  Spark's mode() breaks frequency ties arbitrarily,
+    so the mode is computed relationally — frequency ranking with a
+    (count DESC, value ASC) order — which pins tie-breaks identically
+    in both engines; the DuckDB twin derives the same winner through
+    correlated subqueries."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderstatus").agg(
+        (F.floor(F.median("o_totalprice") * 10000 + F.lit(0.5)) / 10000)
+        .alias("med_price"))
+    freq = (orders.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("c")))
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("c"), F.asc("o_orderpriority"))
+    mode = (freq.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("o_orderstatus",
+                    F.col("o_orderpriority").alias("mode_priority")))
+    return med.join(mode, "o_orderstatus")
+
+
+@query(
+    "array_set_ops_users",
+    """
+    WITH early AS (
+      SELECT user_id, list_sort(list(DISTINCT event_type)) AS a
+      FROM events WHERE year(ts) % 2 = 0 GROUP BY user_id),
+    late AS (
+      SELECT user_id, list_sort(list(DISTINCT event_type)) AS b
+      FROM events WHERE year(ts) % 2 = 1 GROUP BY user_id)
+    SELECT e.user_id,
+           len(e.a)::BIGINT AS n_early,
+           len(l.b)::BIGINT AS n_late,
+           len(list_intersect(e.a, l.b))::BIGINT AS n_common,
+           len(list_distinct(list_concat(e.a, l.b)))::BIGINT AS n_union
+    FROM early e JOIN late l USING (user_id)
+    """,
+)
+def array_set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 completion: array_intersect / array_union / array_distinct
+    over per-user event-type sets from two time slices.  Set sizes
+    (order-free) are compared rather than raw arrays, since engines
+    order set-function output differently."""
+    events = load_table(spark, sf_dir, "events")
+    early = (events.where(F.year("ts") % 2 == 0)
+             .groupBy("user_id")
+             .agg(F.array_sort(F.collect_set("event_type")).alias("a")))
+    late = (events.where(F.year("ts") % 2 == 1)
+            .groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("event_type")).alias("b")))
+    return (early.join(late, "user_id")
+            .select("user_id",
+                    F.size("a").cast("long").alias("n_early"),
+                    F.size("b").cast("long").alias("n_late"),
+                    F.size(F.array_intersect("a", "b")).cast("long")
+                    .alias("n_common"),
+                    F.size(F.array_distinct(F.concat("a", "b")))
+                    .cast("long").alias("n_union")))
+
+
+@query(
+    "stringagg_nation_segments",
+    """
+    SELECT c_nationkey::BIGINT AS nation,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def stringagg_nation_segments(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """A2/A6 completion: ordered string aggregation (LISTAGG shape) —
+    per-nation sorted distinct market segments joined with commas.
+    Built as array_join(array_sort(collect_set(...))) so the element
+    order is pinned (collect order is nondeterministic; the sort is
+    what makes the string hash-comparable)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (cust.groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+            .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")),
+                              ",").alias("segments")))

@@ -348,3 +348,47 @@ def test_triangle_count_ignores_self_loops(spark):
     df = spark.createDataFrame(
         [(0, 1), (1, 2), (0, 2), (1, 1)], "src int, dst int")
     assert triangle_count(df).collect()[0].n_triangles == 1
+
+
+# ---------------------------------------------------------------------------
+# spatial radius join
+# ---------------------------------------------------------------------------
+
+def test_radius_join_matches_bruteforce(spark):
+    from sync_cosmos_db_spark.operators.spatial import radius_join
+
+    pts = spark.range(0, 200).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") % 17) + (F.col("id") % 5) / 10.0).alias("x"),
+        ((F.col("id") % 13) + (F.col("id") % 3) / 10.0).alias("y"))
+    a = pts.select(F.col("pid").alias("a_id"), F.col("x").alias("ax"),
+                   F.col("y").alias("ay"))
+    b = pts.select(F.col("pid").alias("b_id"), F.col("x").alias("bx"),
+                   F.col("y").alias("by"))
+    got = {(r.a_id, r.b_id) for r in
+           radius_join(a, b, 0.75, "ax", "ay", "bx", "by")
+           .where(F.col("a_id") < F.col("b_id")).collect()}
+    import itertools
+    rows = pts.collect()
+    want = {(p.pid, q.pid) for p, q in itertools.combinations(rows, 2)
+            if ((p.x - q.x) ** 2 + (p.y - q.y) ** 2) ** 0.5 <= 0.75}
+    assert got == want and want  # non-trivial and exact
+
+
+def test_radius_join_finds_cross_cell_neighbors(spark):
+    from sync_cosmos_db_spark.operators.spatial import radius_join
+
+    # two points straddling a cell boundary at distance 0.2 < r=1
+    a = spark.createDataFrame([(1, 0.95, 0.95)], "a_id int, ax double, ay double")
+    b = spark.createDataFrame([(2, 1.05, 1.05)], "b_id int, bx double, by double")
+    out = radius_join(a, b, 1.0, "ax", "ay", "bx", "by").collect()
+    assert len(out) == 1 and out[0].a_id == 1 and out[0].b_id == 2
+
+
+def test_radius_join_no_duplicate_pairs(spark):
+    from sync_cosmos_db_spark.operators.spatial import radius_join
+
+    # identical coordinates (same cell) must produce each pair once
+    a = spark.createDataFrame([(1, 0.5, 0.5)], "a_id int, ax double, ay double")
+    b = spark.createDataFrame([(2, 0.5, 0.5)], "b_id int, bx double, by double")
+    assert radius_join(a, b, 1.0, "ax", "ay", "bx", "by").count() == 1
