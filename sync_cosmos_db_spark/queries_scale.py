@@ -779,3 +779,208 @@ def stringagg_nation_segments(spark: SparkSession,
     return (cust.groupBy(F.col("c_nationkey").cast("long").alias("nation"))
             .agg(F.array_join(F.array_sort(F.collect_set("c_mktsegment")),
                               ",").alias("segments")))
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (mergeSchema read across drifted writes)
+# ---------------------------------------------------------------------------
+
+@query(
+    "schema_evolution_counts",
+    """
+    WITH v1 AS (SELECT doc_id, lang, NULL::BIGINT AS n_chars
+                FROM documents WHERE doc_id % 2 = 0),
+    v2 AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           count(n_chars)::BIGINT AS n_with_chars,
+           sum(coalesce(n_chars, 0))::BIGINT AS total_chars
+    FROM unioned GROUP BY lang
+    """,
+)
+def schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift tolerance, the data-lake reality the reference's
+    schemaless scan sidesteps: two parquet writes of the same logical
+    table with different column sets (an old writer without n_chars,
+    a new one with it) are read back in ONE scan via mergeSchema;
+    missing columns surface as NULLs, never errors.  Footer-only
+    schema union — no data rewrite — which is why it stays viable on
+    a 100 TB table with years of writer drift.  The oracle rebuilds
+    the same union with explicit NULLs."""
+    import shutil
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        (docs.where(F.col("doc_id") % 2 == 0)
+         .select("doc_id", "lang")
+         .write.mode("overwrite").parquet(f"{d}/part=v1"))
+        (docs.where(F.col("doc_id") % 2 == 1)
+         .select("doc_id", "lang", "n_chars")
+         .write.mode("overwrite").parquet(f"{d}/part=v2"))
+        merged = (spark.read.option("mergeSchema", "true")
+                  .parquet(f"{d}/part=v1", f"{d}/part=v2"))
+        out = (merged.groupBy("lang")
+               .agg(F.count("*").cast("long").alias("n_docs"),
+                    F.count("n_chars").cast("long").alias("n_with_chars"),
+                    F.sum(F.coalesce(F.col("n_chars"), F.lit(0)))
+                    .cast("long").alias("total_chars")))
+        out = out.localCheckpoint()  # materialize before tmpdir cleanup
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame windows (A3 completion: value-based frames)
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_range_frame_revenue",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           floor(sum(o_totalprice) OVER (
+             PARTITION BY o_orderstatus
+             ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
+             RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
+           ) * 100 + 0.5) / 100 AS rev_7d
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+)
+def window_range_frame_revenue(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """A3 completion: VALUE-based (RANGE) window frames — trailing
+    7-day revenue per order, where the frame is defined by day
+    distance, not row count (rows sharing a day all join the frame;
+    sparse days shrink it).  Spark evaluates this as one partition-
+    keyed sort with a sliding accumulator — same single-exchange shape
+    as any other window; the 2dp pre-round absorbs accumulation-order
+    float drift between engines."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 5 == 0)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (W.partitionBy("o_orderstatus").orderBy(day.cast("long"))
+         .rangeBetween(-7, 0))
+    return orders.select(
+        "o_orderkey", "o_orderstatus",
+        (F.floor(F.sum("o_totalprice").over(w) * 100 + F.lit(0.5)) / 100)
+        .alias("rev_7d"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline composition
+# ---------------------------------------------------------------------------
+
+@query(
+    "curation_pipeline_stats",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL               -- exact byte copies (1 in 10)
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL               -- near copies: one appended token (1 in 7)
+      SELECT doc_id + 100000, text || ' extra' FROM documents
+      WHERE doc_id % 7 = 0),
+    -- stage 1: exact dedup on content, keep min id
+    hashed AS (SELECT doc_id, text, sha256(text) AS dg FROM corpus),
+    keepers AS (SELECT min(doc_id) AS doc_id, dg
+                FROM hashed GROUP BY dg),
+    survivors AS (SELECT k.doc_id, h.text
+                  FROM keepers k JOIN hashed h ON h.doc_id = k.doc_id),
+    -- stage 2: exact unigram-shingle Jaccard pairs >= 0.5
+    toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                    AS tok FROM survivors),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM toks a JOIN toks b USING (tok)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.5),
+    -- stage 3: connected components (recursive closure over pairs)
+    nodes AS (SELECT DISTINCT id_a AS id FROM pairs
+              UNION SELECT DISTINCT id_b FROM pairs),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    labels AS (
+      SELECT id, id AS lbl FROM nodes
+      UNION ALL
+      (WITH RECURSIVE walk(id, lbl) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT e.s, w.lbl FROM edges e JOIN walk w ON w.id = e.d
+           WHERE w.lbl < e.s)
+       SELECT id, lbl FROM walk)),
+    comp AS (SELECT id, min(lbl) AS root FROM labels GROUP BY id),
+    -- stage 4: one canonical doc per near-dup cluster + untouched docs
+    cluster_keep AS (SELECT min(id) AS kept FROM comp GROUP BY root),
+    final AS (
+      SELECT doc_id FROM survivors
+      WHERE doc_id NOT IN (SELECT id FROM comp)
+      UNION ALL SELECT kept FROM cluster_keep)
+    SELECT (SELECT count(*) FROM corpus)::BIGINT AS n_raw,
+           (SELECT count(*) FROM survivors)::BIGINT AS n_after_exact,
+           (SELECT count(*) FROM comp)::BIGINT AS n_in_near_clusters,
+           (SELECT count(*) FROM cluster_keep)::BIGINT AS n_clusters,
+           (SELECT count(*) FROM final)::BIGINT AS n_final,
+           (SELECT sum(doc_id) FROM final)::BIGINT AS final_id_sum
+    """,
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline COMPOSITION: raw corpus (with
+    planted exact and near duplicates) → exact content dedup
+    (operators/dedup.exact_dedup) → exact unigram-Jaccard near-dup
+    pairs ≥ 0.5 (jaccard_pairs) → connected components
+    (connected_components) → keep one canonical doc per cluster.
+    Every stage's cardinality plus the exact kept-id sum is
+    hash-checked, so the stages are proven to compose — the oracle
+    replays the whole chain in SQL including a recursive-CTE closure.
+    """
+    from sync_cosmos_db_spark.operators.dedup import (
+        connected_components, exact_dedup, jaccard_pairs)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = (docs
+              .unionByName(docs.where(F.col("doc_id") % 10 == 0)
+                           .select((F.col("doc_id") + 200000)
+                                   .alias("doc_id"), "text"))
+              .unionByName(docs.where(F.col("doc_id") % 7 == 0)
+                           .select((F.col("doc_id") + 100000)
+                                   .alias("doc_id"),
+                                   F.concat(F.col("text"), F.lit(" extra"))
+                                   .alias("text"))))
+    n_raw = corpus.count()
+
+    kept = exact_dedup(corpus, ["text"], "doc_id")  # (doc_id, n_copies)
+    # localCheckpoint: survivors feeds three consumers and — through
+    # the pair graph — the ITERATIVE component loop, which would
+    # otherwise re-execute the whole upstream lineage every round
+    survivors = (corpus.join(kept.select("doc_id"), "doc_id", "left_semi")
+                 .localCheckpoint())
+    n_exact = survivors.count()
+
+    pairs = jaccard_pairs(survivors, "doc_id", "text",
+                          threshold=0.5, n=1).localCheckpoint()
+    comp = connected_components(pairs)  # (node, component)
+    n_in_clusters = comp.count()
+    clusters = comp.groupBy("component").agg(F.min("node").alias("kept"))
+    n_clusters = clusters.count()
+
+    final = (survivors.join(comp.withColumnRenamed("node", "doc_id"),
+                            "doc_id", "left_anti").select("doc_id")
+             .unionByName(clusters.select(F.col("kept").alias("doc_id"))))
+    agg = final.agg(F.count("*").cast("long").alias("n_final"),
+                    F.sum("doc_id").cast("long").alias("final_id_sum"))
+    return agg.select(
+        F.lit(n_raw).cast("long").alias("n_raw"),
+        F.lit(n_exact).cast("long").alias("n_after_exact"),
+        F.lit(n_in_clusters).cast("long").alias("n_in_near_clusters"),
+        F.lit(n_clusters).cast("long").alias("n_clusters"),
+        "n_final", "final_id_sum")
