@@ -362,13 +362,15 @@ def url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT item, count(*)::BIGINT AS cnt
     FROM toks CROSS JOIN n
     GROUP BY item, n.total
-    HAVING count(*) * 21 > n.total
+    HAVING count(*) * 30 > n.total
     """,
 )
 def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact corpus heavy hitters (terms with count > n/21) via the
+    """Exact corpus heavy hitters (terms with count > n/30) via the
     Misra-Gries sketch-then-verify pipeline (operators/sketches.py,
-    k=20): bounded-memory per-partition summaries (mapInPandas) feed a
+    k=29 — chosen so the bar lands mid-distribution for this corpus:
+    16 of 31 vocabulary terms qualify, a discriminating non-empty
+    result rather than a vacuous all-or-nothing one): bounded-memory per-partition summaries (mapInPandas) feed a
     candidate superset — guaranteed to contain every true heavy hitter
     under any partitioning — and an exact recount of only the
     candidates applies the integer threshold.  The oracle is the plain
@@ -379,7 +381,7 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("item"))
-    return heavy_hitters(toks, "item", k=20)
+    return heavy_hitters(toks, "item", k=29)
 
 
 # ---------------------------------------------------------------------------

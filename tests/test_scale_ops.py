@@ -392,3 +392,29 @@ def test_radius_join_no_duplicate_pairs(spark):
     a = spark.createDataFrame([(1, 0.5, 0.5)], "a_id int, ax double, ay double")
     b = spark.createDataFrame([(2, 0.5, 0.5)], "b_id int, bx double, by double")
     assert radius_join(a, b, 1.0, "ax", "ay", "bx", "by").count() == 1
+
+
+# ---------------------------------------------------------------------------
+# query CLI
+# ---------------------------------------------------------------------------
+
+def test_query_cli_list_and_run(spark, sf_dir, capsys):
+    from sync_cosmos_db_spark import query_cli
+
+    assert query_cli.main(["--list"]) == 0
+    names = capsys.readouterr().out.splitlines()
+    assert "count_lineitem" in names and len(names) > 100
+
+    rc = query_cli.main(["count_lineitem", "--sf-dir", sf_dir,
+                         "--format", "json"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    import json as _json
+    assert "n_lineitem" in _json.loads(out[0]) or _json.loads(out[0])
+
+
+def test_query_cli_unknown_name(capsys):
+    from sync_cosmos_db_spark import query_cli
+
+    assert query_cli.main(["no_such_query"]) == 2
