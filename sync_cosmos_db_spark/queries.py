@@ -8,6 +8,14 @@ driver hash-compares the two at sf0.01 — column names are aliased
 identically on both sides, floats are rounded in-query on both sides,
 and timestamps are surfaced as epoch BIGINT to avoid cross-engine
 formatting drift.
+
+Output convention (round-3 verdict item 7): every oracle-checked query
+surfaces ONLY scalar-typed columns.  The driver's canonicalizer sorts
+result cells through pandas, and list/struct/map cells are unhashable
+there (``TypeError: unhashable type: 'list'``) — arrays must be
+emitted as canonical strings (``F.array_join(...)`` in Spark,
+``array_to_string(...)`` in DuckDB).  Enforced registry-wide by
+``tests/oracle_utils.assert_scalar_schema`` inside every ``compare()``.
 """
 
 from __future__ import annotations

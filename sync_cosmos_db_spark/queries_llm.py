@@ -1085,7 +1085,8 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                         x, e -> floor(e * (127.0 / amax) + 0.5)::INT)
                         AS codes
                FROM s)
-    SELECT vec_id, len(codes) AS n_dims, codes,
+    SELECT vec_id, len(codes) AS n_dims,
+           array_to_string(codes, ',') AS codes_csv,
            floor(list_max(list_transform(
                    generate_series(1, len(x)),
                    i -> abs(x[i] - codes[i] * (amax / 127.0))))
@@ -1097,7 +1098,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation: symmetric per-vector int8 quantization (4× ANN memory
     cut) with floor-rounding so Spark and DuckDB produce IDENTICAL
     codes — the oracle hash-checks every code of every vector plus the
-    max reconstruction error (bounded by amax/254)."""
+    max reconstruction error (bounded by amax/254).  Codes surface as a
+    canonical CSV string (not a bare array column): the driver's pandas
+    canonicalizer sorts result cells, and list-valued cells are
+    unhashable there (round-3 verdict item 1) — the per-code strength
+    of the hash check is unchanged."""
     from sync_cosmos_db_spark.operators.curation import (
         dequantize_error,
         quantize_embedding_int8,
@@ -1109,7 +1114,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "vec_id",
         F.size("codes").cast("long").alias("n_dims"),
-        "codes",
+        F.array_join(F.col("codes").cast("array<string>"), ",")
+        .alias("codes_csv"),
         fround(dequantize_error("x", F.col("codes")), 6)
         .alias("max_abs_err"))
 

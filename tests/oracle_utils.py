@@ -47,8 +47,25 @@ def _matrix(rows, cols) -> list[tuple[str, ...]]:
     return out
 
 
+def assert_scalar_schema(spark_df, name: str = "query") -> None:
+    """Driver-canon-safe output convention (round-3 verdict item 7):
+    registered oracle queries must surface only scalar-typed columns.
+    The driver's canonicalizer sorts result cells with pandas, and
+    list/struct/map cells are unhashable there — surface arrays as
+    canonical strings (``F.array_join`` / ``array_to_string``)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [f.name for f in spark_df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver's pandas "
+        "canonicalizer cannot sort list/struct cells; emit a canonical "
+        "string instead (array_join / array_to_string)")
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str,
             name: str = "query") -> None:
+    assert_scalar_schema(spark_df, name)
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
     res = con.execute(sql)
