@@ -84,33 +84,57 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
       instead any NTZ column triggers a re-read with a user-pinned
       schema (TimestampType), which bypasses NTZ inference and keeps
       the stored micros as epoch micros, exactly like DuckDB.
+
+    The sniff (schema-inferring read + possible pinned re-read) runs
+    ONCE per path per process: the resolved read plan — pinned schema
+    plus which bigint columns need the nanos→timestamp rebuild — is
+    cached, so the common path is a single pinned-schema reader with no
+    inference job (round-3 ADVICE, session.py:108).
     """
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
     path = f"{sf_dir}/{name}.parquet"
+    plan = _READ_PLANS.get(path)
+    if plan is None:
+        plan = _sniff_read_plan(spark, path, name)
+        _READ_PLANS[path] = plan
+    pinned, nanos_cols = plan
+    df = spark.read.schema(pinned).parquet(path)
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+# path -> (pinned read schema, columns stored as nanos-bigint that need
+# the timestamp rebuild). StructTypes are session-independent, so the
+# cache is safe across the driver's own sessions.
+_READ_PLANS: dict[str, tuple] = {}
+
+
+def _sniff_read_plan(spark: SparkSession, path: str, name: str):
+    """One-time schema sniff for ``load_table`` (see its docstring)."""
+    from pyspark.sql import types as T
+
+    nanos_cols: list[str] = []
     if name == "events":
         prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
                               "false")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
-            df = spark.read.parquet(path)
+            inferred = spark.read.parquet(path).schema
         finally:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        for fld in df.schema.fields:
-            if fld.name == "ts" and fld.dataType.simpleString() == "bigint":
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        nanos_cols = [f.name for f in inferred.fields
+                      if f.name == "ts"
+                      and f.dataType.simpleString() == "bigint"]
     else:
-        df = spark.read.parquet(path)
+        inferred = spark.read.parquet(path).schema
 
-    ntz = {f.name for f in df.schema.fields
-           if f.dataType.simpleString() == "timestamp_ntz"}
-    if ntz:
-        pinned = T.StructType([
-            T.StructField(f.name,
-                          T.TimestampType() if f.name in ntz else f.dataType,
-                          f.nullable)
-            for f in df.schema.fields])
-        df = spark.read.schema(pinned).parquet(path)
-    return df
+    pinned = T.StructType([
+        T.StructField(
+            f.name,
+            T.TimestampType()
+            if f.dataType.simpleString() == "timestamp_ntz" else f.dataType,
+            f.nullable)
+        for f in inferred.fields])
+    return pinned, nanos_cols
