@@ -46,6 +46,22 @@ HEADLINE = [
     "range_join_event_windows",
 ]
 
+# Second suite (round-3 verdict item 8): the heaviest post-round-1
+# operator families — IVF ANN, sequence packing, decontamination, BM25,
+# PageRank, Gopher repetition rules, span dedup, heavy hitters — so a
+# perf regression in any of them shows up in BENCH_r{N}, not only in
+# correctness. Same protocol as HEADLINE (median-of-3, noop sink).
+HEADLINE_LLM = [
+    "sim_topk_ivf_fullprobe",
+    "pack_sequences_64",
+    "decontam_eval_train_overlap",
+    "retrieval_bm25_topk",
+    "pagerank_customer_supplier",
+    "gopher_repetition_flags",
+    "dedup_span_coverage",
+    "heavy_hitter_terms",
+]
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,10 +81,7 @@ def main() -> int:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long").count()
 
-    timings: dict[str, float] = {}
-    best_of: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
+    def run_suite(names):
         # n=3 runs, report the MEDIAN (round-2 verdict item 4): the
         # median is robust to one transient machine-load spike in either
         # direction, where best-of-N hides systematic slowness and a
@@ -77,14 +90,22 @@ def main() -> int:
         # noop sink = full distributed execution without billing py4j
         # row transfer to the driver (some queries return 500k+ rows;
         # collecting them measures the driver, not the engine).
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        timings[name] = round(runs[1], 3)
-        best_of[name] = round(runs[0], 3)
+        timings: dict[str, float] = {}
+        best_of: dict[str, float] = {}
+        for name in names:
+            fn = queries[name]
+            runs = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            runs.sort()
+            timings[name] = round(runs[1], 3)
+            best_of[name] = round(runs[0], 3)
+        return timings, best_of
+
+    timings, best_of = run_suite(HEADLINE)
+    llm_timings, llm_best_of = run_suite(HEADLINE_LLM)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -94,6 +115,10 @@ def main() -> int:
         "queries": timings,
         "queries_best_of_3": best_of,
         "best_of_3_total": round(sum(best_of.values()), 3),
+        "headline_llm_suite_sec": round(sum(llm_timings.values()), 3),
+        "llm_queries": llm_timings,
+        "llm_queries_best_of_3": llm_best_of,
+        "llm_best_of_3_total": round(sum(llm_best_of.values()), 3),
         "sf": sf,
     }))
     return 0

@@ -129,24 +129,46 @@ def mixture_sample(
     including the per-domain thresholds, which derive from counts by
     the same float formula on both engines.
 
-    Driver state is one count per domain (bounded by the domain
-    vocabulary, never by rows); the filter itself is narrow."""
-    import math
+    Scale shape (round-3 verdict item 6): the per-domain thresholds are
+    a small DataFrame broadcast-JOINED on the domain key — never a
+    chained ``CASE WHEN`` expression tree, never a driver-side counts
+    dict — so a web-scale registrable-domain vocabulary (10⁵–10⁶
+    domains) costs a broadcast of one (domain, keep) row each, with
+    O(1) driver state.  Two scans of ``df`` total: the counts
+    aggregate (whose ≤|targets|-row join with the targets is
+    materialized via an eager ``localCheckpoint`` so the final plan
+    doesn't recompute it) and the filtering join itself."""
+    from pyspark import StorageLevel
 
-    counts = {r[0]: r[1] for r in
-              df.groupBy(domain_col).count().collect()}
-    live = {d: w for d, w in targets.items()
-            if w > 0 and counts.get(d, 0) > 0}
-    if not live:
-        raise ValueError("mixture_sample: no target domain has rows")
-    S = min(counts[d] / w for d, w in live.items())
-    thresh = F.lit(-1)  # domains outside targets: keep nothing
-    for d, w in sorted(live.items()):
-        keep = math.floor(w * S / counts[d] * granularity)
-        thresh = F.when(F.col(domain_col) == d, F.lit(keep)) \
-            .otherwise(thresh)
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(d, float(w)) for d, w in targets.items() if w > 0],
+        f"{domain_col} string, __w double")
+    cnts = df.groupBy(domain_col).agg(
+        F.count("*").cast("double").alias("__c"))
+    live = (cnts.join(F.broadcast(tdf), domain_col)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        row = live.agg(F.count("*").alias("n"),
+                       F.min(F.col("__c") / F.col("__w")).alias("s")).first()
+        if row["n"] == 0:
+            raise ValueError("mixture_sample: no target domain has rows")
+        S = float(row["s"])
+        # same op order as the SQL twin: ((w*S)/c)*granularity — both
+        # engines compute it bit-identically in IEEE doubles
+        thr = live.select(
+            domain_col,
+            F.floor(F.col("__w") * F.lit(S) / F.col("__c") * granularity)
+            .cast("long").alias("__keep"))
+        # materialize the ≤|targets|-row threshold table and cut its
+        # lineage so the returned plan reads it, not the counts subplan
+        thr = thr.localCheckpoint(eager=True)
+    finally:
+        live.unpersist()
     b = hash_bucket(id_col, granularity, salt)
-    return df.filter(b < thresh)
+    return (df.join(F.broadcast(thr), domain_col)
+            .filter(b < F.col("__keep"))
+            .select(*df.columns))
 
 
 def global_token_offsets(

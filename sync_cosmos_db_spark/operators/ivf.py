@@ -69,64 +69,90 @@ def train_centroids(
 
     Deterministic: init = the ``n_clusters`` corpus rows with the
     smallest ``(xxhash64(id), id)`` — no RNG, reproducible anywhere.
-    Each iteration scans the corpus once via ``mapInPandas``, emitting
-    per-batch partial (cluster, sum-vector, count) rows; the driver
-    reduction sorts partials before summing so float addition order is
-    run-stable. Empty clusters keep their previous centroid.
+    The L2-normalized ``(id, vec)`` projection is materialized ONCE and
+    persisted MEMORY_AND_DISK for the whole run (round-3 verdict item
+    5): seeding plus all ``iters`` Lloyd passes read the cache, so
+    N-iteration training triggers a single source scan instead of N+1.
+    Each iteration emits per-batch partial (cluster, sum-vector, count)
+    rows; the driver reduction sorts partials before summing so float
+    addition order is run-stable. Empty clusters keep their previous
+    centroid.
     """
     import numpy as np
+    from pyspark import StorageLevel
 
-    seed_rows = (
-        corpus.select(id_col, vec_col)
-        .withColumn("__h", F.xxhash64(F.col(id_col)))
-        .orderBy("__h", id_col)
-        .limit(n_clusters)
-        .collect())
-    if len(seed_rows) < n_clusters:
-        raise ValueError(
-            f"train_centroids: corpus has {len(seed_rows)} rows < "
-            f"n_clusters={n_clusters}")
-    cents = _normalize(_collect_matrix(seed_rows, 1))
+    id_type = next(f.dataType.simpleString()
+                   for f in corpus.schema.fields if f.name == id_col)
+    norm_schema = f"{id_col} {id_type}, {vec_col} array<double>"
 
-    out_schema = "cluster long, vsum array<double>, cnt long"
+    def norm_pass(batches):
+        import numpy as _np
+        import pandas as _pd
 
-    for _ in range(iters):
-        C = cents  # bind for closure
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.asarray(list(pdf[vec_col]), dtype=_np.float64)
+            nrm = _np.linalg.norm(V, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            Vn = V / nrm
+            yield _pd.DataFrame({id_col: pdf[id_col],
+                                 vec_col: list(Vn)})
 
-        def partials(batches):
-            import numpy as _np
-            import pandas as _pd
+    normed = (corpus.select(id_col, vec_col)
+              .mapInPandas(norm_pass, norm_schema)
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        seed_rows = (
+            normed
+            .withColumn("__h", F.xxhash64(F.col(id_col)))
+            .orderBy("__h", id_col)
+            .limit(n_clusters)
+            .collect())
+        if len(seed_rows) < n_clusters:
+            raise ValueError(
+                f"train_centroids: corpus has {len(seed_rows)} rows < "
+                f"n_clusters={n_clusters}")
+        cents = _normalize(_collect_matrix(seed_rows, 1))
 
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = _np.asarray(list(pdf[vec_col]), dtype=_np.float64)
-                nrm = _np.linalg.norm(V, axis=1, keepdims=True)
-                nrm[nrm == 0] = 1.0
-                Vn = V / nrm
-                a = _np.argmax(Vn @ C.T, axis=1)  # ties → lowest cluster
-                rows = {"cluster": [], "vsum": [], "cnt": []}
-                for cl in _np.unique(a):
-                    m = a == cl
-                    rows["cluster"].append(int(cl))
-                    rows["vsum"].append(Vn[m].sum(axis=0).tolist())
-                    rows["cnt"].append(int(m.sum()))
-                yield _pd.DataFrame(rows)
+        out_schema = "cluster long, vsum array<double>, cnt long"
 
-        part_rows = (corpus.select(id_col, vec_col)
-                     .mapInPandas(partials, out_schema).collect())
-        # run-stable reduction: sort partials by (cluster, count, first
-        # component) before accumulating
-        part_rows.sort(key=lambda r: (r[0], r[2], r[1][0] if r[1] else 0.0))
-        sums = np.zeros((n_clusters, dim))
-        counts = np.zeros(n_clusters, dtype=np.int64)
-        for cl, vsum, cnt in part_rows:
-            sums[cl] += np.asarray(vsum)
-            counts[cl] += cnt
-        new = cents.copy()
-        nz = counts > 0
-        new[nz] = _normalize(sums[nz] / counts[nz, None])
-        cents = new
+        for _ in range(iters):
+            C = cents  # bind for closure
+
+            def partials(batches):
+                import numpy as _np
+                import pandas as _pd
+
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    Vn = _np.asarray(list(pdf[vec_col]), dtype=_np.float64)
+                    a = _np.argmax(Vn @ C.T, axis=1)  # ties → lowest cluster
+                    rows = {"cluster": [], "vsum": [], "cnt": []}
+                    for cl in _np.unique(a):
+                        m = a == cl
+                        rows["cluster"].append(int(cl))
+                        rows["vsum"].append(Vn[m].sum(axis=0).tolist())
+                        rows["cnt"].append(int(m.sum()))
+                    yield _pd.DataFrame(rows)
+
+            part_rows = normed.mapInPandas(partials, out_schema).collect()
+            # run-stable reduction: sort partials by (cluster, count,
+            # first component) before accumulating
+            part_rows.sort(
+                key=lambda r: (r[0], r[2], r[1][0] if r[1] else 0.0))
+            sums = np.zeros((n_clusters, dim))
+            counts = np.zeros(n_clusters, dtype=np.int64)
+            for cl, vsum, cnt in part_rows:
+                sums[cl] += np.asarray(vsum)
+                counts[cl] += cnt
+            new = cents.copy()
+            nz = counts > 0
+            new[nz] = _normalize(sums[nz] / counts[nz, None])
+            cents = new
+    finally:
+        normed.unpersist()
     return cents
 
 

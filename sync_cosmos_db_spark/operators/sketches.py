@@ -35,13 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-CANDIDATE_SCHEMA = "item string, est long"
+CANDIDATE_SCHEMA = "item string, est long, n_part long"
 
 
-def _mg_summary(values, k: int) -> dict:
+def _mg_summary(values, k: int, counters: dict | None = None) -> dict:
     """Textbook Misra-Gries over an iterable: at most ``k`` counters;
-    a full table decrements all (dropping zeros) instead of evicting."""
-    counters: dict = {}
+    a full table decrements all (dropping zeros) instead of evicting.
+    Pass ``counters`` to continue a summary across Arrow batches."""
+    counters = {} if counters is None else counters
     for v in values:
         if v in counters:
             counters[v] += 1
@@ -53,16 +54,22 @@ def _mg_summary(values, k: int) -> dict:
 
 
 def mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
-    """Per-partition MG summaries → (item, est) candidate rows
-    (≤ k rows per partition)."""
+    """Per-partition MG summaries → (item, est, 0) candidate rows
+    (≤ k per partition) plus ONE (NULL, 0, n_partition) total row per
+    partition, so the global denominator rides along with the sketch
+    and never needs its own ``count()`` scan (round-3 verdict item 4)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from itertools import chain
-
-        counters = _mg_summary(
-            chain.from_iterable(pdf[item_col] for pdf in batches), k)
-        yield pd.DataFrame({"item": list(counters.keys()),
-                            "est": list(counters.values())})
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            counters = _mg_summary(pdf[item_col], k, counters)
+        yield pd.DataFrame({
+            "item": list(counters.keys()) + [None],
+            "est": list(counters.values()) + [0],
+            "n_part": [0] * len(counters) + [n],
+        })
 
     return items.select(F.col(item_col)).mapInPandas(
         run, schema=CANDIDATE_SCHEMA)
@@ -71,9 +78,20 @@ def mg_candidates(items: DataFrame, item_col: str, k: int) -> DataFrame:
 def heavy_hitters(items: DataFrame, item_col: str = "item",
                   k: int = 20) -> DataFrame:
     """Exact set of items with count > n/(k+1), computed via the
-    MG-sketch-then-verify pipeline above.  Returns (item, cnt)."""
-    total = items.count()
-    cands = mg_candidates(items, item_col, k).select("item").distinct()
+    MG-sketch-then-verify pipeline above.  Returns (item, cnt).
+
+    Exactly two scans of the input: (1) the sketch pass, whose tiny
+    output — ≤ (k+1)·numPartitions rows carrying both candidates and
+    per-partition totals — is collected as driver metadata; (2) the
+    candidate-filtered verify aggregate.  The old third scan (a
+    separate ``items.count()`` for the denominator) is fused into the
+    sketch output."""
+    sk = mg_candidates(items, item_col, k).collect()
+    total = sum(r.n_part for r in sk)
+    cand_items = sorted({r.item for r in sk if r.item is not None})
+    spark = items.sparkSession
+    cands = spark.createDataFrame(
+        [(i,) for i in cand_items], "item string")
     exact = (items.select(F.col(item_col).alias("item"))
              .join(F.broadcast(cands), "item", "left_semi")
              .groupBy("item")

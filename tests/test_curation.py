@@ -238,3 +238,74 @@ def test_mixture_sample_retention_and_determinism(spark, sf_dir):
     assert S <= totals[binding] / targets[binding] + 1e-9
     with pytest.raises(ValueError, match="no target domain"):
         mixture_sample(docs, "doc_id", "lang", {"xx": 1.0})
+
+def test_mixture_sample_scales_to_1k_domain_vocabulary(spark):
+    """Round-3 verdict item 6: thresholds are a broadcast-joined
+    DataFrame, not a chained CASE WHEN — a 1k-domain target vocabulary
+    must neither blow up the expression tree nor collect a counts dict.
+    """
+    from sync_cosmos_db_spark.operators.curation import (
+        hash_bucket,
+        mixture_sample,
+    )
+
+    n_dom = 1000
+    df = (spark.range(0, 20000)
+          .select(F.col("id").alias("doc_id"),
+                  F.concat(F.lit("d"), (F.col("id") % n_dom))
+                  .alias("domain")))
+    targets = {f"d{i}": 1.0 for i in range(n_dom)}
+    kept = mixture_sample(df, "doc_id", "domain", targets)
+    # uniform counts + uniform targets -> S = 20 / (1/1000) ... every
+    # domain binds equally: keep threshold = granularity, so ALL rows
+    # survive; and the plan's filter is a join, not a 1000-arm CASE.
+    assert kept.count() == 20000
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CASE WHEN" not in plan or plan.count("CASE WHEN") < 5
+    # spot-check determinism of the kept set on a skewed variant
+    skew = df.withColumn(
+        "domain", F.when(F.col("doc_id") < 10000, "d0")
+        .otherwise(F.col("domain")))
+    t2 = {"d0": 0.9, "d1": 0.1}
+    k1 = {r.doc_id for r in
+          mixture_sample(skew, "doc_id", "domain", t2).collect()}
+    k2 = {r.doc_id for r in
+          mixture_sample(skew, "doc_id", "domain", t2).collect()}
+    assert k1 == k2 and len(k1) > 0
+    # exact threshold semantics on the skewed pair: d1 binds
+    # (10 rows per d_i>0 domain; d0 has 10010), S = min(10010/.9, 10/.1)
+    c0, c1 = 10010.0, 10.0
+    S = min(c0 / 0.9, c1 / 0.1)
+    import math
+    keep0 = math.floor(0.9 * S / c0 * 10000)
+    got0 = sum(1 for r in
+               mixture_sample(skew, "doc_id", "domain", t2).collect()
+               if r.domain == "d0")
+    # expected = rows of d0 whose hash bucket < keep0
+    exp0 = skew.filter((F.col("domain") == "d0")
+                       & (hash_bucket("doc_id", 10000, "mixture")
+                          < F.lit(keep0))).count()
+    assert got0 == exp0
+
+
+def test_mixture_sample_no_driver_counts_collect(spark, monkeypatch):
+    """The domain-counts frame is never collected to the driver."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from sync_cosmos_db_spark.operators.curation import mixture_sample
+
+    df = (spark.range(0, 300)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") % 2 == 0, "en").otherwise("de")
+                  .alias("lang")))
+    big_collects: list[int] = []
+    orig = SparkDF.collect
+    def spy(self):
+        rows = orig(self)
+        if len(rows) > 100:
+            big_collects.append(len(rows))
+        return rows
+    monkeypatch.setattr(SparkDF, "collect", spy)
+    out = mixture_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.5})
+    assert not big_collects
+    assert out.count() > 0

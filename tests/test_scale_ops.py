@@ -278,7 +278,37 @@ def test_mg_candidates_bounded_per_partition(spark):
     df = (spark.range(0, 5000)
           .select(F.concat(F.lit("i"), (F.col("id") % 500)).alias("item"))
           .repartition(4))
-    assert mg_candidates(df, "item", 7).count() <= 7 * 4
+    rows = mg_candidates(df, "item", 7).collect()
+    # ≤ k candidates + 1 total row per partition
+    assert len(rows) <= (7 + 1) * 4
+    # the fused denominator reconstructs the exact input size
+    assert sum(r.n_part for r in rows) == 5000
+    assert all(r.n_part == 0 for r in rows if r.item is not None)
+
+
+def test_heavy_hitters_no_separate_count_scan(spark, monkeypatch):
+    """Round-3 verdict item 4: the denominator rides along with the
+    sketch pass — no dedicated full-scan ``count()`` job remains."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    from sync_cosmos_db_spark.operators.sketches import heavy_hitters
+
+    df = (spark.range(0, 1000)
+          .select(F.when(F.col("id") % 2 == 0, "hot")
+                  .otherwise(F.concat(F.lit("c"), F.col("id")))
+                  .alias("item"))
+          .repartition(4))
+    calls: list[int] = []
+    orig = SparkDF.count
+    monkeypatch.setattr(SparkDF, "count", lambda self: (calls.append(1),
+                                                        orig(self))[1])
+    out = heavy_hitters(df, "item", k=5)
+    assert not calls, "heavy_hitters still runs a separate count() scan"
+    k = 5
+    want = {(r.item, r.cnt) for r in
+            df.groupBy("item").agg(F.count("*").cast("long").alias("cnt"))
+            .where(F.col("cnt") * (k + 1) > 1000).collect()}
+    assert {(r.item, r.cnt) for r in out.collect()} == want == {("hot", 500)}
 
 
 # ---------------------------------------------------------------------------
