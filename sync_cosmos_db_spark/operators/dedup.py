@@ -539,15 +539,22 @@ def duplicated_span_coverage(df: DataFrame, id_col: str = "doc_id",
     would delete (the usual act-on threshold is frac > 0, dropping or
     trimming the doc).
 
-    Scale shape: one explode to (doc, start, gram) rows; gram sharing
-    decided by min(doc) != max(doc) per gram — a map-side-combinable
-    aggregate that never builds a doc list; a left-semi join back on the
-    gram; one bounded explode (n positions per shared occurrence) and a
-    distinct keyed by (doc, pos).  Every shuffle key is a gram hash or
-    the doc id — no suffix array, no driver state, no skew beyond
-    genuinely viral grams (which a count gate could cap the same way
-    minhash_lsh_pairs gates oversized buckets).
+    Scale shape: ONE explode to (doc, start, gram) rows, shuffled by
+    the gram ONCE — sharing is decided by a min/max-doc window over the
+    gram partition, so there is no aggregate-plus-semi-join pair that
+    would shuffle the exploded grams twice.  Coverage is then an exact
+    interval union of the fixed-length shared spans via a per-doc
+    ``lag`` window (each shared start ``s`` contributes
+    ``min(n, s - prev_s)`` tokens), replacing the old n-way
+    position-explode + distinct — the row volume after the gram window
+    is just the shared occurrences, never n× them.  Totals come
+    straight from the source (no second pass over the explode).  Every
+    shuffle key is the gram or the doc id — no suffix array, no driver
+    state, no skew beyond genuinely viral grams (which a count gate
+    could cap the same way minhash_lsh_pairs gates oversized buckets).
     """
+    from pyspark.sql import Window as W
+
     w = words(text_col)
     starts = F.when(
         F.size(w) >= n,
@@ -556,26 +563,26 @@ def duplicated_span_coverage(df: DataFrame, id_col: str = "doc_id",
     units = F.transform(starts, lambda i: F.struct(
         i.alias("s"), F.concat_ws(" ", F.slice(w, i, n)).alias("g")))
 
-    base = df.select(F.col(id_col), F.size(w).alias("n_tokens"),
-                     F.explode_outer(units).alias("t"))
-    occ = base.select(id_col, "n_tokens", "t.s", "t.g")
+    occ = (df.select(F.col(id_col), F.explode(units).alias("t"))
+           .select(id_col, "t.s", "t.g"))
 
-    shared = (occ.filter(F.col("g").isNotNull())
-              .groupBy("g")
-              .agg(F.min(id_col).alias("__a"), F.max(id_col).alias("__b"))
-              .filter(F.col("__a") != F.col("__b"))
-              .select("g"))
+    wg = W.partitionBy("g")
+    spans = (occ
+             .withColumn("__shared",
+                         F.min(id_col).over(wg) != F.max(id_col).over(wg))
+             .filter(F.col("__shared"))
+             .select(id_col, "s"))
 
-    covered = (occ.join(shared, "g", "left_semi")
-               .select(F.col(id_col),
-                       F.explode(F.sequence(F.col("s"),
-                                            F.col("s") + F.lit(n - 1)))
-                       .alias("p"))
-               .distinct()
+    wd = W.partitionBy(id_col).orderBy("s")
+    contrib = F.least(
+        F.lit(n),
+        F.col("s") - F.lag("s", 1).over(wd)).cast("long")
+    covered = (spans
+               .withColumn("__c", F.coalesce(contrib, F.lit(n).cast("long")))
                .groupBy(id_col)
-               .agg(F.count("*").alias("covered_tokens")))
+               .agg(F.sum("__c").alias("covered_tokens")))
 
-    totals = occ.groupBy(id_col).agg(F.first("n_tokens").alias("n_tokens"))
+    totals = df.select(F.col(id_col), F.size(w).alias("n_tokens"))
     return (totals.join(covered, id_col, "left_outer")
             .select(
                 F.col(id_col),
