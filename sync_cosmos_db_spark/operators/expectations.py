@@ -27,14 +27,25 @@ from pyspark.sql import functions as F
 def check_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Evaluate named row-level predicates (True = row VIOLATES the
     rule).  Returns ``(rule, n_violations, n_rows, pass_rate)`` — one
-    row per rule, one scan total."""
-    aggs = [F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
-            for name, cond in rules.items()]
+    row per rule, one scan total.
+
+    Rule names surface only as Column LITERALS (the aggregates are
+    aliased positionally), so any name — spaces, quotes, unicode — is
+    safe: nothing is interpolated into a SQL string (round-3 ADVICE,
+    expectations.py:36)."""
+    aggs = [F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"__r{i}") for i, cond in enumerate(rules.values())]
     counts = df.agg(F.count("*").cast("long").alias("__n"), *aggs)
-    # one wide row -> long form via stack (in-row, no shuffle)
-    pairs = ", ".join(f"'{n}', {n}" for n in rules)
+    # one wide row -> long form via explode of (rule, count) structs
+    # (in-row, no shuffle)
+    entries = F.array(*[
+        F.struct(F.lit(name).alias("rule"),
+                 F.col(f"__r{i}").alias("n_violations"))
+        for i, name in enumerate(rules)])
     long_form = counts.select(
-        F.expr(f"stack({len(rules)}, {pairs}) AS (rule, n_violations)"),
+        F.explode(entries).alias("e"), F.col("__n")).select(
+        F.col("e.rule").alias("rule"),
+        F.col("e.n_violations").alias("n_violations"),
         F.col("__n"))
     rate = (F.lit(1.0)
             - F.col("n_violations").cast("double") / F.col("__n"))

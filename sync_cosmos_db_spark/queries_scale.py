@@ -245,12 +245,17 @@ def embedding_centroid_outliers(spark: SparkSession,
                   || chr(11) || '  ' AS t
       FROM documents),
     cleaned AS (
+      -- models ALL of clean_text's squeezes (! ? . , ; :) in the same
+      -- order, so a regenerated fixture containing e.g. ',,,' still
+      -- hashes identically (round-3 ADVICE, text.py:485)
       SELECT doc_id, t,
         trim(regexp_replace(
           regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
             regexp_replace(t, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
             '!{3,}', '!', 'g'), '\?{3,}', '?', 'g'),
-            '\.{3,}', '.', 'g'),
+            '\.{3,}', '.', 'g'), ',{3,}', ',', 'g'),
+            ';{3,}', ';', 'g'), ':{3,}', ':', 'g'),
           '\s+', ' ', 'g')) AS c
       FROM noisy)
     SELECT doc_id, sha256(c) AS clean_sha,
@@ -356,7 +361,7 @@ def url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "heavy_hitter_terms",
     """
-    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS item
+    WITH toks AS (SELECT unnest(string_split_regex(text, '\\s+')) AS item
                   FROM documents),
     n AS (SELECT count(*) AS total FROM toks)
     SELECT item, count(*)::BIGINT AS cnt

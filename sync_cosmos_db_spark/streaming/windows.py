@@ -98,19 +98,42 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirroring session.load_table."""
     import glob as _glob
 
+    import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    unit = "us"
+    # Sniff EVERY file's footer and require agreement: a mixed-encoding
+    # directory (or one whose first file is unreadable) must fail loudly
+    # rather than mis-decode timestamps by 1000x (round-3 ADVICE,
+    # windows.py:103).
+    units: set[str] = set()
     for f in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
         try:
             t = _pq.read_schema(f).field("ts").type
-            # raw-int64 fixtures follow the original harness
-            # convention (nanos); timestamp columns carry their unit
-            unit = getattr(t, "unit", "ns")
         except (KeyError, OSError):  # no ts field / unreadable footer
-            pass
-        break
-    div = {"ns": 1000, "us": 1, "ms": 0}.get(unit, 1)
+            continue
+        if _pa.types.is_timestamp(t):
+            units.add(t.unit)
+        elif _pa.types.is_int64(t):
+            # raw-int64 fixtures follow the original harness
+            # convention (nanos)
+            units.add("ns")
+        else:
+            raise ValueError(
+                f"read_events_stream: {f} stores 'ts' as {t}, not a "
+                "timestamp or int64")
+    if not units:
+        raise ValueError(
+            f"read_events_stream: no parquet file under {sf_dir} has a "
+            "readable 'ts' field")
+    if len(units) > 1:
+        raise ValueError(
+            f"read_events_stream: mixed ts encodings {sorted(units)} "
+            f"under {sf_dir} — refusing to guess")
+    unit = units.pop()
+    if unit not in ("ns", "us", "ms"):
+        raise ValueError(
+            f"read_events_stream: unsupported ts unit {unit!r}")
+    div = {"ns": 1000, "us": 1, "ms": 0}[unit]
     if div == 0:  # millis: multiply instead
         rebuild = F.timestamp_millis(F.col("ts"))
     else:

@@ -448,3 +448,16 @@ def test_query_cli_unknown_name(capsys):
     from sync_cosmos_db_spark import query_cli
 
     assert query_cli.main(["no_such_query"]) == 2
+
+def test_check_rules_arbitrary_rule_names(spark):
+    """Round-3 ADVICE: rule names with quotes/spaces/unicode must not
+    break (or inject into) the long-form projection."""
+    from sync_cosmos_db_spark.operators.expectations import check_rules
+
+    df = spark.range(0, 10).select(F.col("id").alias("v"))
+    names = ["has space", "quo'te", 'dou"ble', "semi;colon",
+             "paren)s", "ünïcode", "back`tick"]
+    rules = {n: F.col("v") >= 5 for n in names}
+    out = {r.rule: r.n_violations for r in check_rules(df, rules).collect()}
+    assert set(out) == set(names)
+    assert all(v == 5 for v in out.values())

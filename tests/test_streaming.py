@@ -219,3 +219,33 @@ def test_enrich_stream_matches_batch_and_keeps_unmatched(
     b = {(r.segment, r.n) for r in streamed.collect()}
     assert a == b
     assert any(seg is None for seg, _ in b)
+
+def test_read_events_stream_sniff_raises_on_mixed_and_missing(
+        spark, tmp_path):
+    """Round-3 ADVICE: the ts-unit sniff must iterate past unreadable
+    files, refuse mixed encodings, and refuse a ts-less directory —
+    never silently default to micros."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    # directory with no ts field at all -> raise
+    d1 = tmp_path / "no_ts"
+    d1.mkdir()
+    pd.DataFrame({"x": [1, 2]}).to_parquet(str(d1 / "a.parquet"))
+    with pytest.raises(ValueError, match="readable 'ts'"):
+        SW.read_events_stream(spark, str(d1))
+
+    # mixed encodings (us in one file, ns-int64 in another) -> raise
+    d2 = tmp_path / "mixed"
+    d2.mkdir()
+    ts = pd.to_datetime(["2024-01-01 00:00:00"])
+    pq.write_table(pa.table({"event_id": [1], "ts": ts.astype("datetime64[us]")}),
+                   str(d2 / "a.parquet"))
+    pq.write_table(pa.table({"event_id": [2],
+                             "ts": np.array([10**18], dtype="int64")}),
+                   str(d2 / "b.parquet"))
+    with pytest.raises(ValueError, match="mixed ts encodings"):
+        SW.read_events_stream(spark, str(d2))
