@@ -56,9 +56,18 @@ def key_bucket(keys: list[str], n_buckets: int) -> "F.Column":
 
 def apply_batch_merge(spark: SparkSession, batch_df: DataFrame,
                       target_path: str, keys: list[str],
-                      n_buckets: int = 64) -> None:
+                      n_buckets: int = 64,
+                      reliable_checkpoint_dir: str | None = None) -> None:
     """Classify one micro-batch against the touched target partitions
-    and overwrite ONLY those partitions (dynamic partition overwrite)."""
+    and overwrite ONLY those partitions (dynamic partition overwrite).
+
+    ``reliable_checkpoint_dir`` (round-3 verdict item 9): when set, the
+    pre-overwrite state is materialized with a RELIABLE checkpoint to
+    that directory (HDFS/S3/ABFS path on a cluster) instead of
+    executor-local blocks, so an executor loss mid-overwrite cannot
+    lose the materialized state.  Default stays ``localCheckpoint`` —
+    right for the single-JVM harness, where the blocks' executor IS the
+    driver."""
     bucketed = batch_df.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
 
     if not _path_exists(spark, target_path):
@@ -78,17 +87,21 @@ def apply_batch_merge(spark: SparkSession, batch_df: DataFrame,
                               "left_anti")
     new_state = tagged.drop("action").unionByName(untouched_keys)
 
-    # The new state still reads the old target files; localCheckpoint
+    # The new state still reads the old target files; a checkpoint
     # materializes it (breaking file lineage) so the overwrite below can
     # safely delete the partitions it replaces. Scope: touched buckets
     # only — a few GB each by n_buckets sizing, not the whole target.
-    # Caveat: localCheckpoint blocks live on executors, so an executor
-    # loss mid-overwrite aborts the batch (retried by the stream from
-    # the checkpoint). Cluster deployments wanting stronger guarantees
-    # should use reliable checkpoint dirs or the Delta/Iceberg
-    # row-level MERGE upgrade path described in the module docstring.
-    out = (new_state.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
-           .localCheckpoint(eager=True))
+    # localCheckpoint blocks live on executors, so an executor loss
+    # mid-overwrite aborts the batch (retried by the stream from the
+    # checkpoint); pass reliable_checkpoint_dir on clusters for
+    # fault-tolerant materialization, or upgrade to the Delta/Iceberg
+    # row-level MERGE path described in the module docstring.
+    staged = new_state.withColumn(BUCKET_COL, key_bucket(keys, n_buckets))
+    if reliable_checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
+        out = staged.checkpoint(eager=True)
+    else:
+        out = staged.localCheckpoint(eager=True)
     (out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(BUCKET_COL)
@@ -103,19 +116,23 @@ def incremental_migrate(
     schema: str,
     checkpoint_dir: str,
     n_buckets: int = 64,
+    reliable_checkpoint_dir: str | None = None,
 ) -> None:
     """Run one availableNow pass over unprocessed source files and merge
     them into the target. Re-invoking with the same ``checkpoint_dir``
     processes ONLY files added since the last committed batch — the
     continuation-token semantics of the reference, held durably by the
-    streaming checkpoint instead of in-process cursor state."""
+    streaming checkpoint instead of in-process cursor state.
+    ``reliable_checkpoint_dir`` is forwarded to every batch merge (see
+    :func:`apply_batch_merge`)."""
     stream = spark.readStream.schema(schema).parquet(source_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         apply_batch_merge(batch_df.sparkSession, batch_df, target_path,
-                          keys, n_buckets=n_buckets)
+                          keys, n_buckets=n_buckets,
+                          reliable_checkpoint_dir=reliable_checkpoint_dir)
 
     q = (stream.writeStream.foreachBatch(process)
          .option("checkpointLocation", checkpoint_dir)
