@@ -432,3 +432,83 @@ def weighted_sample_k(df: DataFrame, id_col: str, weight_col: str,
             .orderBy(F.col("__k"), c)
             .limit(k)
             .drop("__k"))
+
+
+def split_sentences(col: Column | str) -> Column:
+    """Sentence array via the RE2-safe marker trick: terminal
+    punctuation followed by a space gets a \\x01 marker appended, then
+    one split — no lookbehind (RE2 engines have none), so the DuckDB
+    oracle can run the identical transform:
+    ``string_split(regexp_replace(t, '([.!?]) ', '\\1' || chr(1), 'g'),
+    chr(1))``."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(c, r"([.!?]) ", "$1\x01")
+    return F.split(marked, "\x01")
+
+
+def sentence_chunk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+) -> DataFrame:
+    """Sentence-AWARE chunking: documents split at sentence boundaries,
+    sentences assigned to chunks by cumulative token offset —
+    ``chunk_id = floor(tokens_before_sentence / max_tokens)`` — so no
+    sentence is ever split mid-way (unlike :func:`chunk_documents`'
+    fixed token windows) and chunk boundaries are deterministic,
+    order-stable, and SQL-expressible (the greedy reset-at-boundary
+    variant is inherently sequential; this prefix-sum rule is its
+    scalable twin: a chunk overflows ``max_tokens`` by at most one
+    sentence).
+
+    Returns one row per (doc, chunk): ``(id, chunk_id, n_sentences,
+    n_tokens, chunk_text)``.  Scale shape: one explode (sentence rows),
+    one per-doc window cumsum, one (doc, chunk) aggregate — shuffle
+    keys are the doc id throughout, and the window/groupBy share the
+    same partitioning.
+    """
+    sent = (df.select(F.col(id_col),
+                      F.posexplode(split_sentences(text_col))
+                      .alias("__i", "__s"))
+            .withColumn("__n", F.size(F.split(F.col("__s"), " "))
+                        .cast("long")))
+    from pyspark.sql import Window as W
+    wd = (W.partitionBy(id_col).orderBy("__i")
+          .rowsBetween(W.unboundedPreceding, -1))
+    chunked = sent.withColumn(
+        "chunk_id",
+        (F.coalesce(F.sum("__n").over(wd), F.lit(0))
+         / max_tokens).cast("long"))
+    ordered = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("__i", "__s"))),
+                    lambda x: x["__s"]), " ")
+    return (chunked.groupBy(id_col, "chunk_id")
+            .agg(F.count("*").cast("long").alias("n_sentences"),
+                 F.sum("__n").alias("n_tokens"),
+                 ordered.alias("chunk_text")))
+
+
+def quality_top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: Column | str,
+    tie_col: str,
+    k: int,
+) -> DataFrame:
+    """Keep the ``k`` best rows per group, ranked by ``order_col``
+    descending with a deterministic ``tie_col`` ascending tiebreak —
+    the quality-ranked twin of the hash-based :func:`cap_per_group`
+    (keep the BEST documents per source, not a random sample).
+
+    Catalyst compiles the rank-filter into ``WindowGroupLimit``: each
+    map task keeps only its local top-k per group BEFORE the shuffle,
+    so the exchange carries at most k·partitions rows per group —
+    the reason this survives a 100 TB corpus with viral sources.
+    """
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    from pyspark.sql import Window as W
+    w = W.partitionBy(group_col).orderBy(oc.desc(), F.col(tie_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= k)
+            .drop("__rk"))

@@ -83,3 +83,200 @@ def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey",
                       fround("o_totalprice", 2).alias("o_totalprice"),
                       "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# X54 — hyperlink extraction + X55 HTML boilerplate strip (operators/web.py)
+# ---------------------------------------------------------------------------
+
+_HTML_CORPUS_CTE = """
+WITH corpus AS (
+  SELECT doc_id,
+         '<html><head><style>p {color:red}</style></head><body><h1>'
+         || lang || '</h1><p>' || text || '</p>'
+         || '<a href="https://site' || (doc_id % 5) || '.com/p/'
+         || (doc_id % 10) || '?x=1">first</a>'
+         || CASE WHEN doc_id % 3 = 0
+                 THEN '<a href=''http://ex' || (doc_id % 7)
+                      || '.org/q''>second</a>'
+                 ELSE '' END
+         || '<script>var x = 1;</script>'
+         || '&amp; five &lt; six &nbsp;done</body></html>' AS html
+  FROM documents)
+"""
+
+
+def _html_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><head><style>p {color:red}</style></head><body><h1>"),
+        F.col("lang"), F.lit("</h1><p>"), F.col("text"), F.lit("</p>"),
+        F.lit('<a href="https://site'), (k % 5).cast("string"),
+        F.lit(".com/p/"), (k % 10).cast("string"), F.lit('?x=1">first</a>'),
+        F.when(k % 3 == 0,
+               F.concat(F.lit("<a href='http://ex"), (k % 7).cast("string"),
+                        F.lit(".org/q'>second</a>")))
+        .otherwise(F.lit("")),
+        F.lit("<script>var x = 1;</script>"),
+        F.lit("&amp; five &lt; six &nbsp;done</body></html>"))
+    return docs.select("doc_id", html.alias("html"))
+
+
+@query(
+    "web_extract_links",
+    _HTML_CORPUS_CTE + """
+    SELECT doc_id,
+           len(list_concat(
+             regexp_extract_all(html, '<a\\s[^>]*href\\s*=\\s*"([^"]*)"', 1),
+             regexp_extract_all(html,
+               '<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)))::BIGINT
+             AS n_links,
+           array_to_string(list_concat(
+             regexp_extract_all(html, '<a\\s[^>]*href\\s*=\\s*"([^"]*)"', 1),
+             regexp_extract_all(html,
+               '<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)), ',') AS links_csv
+    FROM corpus
+    """,
+)
+def web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 — hyperlink extraction over a deterministically synthesized
+    HTML corpus (every doc gets a double-quoted link; every third doc a
+    single-quoted one).  One in-row regex pass; the oracle runs the
+    identical RE2-safe pattern and the CSV surface hash-checks every
+    extracted target in order."""
+    from sync_cosmos_db_spark.operators.web import extract_links
+
+    corpus = _html_corpus(spark, sf_dir)
+    links = extract_links("html")
+    return corpus.select(
+        "doc_id",
+        F.size(links).cast("long").alias("n_links"),
+        F.array_join(links, ",").alias("links_csv"))
+
+
+@query(
+    "web_strip_html",
+    _HTML_CORPUS_CTE + """
+    , stripped AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?i)<script[^>]*>[^<]*(</script>)?', '', 'g'),
+                '(?i)<style[^>]*>[^<]*(</style>)?', '', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS clean
+      FROM corpus)
+    SELECT doc_id, sha256(clean) AS clean_sha,
+           length(clean)::BIGINT AS n_chars
+    FROM stripped
+    """,
+)
+def web_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 — HTML boilerplate strip (script/style blocks dropped, tags
+    stripped, entities decoded amp-last, whitespace squeezed) over the
+    same synthetic corpus; the sha256 surface holds both engines to
+    byte-identical visible text."""
+    from sync_cosmos_db_spark.operators.web import strip_html
+
+    corpus = _html_corpus(spark, sf_dir)
+    clean = strip_html("html")
+    return corpus.select(
+        "doc_id",
+        F.sha2(clean, 256).alias("clean_sha"),
+        F.length(clean).cast("long").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# X56 — sentence-aware chunking + X57 quality-ranked per-source cap
+# (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "sentence_chunk_64",
+    """
+    WITH arrs AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '([.!?]) ',
+                                         '\\1' || chr(1), 'g'),
+                          chr(1)) AS ss
+      FROM documents),
+    sent AS (SELECT doc_id, unnest(ss) AS s,
+                    generate_subscripts(ss, 1) AS i
+             FROM arrs),
+    tok AS (SELECT doc_id, s, i,
+                   len(string_split(s, ' '))::BIGINT AS n
+            FROM sent),
+    cum AS (SELECT doc_id, s, i, n,
+                   coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS off
+            FROM tok)
+    SELECT doc_id, (off // 64)::BIGINT AS chunk_id,
+           count(*)::BIGINT AS n_sentences,
+           sum(n)::BIGINT AS n_tokens,
+           sha256(string_agg(s, ' ' ORDER BY i)) AS chunk_sha
+    FROM cum
+    GROUP BY doc_id, (off // 64)
+    """,
+)
+def sentence_chunk_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 — sentence-aware chunking: sentences (RE2-safe marker split)
+    assigned to 64-token chunks by cumulative-offset prefix rule, so no
+    sentence is split mid-way.  The oracle recomputes sentence splits,
+    offsets, and each chunk's exact ordered text (sha-compared)."""
+    from sync_cosmos_db_spark.operators.curation import sentence_chunk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sentence_chunk(docs, "doc_id", "text", max_tokens=64)
+    return out.select(
+        "doc_id", "chunk_id", "n_sentences", "n_tokens",
+        F.sha2(F.col("chunk_text"), 256).alias("chunk_sha"))
+
+
+@query(
+    "quality_cap_per_source",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n,
+             (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')) AS ml,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS dr
+      FROM documents),
+    q AS (SELECT doc_id, source,
+                 floor((0.4 * least(1.0, n / 100.0)
+                       + 0.3 * dr
+                       + 0.3 * least(1.0, ml / 8.0)) * 10000 + 0.5)
+                   / 10000 AS quality
+          FROM t)
+    SELECT doc_id, source, quality
+    FROM q
+    QUALIFY row_number() OVER (PARTITION BY source
+                               ORDER BY quality DESC, doc_id) <= 40
+    """,
+)
+def quality_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 — keep the 40 BEST documents per source by composite quality
+    score (rounded before ranking so both engines rank identically) —
+    the quality-ranked twin of the hash-based cap_docs_per_source.
+    Catalyst's WindowGroupLimit keeps each map task's local top-k only,
+    so the shuffle is bounded per group (plan-asserted in
+    tests/test_curation.py)."""
+    from sync_cosmos_db_spark.operators.curation import (
+        quality_top_k_per_group,
+    )
+    from sync_cosmos_db_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source",
+        fround(quality_score("text"), 4).alias("quality"))
+    return quality_top_k_per_group(scored, "source", "quality",
+                                   "doc_id", k=40)

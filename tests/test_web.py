@@ -1,0 +1,51 @@
+"""Web operators: link extraction and HTML stripping semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.operators.web import extract_links, strip_html
+
+
+def _one(spark, html, col):
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(col.alias("v")).first().v
+
+
+def test_extract_links_both_quote_styles_in_order(spark):
+    html = ('<p>x</p><a class="z" href="https://a.com/1">A</a>'
+            "<a href='http://b.org/2'>B</a>"
+            '<a href="https://c.net">C</a>')
+    got = _one(spark, html, extract_links("html"))
+    # double-quoted matches first (document order within each style)
+    assert got == ["https://a.com/1", "https://c.net", "http://b.org/2"]
+
+
+def test_extract_links_ignores_non_anchor_hrefs(spark):
+    html = '<link href="style.css"><area href="x"><a href="https://y">y</a>'
+    assert _one(spark, html, extract_links("html")) == ["https://y"]
+
+
+def test_strip_html_visible_text(spark):
+    html = ("<html><head><style>p {color:red}</style></head>"
+            "<body><h1>T</h1><p>hello   world</p>"
+            "<script>var x = 1;</script>"
+            "&amp; &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b"
+            "</body></html>")
+    got = _one(spark, html, strip_html("html"))
+    assert got == "T hello world & <tag> \"q\" 's' a b"
+
+
+def test_strip_html_amp_decodes_last(spark):
+    # browsers render '&amp;lt;' as the literal text '&lt;'
+    assert _one(spark, "<b>&amp;lt;</b>", strip_html("html")) == "&lt;"
+
+
+def test_strip_html_plain_text_unchanged(spark):
+    assert _one(spark, "no markup here", strip_html("html")) \
+        == "no markup here"
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-q"]))
