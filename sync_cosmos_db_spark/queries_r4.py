@@ -280,3 +280,49 @@ def quality_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(quality_score("text"), 4).alias("quality"))
     return quality_top_k_per_group(scored, "source", "quality",
                                    "doc_id", k=40)
+
+
+# ---------------------------------------------------------------------------
+# X58 — exact set-similarity join with prefix filtering (operators/setsim.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "setsim_join_docs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, text || ' zzextra'
+      FROM documents WHERE doc_id % 7 = 0),
+    s AS (SELECT doc_id,
+                 list_distinct(string_split(text, ' ')) AS tk
+          FROM corpus)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.tk, b.tk))::BIGINT AS inter,
+           (len(a.tk) + len(b.tk)
+            - len(list_intersect(a.tk, b.tk)))::BIGINT AS n_union,
+           floor(len(list_intersect(a.tk, b.tk))::DOUBLE
+                 / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tk, b.tk))::DOUBLE
+          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+          >= 0.7
+    """,
+)
+def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58 — EXACT Jaccard >= 0.7 pair join via prefix filtering
+    (operators/setsim.py) over a corpus with planted near-twins (every
+    %7 doc gets a one-token-appended copy).  The oracle is the
+    UNBLOCKED n² SQL join — hash equality is the completeness proof:
+    prefix filtering found every qualifying pair, with exact
+    intersection/union arithmetic."""
+    from sync_cosmos_db_spark.operators.setsim import setsim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    twins = (docs.filter(F.col("doc_id") % 7 == 0)
+             .select((F.col("doc_id") + 10000000).alias("doc_id"),
+                     F.concat(F.col("text"), F.lit(" zzextra"))
+                     .alias("text")))
+    corpus = docs.select("doc_id", "text").unionAll(twins)
+    return setsim_join(corpus, "doc_id", "text", threshold=0.7)
