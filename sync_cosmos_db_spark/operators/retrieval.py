@@ -27,6 +27,7 @@ Scale shape:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -170,3 +171,47 @@ def tfidf_related(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("a").alias(id_col),
                     F.col("b").alias("related_id"), "cosine",
                     F.col("rk").cast("long").alias("rk")))
+
+
+def rrf_fuse(
+    lists: list[DataFrame],
+    group_cols: list[str],
+    item_col: str,
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    ``score(item) = Σ_lists 1/(k + rank)`` — the standard hybrid
+    retrieval combiner (BM25 ⊕ dense ANN ⊕ anything), score-free by
+    design so incomparable scoring scales fuse cleanly.
+
+    Each input carries ``group_cols`` (e.g. the query id), ``item_col``
+    and a 1-based ``rank_col``.  Returns one row per (group, item):
+    ``(…group, item, n_lists, rrf_score, fused_rank)``, score
+    floor-rounded to 6 decimals BEFORE ranking (ties → item ASC) so
+    the DuckDB oracle ranks identically.
+
+    Scale shape: one union (no shuffle), one (group, item)-keyed
+    aggregate, one per-group rank window — and because RRF only needs
+    the RANKS, the inputs are top-k lists (thousands of rows per
+    query), never the full corpora being fused.
+    """
+    if not lists:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+    cols = [*group_cols, item_col, rank_col]
+    u = lists[0].select(*cols)
+    for nxt in lists[1:]:
+        u = u.unionByName(nxt.select(*cols))
+    contrib = F.lit(1.0) / (F.lit(k) + F.col(rank_col))
+    scores = (u.groupBy(*group_cols, item_col)
+              .agg(F.count("*").cast("long").alias("n_lists"),
+                   (F.floor(F.sum(contrib) * 1e6 + F.lit(0.5)) / 1e6)
+                   .alias("rrf_score")))
+    w = (W.partitionBy(*group_cols)
+         .orderBy(F.col("rrf_score").desc(), F.col(item_col).asc()))
+    out = scores.withColumn("fused_rank",
+                            F.row_number().over(w).cast("long"))
+    if top_n is not None:
+        out = out.filter(F.col("fused_rank") <= top_n)
+    return out

@@ -326,3 +326,73 @@ def setsim_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("text")))
     corpus = docs.select("doc_id", "text").unionAll(twins)
     return setsim_join(corpus, "doc_id", "text", threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# X59 — reciprocal-rank fusion (operators/retrieval.rrf_fuse)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rrf_hybrid_rankings",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n,
+             (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')) AS ml,
+             len(list_distinct(string_split(text, ' ')))::DOUBLE
+               / len(string_split(text, ' ')) AS dr
+      FROM documents),
+    q AS (SELECT doc_id, lang, n,
+                 floor((0.4 * least(1.0, n / 100.0) + 0.3 * dr
+                       + 0.3 * least(1.0, ml / 8.0)) * 10000 + 0.5)
+                   / 10000 AS quality
+          FROM t),
+    la AS (SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY quality DESC, doc_id) AS rank
+           FROM q QUALIFY rank <= 25),
+    lb AS (SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, doc_id) AS rank
+           FROM q QUALIFY rank <= 25),
+    u AS (SELECT * FROM la UNION ALL SELECT * FROM lb),
+    sc AS (SELECT lang, doc_id, count(*)::BIGINT AS n_lists,
+                  floor(sum(1.0 / (60 + rank)) * 1000000 + 0.5) / 1000000
+                    AS rrf_score
+           FROM u GROUP BY lang, doc_id)
+    SELECT lang, doc_id, n_lists, rrf_score,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY rrf_score DESC, doc_id)::BIGINT
+             AS fused_rank
+    FROM sc QUALIFY fused_rank <= 10
+    """,
+)
+def rrf_hybrid_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59 — reciprocal-rank fusion of two incomparable per-lang
+    rankings (composite quality vs raw length — stand-ins for the
+    BM25 ⊕ dense-ANN hybrid, which fuses by exactly this arithmetic):
+    top-25 each, RRF k=60, fused top-10 per lang.  Scores are rounded
+    before every ranking step so both engines rank identically; the
+    oracle recomputes both source rankings and the fusion."""
+    from pyspark.sql import Window as W
+
+    from sync_cosmos_db_spark.operators.retrieval import rrf_fuse
+    from sync_cosmos_db_spark.operators.text import quality_score, token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "doc_id",
+        fround(quality_score("text"), 4).alias("quality"),
+        token_count("text").alias("n"))
+
+    def ranked(order_col):
+        w = (W.partitionBy("lang")
+             .orderBy(F.col(order_col).desc(), F.col("doc_id").asc()))
+        return (scored.withColumn("rank",
+                                  F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= 25)
+                .select("lang", "doc_id", "rank"))
+
+    return rrf_fuse([ranked("quality"), ranked("n")],
+                    ["lang"], "doc_id", "rank", k=60, top_n=10)

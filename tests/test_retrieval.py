@@ -61,3 +61,38 @@ def test_bm25_matches_reference(spark):
 def test_bm25_topk_order_and_limit(spark):
     rows = bm25_topk(spark, _docs(spark), ["c"], k=1).collect()
     assert len(rows) == 1 and rows[0].doc_id == 3  # tf=3 wins
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from sync_cosmos_db_spark.operators.retrieval import rrf_fuse
+
+    la = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3)],
+        "qid string, doc long, rank long")
+    lb = spark.createDataFrame(
+        [("q1", 11, 1), ("q1", 13, 2)],
+        "qid string, doc long, rank long")
+    out = {r.doc: r for r in
+           rrf_fuse([la, lb], ["qid"], "doc", "rank", k=60).collect()}
+    import math
+    f6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    # doc 11 appears in both lists: 1/62 + 1/61
+    assert out[11].n_lists == 2
+    assert out[11].rrf_score == f6(1 / 62 + 1 / 61)
+    assert out[11].fused_rank == 1
+    assert out[10].rrf_score == f6(1 / 61) and out[10].fused_rank == 2
+    assert out[13].rrf_score == f6(1 / 62) and out[13].fused_rank == 3
+    assert out[12].rrf_score == f6(1 / 63) and out[12].fused_rank == 4
+
+
+def test_rrf_fuse_top_n_and_validation(spark):
+    import pytest as _pytest
+
+    from sync_cosmos_db_spark.operators.retrieval import rrf_fuse
+
+    la = spark.createDataFrame(
+        [("q", d, r) for d, r in ((1, 1), (2, 2), (3, 3))],
+        "qid string, doc long, rank long")
+    assert rrf_fuse([la], ["qid"], "doc", top_n=2).count() == 2
+    with _pytest.raises(ValueError):
+        rrf_fuse([], ["qid"], "doc")
