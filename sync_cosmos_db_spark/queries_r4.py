@@ -396,3 +396,64 @@ def rrf_hybrid_rankings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return rrf_fuse([ranked("quality"), ranked("n")],
                     ["lang"], "doc_id", "rank", k=60, top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# X60 — stream-stream LEFT OUTER interval join (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_interval_left_outer",
+    """
+    WITH p AS (SELECT event_id AS purchase_id, ts AS p_ts, user_id
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, ts AS c_ts, user_id
+          FROM events WHERE event_type = 'click'),
+    m AS (SELECT max(ts) AS mx FROM events)
+    SELECT p.purchase_id, p.user_id, c.click_id,
+           c.click_id IS NOT NULL AS matched
+    FROM p
+    LEFT JOIN c ON c.user_id = p.user_id
+               AND c.c_ts BETWEEN p.p_ts - INTERVAL '1 hour' AND p.p_ts
+    WHERE p.p_ts <= (SELECT mx FROM m) - INTERVAL '2 hours'
+    """,
+)
+def stream_interval_left_outer(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X60 — stream-stream LEFT OUTER interval join as a REAL streaming
+    query: purchases with no click in the preceding hour survive with
+    NULL click — the "unattributed conversions" shape an inner join
+    silently drops.  Outer rows only emit once the watermark proves no
+    match can arrive, so both sides restrict to purchases at least
+    2 h older than the stream's final event (watermark 30 min +
+    lookback 1 h + margin) — inside that region streaming output equals
+    the batch left join EXACTLY, and the oracle hash-checks it."""
+    import os
+    import tempfile
+    import uuid
+
+    from sync_cosmos_db_spark.streaming import windows as SW
+
+    d = tempfile.mkdtemp(prefix="events_ivj_outer_")
+    os.symlink(os.path.join(sf_dir, "events.parquet"),
+               os.path.join(d, "events.parquet"))
+    src = SW.read_events_stream(spark, d)
+    purchases = (src.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("p_ts"), "user_id"))
+    clicks = (src.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("c_ts"), "user_id"))
+    joined = SW.interval_join_stream(
+        purchases, clicks, key="user_id",
+        left_ts="p_ts", right_ts="c_ts", lookback="1 hour",
+        watermark="30 minutes", how="left_outer")
+    streamed = SW.run_stream_to_memory(
+        spark, joined.select("purchase_id", "user_id", "click_id",
+                             F.col("click_id").isNotNull().alias("matched"),
+                             "p_ts"),
+        f"ivj_outer_mem_{uuid.uuid4().hex[:8]}", mode="append")
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    return (streamed
+            .filter(F.col("p_ts") <= F.lit(mx) - F.expr("INTERVAL 2 hours"))
+            .drop("p_ts"))

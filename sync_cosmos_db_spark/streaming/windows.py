@@ -207,9 +207,10 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
                          key: str,
                          left_ts: str, right_ts: str,
                          lookback: str = "1 hour",
-                         watermark: str = DEFAULT_WATERMARK) -> DataFrame:
-    """Stream-stream INNER interval join: each left row matches right
-    rows with the same ``key`` whose timestamp lies in
+                         watermark: str = DEFAULT_WATERMARK,
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream interval join: each left row matches right rows
+    with the same ``key`` whose timestamp lies in
     ``[left_ts - lookback, left_ts]`` — the attribution shape (join a
     purchase to the clicks that preceded it).
 
@@ -222,7 +223,18 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
     the difference between a pipeline that runs for a day and one that
     runs for a year. Column names must already be disjoint (rename
     before calling); the same expressions run in batch for the oracle
-    twin."""
+    twin.
+
+    ``how='left_outer'`` additionally emits unmatched left rows (right
+    columns NULL) — but only once the watermark proves no match can
+    still arrive, so outer results near the stream's end may be
+    withheld when the query stops.  Callers needing exact batch parity
+    restrict assertions to rows older than the final watermark horizon
+    (see ``stream_interval_left_outer`` in queries_r4.py)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"interval_join_stream: how must be 'inner' or 'left_outer',"
+            f" got {how!r}")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     lk, rk = f"l_{key}", f"r_{key}"
@@ -234,7 +246,7 @@ def interval_join_stream(left: DataFrame, right: DataFrame,
            >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return (lw.join(rw, cond, "inner")
+    return (lw.join(rw, cond, how)
             .withColumnRenamed(lk, key).drop(rk))
 
 

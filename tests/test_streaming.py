@@ -249,3 +249,53 @@ def test_read_events_stream_sniff_raises_on_mixed_and_missing(
                    str(d2 / "b.parquet"))
     with pytest.raises(ValueError, match="mixed ts encodings"):
         SW.read_events_stream(spark, str(d2))
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """Unmatched left rows emit with NULL right side once the watermark
+    passes; `how` is validated."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    # the stream-stream watermark is the MIN across both sides, so
+    # BOTH a late purchase and a late click are needed to advance it
+    rows = {
+        "event_id": [1, 2, 3, 100, 101],
+        "ts": [base, base + pd.Timedelta("10 minutes"),
+               base + pd.Timedelta("20 minutes"),
+               base + pd.Timedelta("6 hours"),     # left watermark driver
+               base + pd.Timedelta("6 hours")],    # right watermark driver
+        "user_id": [7, 7, 8, 9, 10],
+        "event_type": ["click", "purchase", "purchase", "purchase",
+                       "click"],
+        "value": [1.0] * 5,
+        "props": ["{}"] * 5,
+    }
+    pd.DataFrame(rows).to_parquet(str(d / "events.parquet"))
+    src = SW.read_events_stream(spark, str(d))
+    p = (src.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("p_ts"), "user_id"))
+    c = (src.filter(F.col("event_type") == "click")
+         .select(F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("c_ts"), "user_id"))
+    with _pytest.raises(ValueError, match="left_outer"):
+        SW.interval_join_stream(p, c, key="user_id", left_ts="p_ts",
+                                right_ts="c_ts", how="full")
+    out = SW.run_stream_to_memory(
+        spark,
+        SW.interval_join_stream(p, c, key="user_id", left_ts="p_ts",
+                                right_ts="c_ts", lookback="1 hour",
+                                watermark="10 minutes",
+                                how="left_outer")
+        .select("purchase_id", "click_id"),
+        "ivj_outer_unit_mem", mode="append")
+    got = {(r.purchase_id, r.click_id) for r in out.collect()}
+    # purchase 2 (user 7) matches click 1; purchase 3 (user 8) has no
+    # click and is far inside the final watermark -> NULL row emitted
+    assert (2, 1) in got
+    assert (3, None) in got
