@@ -114,3 +114,72 @@ def _register_self_for_pickle_by_value() -> None:
 
 
 _register_self_for_pickle_by_value()
+
+
+GROUP_CANDIDATE_SCHEMA = "grp string, item string, est long, n_part long"
+
+
+def mg_candidates_by_group(items: DataFrame, group_col: str,
+                           item_col: str, k: int) -> DataFrame:
+    """Per-(partition, group) MG summaries: ≤ k candidate rows per
+    group per partition, plus one (grp, NULL, 0, n_part_grp) total row
+    per group per partition — the grouped twin of :func:`mg_candidates`
+    (per-language vocabularies, per-source spam terms...).  Memory is
+    O(k · groups-per-partition); the containment guarantee holds PER
+    GROUP because MG runs independently on each group's substream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("grp", sort=False):
+                counters[g] = _mg_summary(sub[item_col], k,
+                                          counters.get(g))
+                totals[g] = totals.get(g, 0) + len(sub)
+        out = {"grp": [], "item": [], "est": [], "n_part": []}
+        for g, cnt in counters.items():
+            for it, c in cnt.items():
+                out["grp"].append(g)
+                out["item"].append(it)
+                out["est"].append(c)
+                out["n_part"].append(0)
+            out["grp"].append(g)
+            out["item"].append(None)
+            out["est"].append(0)
+            out["n_part"].append(totals[g])
+        yield pd.DataFrame(out)
+
+    return items.select(F.col(group_col).alias("grp"),
+                        F.col(item_col)).mapInPandas(
+        run, schema=GROUP_CANDIDATE_SCHEMA)
+
+
+def heavy_hitters_by_group(items: DataFrame, group_col: str,
+                           item_col: str = "item",
+                           k: int = 20) -> DataFrame:
+    """Exact per-group heavy hitters: items with count > n_grp/(k+1)
+    WITHIN their group.  Same two-scan shape as :func:`heavy_hitters`
+    — sketch pass collected as driver metadata (≤ (k+1)·groups·
+    partitions rows), then one candidate-filtered verify aggregate
+    with per-group totals broadcast-joined (never a chained CASE)."""
+    sk = mg_candidates_by_group(items, group_col, item_col, k).collect()
+    totals: dict = {}
+    cands: set = set()
+    for r in sk:
+        if r.item is None:
+            totals[r.grp] = totals.get(r.grp, 0) + r.n_part
+        else:
+            cands.add((r.grp, r.item))
+    spark = items.sparkSession
+    cand_df = spark.createDataFrame(
+        sorted(cands), "grp string, item string")
+    tot_df = spark.createDataFrame(
+        sorted(totals.items()), "grp string, n_grp long")
+    exact = (items.select(F.col(group_col).alias("grp"),
+                          F.col(item_col).alias("item"))
+             .join(F.broadcast(cand_df), ["grp", "item"], "left_semi")
+             .groupBy("grp", "item")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    return (exact.join(F.broadcast(tot_df), "grp")
+            .filter(F.col("cnt") * (k + 1) > F.col("n_grp"))
+            .select(F.col("grp").alias(group_col), "item", "cnt"))

@@ -1,5 +1,8 @@
-"""Round-4 extension queries: CDC changelog apply, link extraction,
-sentence-aware chunking, and quality-ranked per-source caps.
+"""Round-4 extension queries (X53-X61): CDC changelog apply, link
+extraction, HTML boilerplate strip, sentence-aware chunking,
+quality-ranked per-source caps, exact set-similarity join, reciprocal-
+rank fusion, stream-stream left-outer interval join, and per-group
+heavy hitters.
 
 Every query is oracle-checked (hash-compared against DuckDB at sf0.01)
 and registers AFTER the round-4 sweep window — they queue for the
@@ -457,3 +460,40 @@ def stream_interval_left_outer(spark: SparkSession,
     return (streamed
             .filter(F.col("p_ts") <= F.lit(mx) - F.expr("INTERVAL 2 hours"))
             .drop("p_ts"))
+
+
+# ---------------------------------------------------------------------------
+# X61 — per-group heavy hitters (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "heavy_hitter_terms_by_lang",
+    """
+    WITH toks AS (SELECT lang,
+                         unnest(string_split_regex(text, '\\s+')) AS item
+                  FROM documents),
+    n AS (SELECT lang, count(*) AS total FROM toks GROUP BY lang)
+    SELECT t.lang, t.item, count(*)::BIGINT AS cnt
+    FROM toks t JOIN n USING (lang)
+    GROUP BY t.lang, t.item, n.total
+    HAVING count(*) * 24 > n.total
+    """,
+)
+def heavy_hitter_terms_by_lang(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X61 — per-LANGUAGE heavy hitters (terms with in-language count >
+    n_lang/24) via the grouped Misra-Gries sketch: per-(partition,
+    group) summaries keep the containment guarantee within each group,
+    per-group totals ride the sketch rows, and the verify pass
+    broadcast-joins candidates and totals.  The oracle is the plain
+    per-lang groupBy + HAVING — hash equality proves the grouped
+    containment end-to-end."""
+    from sync_cosmos_db_spark.operators.sketches import (
+        heavy_hitters_by_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("item"))
+    return heavy_hitters_by_group(toks, "lang", "item", k=23)

@@ -461,3 +461,28 @@ def test_check_rules_arbitrary_rule_names(spark):
     out = {r.rule: r.n_violations for r in check_rules(df, rules).collect()}
     assert set(out) == set(names)
     assert all(v == 5 for v in out.values())
+
+
+def test_heavy_hitters_by_group_exact_vs_groupby(spark):
+    from sync_cosmos_db_spark.operators.sketches import (
+        heavy_hitters_by_group,
+    )
+
+    df = (spark.range(0, 3000)
+          .select((F.col("id") % 3).cast("string").alias("lang"),
+                  F.when(F.col("id") % 3 == 0, "hot0")
+                  .when((F.col("id") % 3 == 1) & (F.col("id") % 2 == 0),
+                        "hot1")
+                  .otherwise(F.concat(F.lit("c"), F.col("id")))
+                  .alias("item"))
+          .repartition(8))
+    k = 5
+    got = {(r.lang, r.item, r.cnt) for r in
+           heavy_hitters_by_group(df, "lang", "item", k).collect()}
+    counts = df.groupBy("lang", "item").agg(
+        F.count("*").cast("long").alias("cnt"))
+    tot = df.groupBy("lang").agg(F.count("*").alias("n"))
+    want = {(r.lang, r.item, r.cnt) for r in
+            counts.join(tot, "lang")
+            .where(F.col("cnt") * (k + 1) > F.col("n")).collect()}
+    assert got == want and len(want) >= 2
