@@ -497,3 +497,75 @@ def heavy_hitter_terms_by_lang(spark: SparkSession,
         "lang",
         F.explode(F.split(F.col("text"), r"\s+")).alias("item"))
     return heavy_hitters_by_group(toks, "lang", "item", k=23)
+
+
+# ---------------------------------------------------------------------------
+# X62 — web curation pipeline composition (strip → clean → score →
+# filter → dedup), full SQL replay oracle
+# ---------------------------------------------------------------------------
+
+@query(
+    "web_pipeline_stats",
+    _HTML_CORPUS_CTE + """
+    , stripped AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(html,
+                  '(?i)<script[^>]*>[^<]*(</script>)?', '', 'g'),
+                '(?i)<style[^>]*>[^<]*(</style>)?', '', 'g'),
+              '<[^>]+>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
+          '\\s+', ' ', 'g')) AS clean
+      FROM corpus),
+    scored AS (
+      SELECT doc_id, clean,
+             len(string_split(clean, ' ')) AS n,
+             (length(clean) - (len(string_split(clean, ' ')) - 1))::DOUBLE
+               / len(string_split(clean, ' ')) AS ml,
+             len(list_distinct(string_split(clean, ' ')))::DOUBLE
+               / len(string_split(clean, ' ')) AS dr
+      FROM stripped),
+    q AS (SELECT doc_id, clean,
+                 floor((0.4 * least(1.0, n / 100.0) + 0.3 * dr
+                       + 0.3 * least(1.0, ml / 8.0)) * 10000 + 0.5)
+                   / 10000 AS quality
+          FROM scored),
+    kept AS (SELECT doc_id, clean FROM q WHERE quality >= 0.5),
+    uniq AS (SELECT sha256(clean) AS sha, min(doc_id) AS keep_id
+             FROM kept GROUP BY sha256(clean))
+    SELECT (SELECT count(*) FROM corpus)::BIGINT AS n_input,
+           (SELECT count(*) FROM kept)::BIGINT AS n_quality,
+           (SELECT count(*) FROM uniq)::BIGINT AS n_unique,
+           (SELECT coalesce(sum(keep_id), 0) FROM uniq)::BIGINT
+             AS kept_id_sum
+    """,
+)
+def web_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 — the web-corpus curation pipeline end-to-end: synthetic
+    HTML → strip_html (X55) → composite quality score gate (X6) →
+    exact content dedup keeping the lowest doc id (X1).  One row of
+    stage cardinalities plus the exact kept-id sum — the oracle
+    replays every stage in SQL, so the hash check pins the whole
+    composition, not just each operator in isolation."""
+    from sync_cosmos_db_spark.operators.text import quality_score
+    from sync_cosmos_db_spark.operators.web import strip_html
+
+    corpus = _html_corpus(spark, sf_dir)
+    cleaned = corpus.select(
+        "doc_id", strip_html("html").alias("clean"))
+    scored = cleaned.withColumn(
+        "quality", fround(quality_score("clean"), 4))
+    kept = scored.filter(F.col("quality") >= 0.5)
+    uniq = (kept.groupBy(F.sha2("clean", 256).alias("sha"))
+            .agg(F.min("doc_id").alias("keep_id")))
+    return (corpus.agg(F.count("*").cast("long").alias("n_input"))
+            .crossJoin(kept.agg(F.count("*").cast("long")
+                                .alias("n_quality")))
+            .crossJoin(uniq.agg(
+                F.count("*").cast("long").alias("n_unique"),
+                F.coalesce(F.sum("keep_id"), F.lit(0)).cast("long")
+                .alias("kept_id_sum"))))
