@@ -331,7 +331,9 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Code paths CHANGED this round (mixture broadcast-join, IVF persist,
 # heavy-hitter fuse) are either in-window (heavy_hitter_terms) or
 # covered by the local sweep — the window stays exclusively backlog
-# per the verdict.
+# per the verdict.  The 11 NEW round-4 oracle queries (queries_r4.py,
+# X53-X62) register after the window and queue for the r5 rotation —
+# same path every family walked before its first driver row.
 SWEEP_PRIORITY: list[str] = [
     # --- red-row closure (round-3 verdict item 1)
     "embedding_quantize_int8",
