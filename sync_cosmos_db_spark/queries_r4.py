@@ -569,3 +569,45 @@ def web_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").cast("long").alias("n_unique"),
                 F.coalesce(F.sum("keep_id"), F.lit(0)).cast("long")
                 .alias("kept_id_sum"))))
+
+
+# ---------------------------------------------------------------------------
+# X63 — pairwise association rules (operators/assoc.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "assoc_event_types_by_user",
+    """
+    WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i
+                FROM events),
+    sup AS (SELECT i, count(*)::BIGINT AS n_i FROM bi GROUP BY i
+            HAVING count(*) >= 2),
+    pruned AS (SELECT bi.b, bi.i FROM bi JOIN sup USING (i)),
+    pc AS (SELECT a.i AS item_a, c.i AS item_b, count(*)::BIGINT AS n_ab
+           FROM pruned a JOIN pruned c ON a.b = c.b AND a.i < c.i
+           GROUP BY a.i, c.i HAVING count(*) >= 2),
+    nb AS (SELECT count(DISTINCT b)::BIGINT AS n FROM bi)
+    SELECT pc.item_a, pc.item_b, pc.n_ab,
+           sa.n_i AS n_a, sb.n_i AS n_b,
+           floor(pc.n_ab::DOUBLE / nb.n * 1000000 + 0.5) / 1000000
+             AS support,
+           floor(pc.n_ab::DOUBLE / sa.n_i * 1000000 + 0.5) / 1000000
+             AS confidence,
+           floor((pc.n_ab::DOUBLE * nb.n) / (sa.n_i * sb.n_i)
+                 * 1000000 + 0.5) / 1000000 AS lift
+    FROM pc
+    JOIN sup sa ON sa.i = pc.item_a
+    JOIN sup sb ON sb.i = pc.item_b
+    CROSS JOIN nb
+    """,
+)
+def assoc_event_types_by_user(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X63 — market-basket association rules over event types per user
+    (operators/assoc.py): Apriori-pruned pairwise co-occurrence with
+    support / confidence / lift, every ratio floor-rounded.  The
+    oracle replays the whole Apriori pipeline in SQL."""
+    from sync_cosmos_db_spark.operators.assoc import pair_associations
+
+    ev = load_table(spark, sf_dir, "events")
+    return pair_associations(ev, "user_id", "event_type", min_count=2)
