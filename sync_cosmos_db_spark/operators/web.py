@@ -66,3 +66,40 @@ def strip_html(col: Column | str) -> Column:
         c = F.replace(c, F.lit(ent), F.lit(ch))
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
+
+
+def common_prefix_by_group(df, group_col: str, text_col: str):
+    """Longest common prefix of every group's texts — the boilerplate
+    detector (same-site pages share a rendered header; stripping it is
+    a standard web-curation pass).
+
+    Uses the order-statistics identity LCP(S) = LCP(min(S), max(S))
+    under lexicographic order: any prefix shared by the lexicographic
+    extremes is shared by every string between them.  So the whole
+    operator is ONE group aggregate (min, max, count) plus in-row
+    character comparison of two strings per group — no pairwise
+    comparisons, no second shuffle, group-keyed exchange only.
+
+    Returns (group, n_docs, prefix_len, prefix) — ``prefix`` is the
+    common prefix itself (empty string when the group shares nothing).
+    """
+    from pyspark.sql import functions as F
+
+    g = (df.groupBy(F.col(group_col).alias("grp"))
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.min(F.col(text_col)).alias("lo"),
+              F.max(F.col(text_col)).alias("hi")))
+    lo, hi = F.coalesce(F.col("lo"), F.lit("")), \
+        F.coalesce(F.col("hi"), F.lit(""))
+    n = F.least(F.length(lo), F.length(hi))
+    positions = F.when(n < 1, F.array().cast("array<int>")) \
+        .otherwise(F.sequence(F.lit(1), n))
+    mismatches = F.filter(
+        positions,
+        lambda i: lo.substr(i, F.lit(1)) != hi.substr(i, F.lit(1)))
+    first_bad = F.array_min(mismatches)
+    plen = F.coalesce(first_bad - 1, n).cast("long")
+    return g.select(
+        F.col("grp").alias(group_col), "n_docs",
+        plen.alias("prefix_len"),
+        lo.substr(F.lit(1), plen.cast("int")).alias("prefix"))

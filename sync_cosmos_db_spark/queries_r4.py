@@ -611,3 +611,45 @@ def assoc_event_types_by_user(spark: SparkSession,
 
     ev = load_table(spark, sf_dir, "events")
     return pair_associations(ev, "user_id", "event_type", min_count=2)
+
+
+# ---------------------------------------------------------------------------
+# X64 — common-prefix boilerplate detection (operators/web.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "boilerplate_prefix_by_source",
+    """
+    WITH corpus AS (
+      SELECT source, 'SITE ' || source || ' HEADER | ' || text AS t
+      FROM documents),
+    g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                 min(t) AS lo, max(t) AS hi
+          FROM corpus GROUP BY source),
+    c AS (SELECT source, n_docs, lo, hi,
+                 least(length(lo), length(hi)) AS n,
+                 list_min(list_filter(
+                   generate_series(1, least(length(lo), length(hi))),
+                   i -> substr(lo, i, 1) <> substr(hi, i, 1))) AS bad
+          FROM g)
+    SELECT source, n_docs,
+           coalesce(bad - 1, n)::BIGINT AS prefix_len,
+           substr(lo, 1, coalesce(bad - 1, n)::INT) AS prefix
+    FROM c
+    """,
+)
+def boilerplate_prefix_by_source(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """X64 — per-source longest-common-prefix boilerplate detection via
+    the LCP(min, max) order-statistics identity: one group aggregate,
+    zero pairwise work.  The corpus plants a per-source header so the
+    detected prefix is non-trivial; the oracle replays the identity in
+    SQL and the hash check covers the exact prefix text."""
+    from sync_cosmos_db_spark.operators.web import common_prefix_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "source",
+        F.concat(F.lit("SITE "), F.col("source"), F.lit(" HEADER | "),
+                 F.col("text")).alias("t"))
+    return common_prefix_by_group(corpus, "source", "t")

@@ -49,3 +49,20 @@ def test_strip_html_plain_text_unchanged(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_common_prefix_by_group_hand_cases(spark):
+    from sync_cosmos_db_spark.operators.web import common_prefix_by_group
+
+    df = spark.createDataFrame(
+        [("a", "HEAD one"), ("a", "HEAD two"), ("a", "HEAD three"),
+         ("b", "x"), ("b", "y"),
+         ("c", "solo full text"),
+         ("d", "pfx"), ("d", "pfx longer")],
+        "src string, t string")
+    out = {r.src: (r.n_docs, r.prefix_len, r.prefix) for r in
+           common_prefix_by_group(df, "src", "t").collect()}
+    assert out["a"] == (3, 5, "HEAD ")
+    assert out["b"] == (2, 0, "")
+    assert out["c"] == (1, 14, "solo full text")   # singleton: whole text
+    assert out["d"] == (2, 3, "pfx")               # prefix-of-the-other
