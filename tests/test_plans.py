@@ -72,6 +72,8 @@ BNLJ_ALLOWED = {
     "dedup_embedding_lsh_containment",
     # O21: joins two single-row count aggregates — a 1×1 BNLJ.
     "verify_counts",
+    # X62: chains three single-row stage aggregates — 1×1 BNLJs.
+    "web_pipeline_stats",
     # TPC-H scalar-subquery shapes: an N×1 BNLJ against a BROADCAST
     # single-row aggregate (the decorrelated HAVING/MAX/AVG threshold)
     # — linear in N, the canonical Spark form of a scalar subquery.
