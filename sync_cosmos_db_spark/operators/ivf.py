@@ -256,6 +256,16 @@ def ivf_topk(
     indexed = assign_clusters(corpus, cents, id_col, vec_col) \
         .withColumnRenamed(id_col, "neighbor_id") \
         .withColumnRenamed(vec_col, "__cvec")
+    return _probe_score_rank(indexed, queries, cents, k, nprobe,
+                             id_col, vec_col, query_id_col)
+
+
+def _probe_score_rank(indexed: DataFrame, queries: DataFrame, cents,
+                      k: int, nprobe: int, id_col: str, vec_col: str,
+                      query_id_col: str) -> DataFrame:
+    """Shared probe → cluster equi-join → score → rank tail for both
+    the train-in-place and the load-from-index paths.  ``indexed``
+    carries (neighbor_id, __cvec, cluster_id)."""
     probes = probe_clusters(queries, cents, nprobe, id_col, vec_col,
                             query_id_col)
     cand = (indexed.join(probes, "cluster_id")
@@ -273,3 +283,55 @@ def ivf_topk(
                 (F.floor(F.col("__cs") * 10000 + F.lit(0.5)) / 10000)
                 .alias("cosine_sim"))
     )
+
+
+def save_index(corpus: DataFrame, centroids, path: str,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> None:
+    """Persist a trained IVF index: ``path/centroids`` (k rows) and
+    ``path/assignments`` — the cluster-tagged corpus, hive-partitioned
+    by ``cluster_id`` so a later probe's equi-join PRUNES partitions
+    (with nprobe < k, untouched clusters' files are never read — the
+    on-disk analog of Faiss's inverted lists).  Train once, probe from
+    many jobs: the retrain-per-query cost disappears and the index is
+    a plain parquet layout any engine can inspect."""
+    spark = corpus.sparkSession
+    cent_rows = [(i, centroids[i].tolist())
+                 for i in range(centroids.shape[0])]
+    (spark.createDataFrame(cent_rows,
+                           "cluster_id long, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids"))
+    (assign_clusters(corpus, centroids, id_col, vec_col)
+     .write.mode("overwrite").partitionBy("cluster_id")
+     .parquet(f"{path}/assignments"))
+
+
+def load_index(spark, path: str, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Load a saved IVF index → (centroid matrix, assignments frame).
+    Only the k×dim centroid table is collected; assignments stay a
+    lazy partitioned scan."""
+    import numpy as np
+
+    cent = (spark.read.parquet(f"{path}/centroids")
+            .orderBy("cluster_id").collect())
+    C = np.asarray([r.centroid for r in cent], dtype=np.float64)
+    assignments = spark.read.parquet(f"{path}/assignments")
+    return C, assignments
+
+
+def ivf_topk_from_index(spark, path: str, queries: DataFrame,
+                        k: int = 10, nprobe: int = 4,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_id_col: str = "query_id") -> DataFrame:
+    """IVF top-k served from a persisted index — identical contract to
+    :func:`ivf_topk` but with zero training scans; the probe equi-join
+    on the hive partition column prunes unprobed clusters at the file
+    level."""
+    C, assignments = load_index(spark, path, id_col, vec_col)
+    indexed = (assignments
+               .withColumnRenamed(id_col, "neighbor_id")
+               .withColumnRenamed(vec_col, "__cvec"))
+    return _probe_score_rank(indexed, queries, C, k, nprobe,
+                             id_col, vec_col, query_id_col)

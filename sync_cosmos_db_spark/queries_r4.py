@@ -654,3 +654,47 @@ def boilerplate_prefix_by_source(spark: SparkSession,
         F.concat(F.lit("SITE "), F.col("source"), F.lit(" HEADER | "),
                  F.col("text")).alias("t"))
     return common_prefix_by_group(corpus, "source", "t")
+
+
+# ---------------------------------------------------------------------------
+# X65 — IVF index persistence (operators/ivf.py save/load/probe)
+# ---------------------------------------------------------------------------
+
+_IVF_EXACT_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor((list_cosine_similarity(q.qv, c.embedding::DOUBLE[]))
+                   * 1000000 + 0.5) / 1000000 AS cs
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rank,
+             floor((cs) * 10000 + 0.5) / 10000 AS cosine_sim
+      FROM scored)
+    SELECT query_id, neighbor_id, rank, cosine_sim FROM ranked
+    WHERE rank <= 3
+"""
+
+
+@query("sim_topk_ivf_persisted", _IVF_EXACT_ORACLE)
+def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65 — IVF index persistence round-trip, hash-checked end to end:
+    train → save (centroids + hive-partitioned assignments) → LOAD →
+    full-probe.  With nprobe == n_clusters the served result must be
+    bit-identical to the exact brute-force oracle, so the hash check
+    proves the whole save/load path loses and duplicates nothing; the
+    partitioned layout is what lets nprobe < k prune unread clusters
+    at the FILE level in production."""
+    import tempfile
+
+    from sync_cosmos_db_spark.operators import ivf as IVF
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = IVF.train_centroids(emb, dim=64, n_clusters=8, iters=3)
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    IVF.save_index(emb, cents, path)
+    return IVF.ivf_topk_from_index(spark, path, queries, k=3, nprobe=8)

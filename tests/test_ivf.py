@@ -122,3 +122,40 @@ def test_train_centroids_single_source_scan(spark, tmp_path):
         scanned = sum(int(x) for x in f.read().split())
     assert scanned == n, f"source scanned {scanned/n:.1f}x, want exactly 1x"
     assert jsc.getPersistentRDDs().size() == before  # nothing lingers
+
+
+def test_index_roundtrip_matches_in_place(spark, sf_dir, tmp_path):
+    """save → load → probe must equal the train-in-place path at BOTH
+    full and partial probe; assignments land hive-partitioned."""
+    import os
+
+    from sync_cosmos_db_spark.operators import ivf as IVF
+
+    from sync_cosmos_db_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = IVF.train_centroids(emb, dim=64, n_clusters=8, iters=3)
+    path = str(tmp_path / "ivf")
+    IVF.save_index(emb, cents, path)
+
+    # identical centroids reload (order pinned by cluster_id)
+    C2, assignments = IVF.load_index(spark, path)
+    import numpy as np
+    assert np.array_equal(C2, cents)
+    # hive layout: one directory per cluster
+    parts = [d for d in os.listdir(f"{path}/assignments")
+             if d.startswith("cluster_id=")]
+    assert len(parts) == 8
+
+    for nprobe in (8, 2):
+        direct = IVF._probe_score_rank(
+            IVF.assign_clusters(emb, cents)
+            .withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("embedding", "__cvec"),
+            queries, cents, 3, nprobe, "vec_id", "embedding", "query_id")
+        served = IVF.ivf_topk_from_index(spark, path, queries,
+                                         k=3, nprobe=nprobe)
+        a = sorted(map(tuple, direct.collect()))
+        b = sorted(map(tuple, served.collect()))
+        assert a == b, f"nprobe={nprobe}"
