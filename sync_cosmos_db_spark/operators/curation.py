@@ -512,3 +512,19 @@ def quality_top_k_per_group(
     return (df.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") <= k)
             .drop("__rk"))
+
+
+def k_fold_split(df: DataFrame, id_col: str, k: int = 5,
+                 salt: str = "fold",
+                 fold_col: str = "fold") -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = hash_bucket(id) % k``
+    — the cross-validation twin of :func:`train_eval_split`.  Same
+    guarantees: narrow (no shuffle, no driver state), rerun- and
+    cluster-stable, SQL-recomputable; fold i's eval set is exactly the
+    rows with ``fold == i`` and its train set is everything else, so
+    the k train/eval partitions are disjoint and exhaustive BY
+    CONSTRUCTION."""
+    if k < 2:
+        raise ValueError(f"k_fold_split: k must be >= 2, got {k}")
+    return df.withColumn(fold_col,
+                         hash_bucket(id_col, k, salt).cast("long"))

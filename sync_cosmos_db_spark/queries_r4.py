@@ -698,3 +698,33 @@ def sim_topk_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="ivf_index_")
     IVF.save_index(emb, cents, path)
     return IVF.ivf_topk_from_index(spark, path, queries, k=3, nprobe=8)
+
+
+# ---------------------------------------------------------------------------
+# X66 — deterministic k-fold split (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kfold_split_documents",
+    """
+    SELECT fold, count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS id_sum
+    FROM (
+      SELECT doc_id,
+             translate(substr(sha256(doc_id::VARCHAR || ':fold'), 1, 6),
+                       'abcdef', '012345')::BIGINT % 5 AS fold
+      FROM documents)
+    GROUP BY fold
+    """,
+)
+def kfold_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66 — deterministic 5-fold cross-validation split: per-fold
+    cardinality plus the exact id sum, so the hash check pins the
+    precise membership of every fold, not just the sizes."""
+    from sync_cosmos_db_spark.operators.curation import k_fold_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (k_fold_split(docs, "doc_id", k=5)
+            .groupBy("fold")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("doc_id").cast("long").alias("id_sum")))

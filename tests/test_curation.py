@@ -375,3 +375,22 @@ def test_quality_top_k_per_group_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, \
         "rank filter must compile to WindowGroupLimit for bounded shuffle"
+
+
+def test_k_fold_split_disjoint_exhaustive_stable(spark):
+    from sync_cosmos_db_spark.operators.curation import k_fold_split
+
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = k_fold_split(df, "doc_id", k=4)
+    rows = out.collect()
+    assert len(rows) == 1000                      # exhaustive
+    assert {r.fold for r in rows} == {0, 1, 2, 3}  # all folds used
+    again = {r.doc_id: r.fold for r in
+             k_fold_split(df, "doc_id", k=4).collect()}
+    assert all(again[r.doc_id] == r.fold for r in rows)  # stable
+    # roughly balanced (hash uniformity): each fold within 3x of even
+    from collections import Counter
+    c = Counter(r.fold for r in rows)
+    assert all(1000 / 12 < v < 1000 / 2 for v in c.values())
+    with pytest.raises(ValueError):
+        k_fold_split(df, "doc_id", k=1)
