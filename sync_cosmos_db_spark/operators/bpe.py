@@ -130,3 +130,62 @@ def segment_with_merges(symbols: F.Column,
     for a, b, _ in merges:
         out = _merge_pair(out, a, b)
     return out
+
+
+def save_merges(spark: SparkSession,
+                merges: list[tuple[str, str, int]], path: str) -> None:
+    """Persist a learned merge table as a parquet artifact —
+    (rank, a, b, pair_count), rank = learned order.  The tokenizer
+    equivalent of the IVF index save: train once, encode from many
+    jobs."""
+    rows = [(i, a, b, int(c)) for i, (a, b, c) in enumerate(merges)]
+    (spark.createDataFrame(
+        rows, "rank long, a string, b string, pair_count long")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_merges(spark: SparkSession,
+                path: str) -> list[tuple[str, str, int]]:
+    """Load a merge table saved by :func:`save_merges`, in rank order."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.a, r.b, r.pair_count) for r in rows]
+
+
+def encode_documents(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents with a learned merge table → one row per doc:
+    (id, n_words, n_tokens, tokens) where ``tokens`` is the
+    space-joined BPE token stream (symbols within a word joined by
+    ``+`` so word boundaries stay visible).
+
+    The scale trick is the same Zipf collapse the trainer uses: the
+    merge replay runs on the DISTINCT-WORD table only (millions of
+    rows), never on the corpus; documents then re-acquire their words'
+    segmentations through one word-keyed equi-join, and per-doc
+    streams reassemble with an order-preserving aggregate.  Encoding
+    100 TB costs one explode, one join, one doc-keyed agg — merge
+    arithmetic is amortized over distinct words.
+    """
+    words = (df.select(F.col(id_col),
+                       F.posexplode(F.split(F.col(text_col), " "))
+                       .alias("__pos", "word")))
+    vocab = words.select("word").distinct()
+    # identical char-split convention to _init_symbols
+    init = F.concat(
+        F.split(F.col("word"), "(?!^)(?=.)"),
+        F.array(F.lit(EOW)))
+    seg = vocab.withColumn(
+        "__toks", segment_with_merges(init, merges))
+    joined = words.join(seg, "word")
+    ordered = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__toks"))),
+            lambda x: F.array_join(x["__toks"], "+")), " ")
+    return (joined.groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_words"),
+                 F.sum(F.size("__toks")).cast("long").alias("n_tokens"),
+                 ordered.alias("tokens")))

@@ -728,3 +728,30 @@ def kfold_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("fold")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum("doc_id").cast("long").alias("id_sum")))
+
+
+# ---------------------------------------------------------------------------
+# X67 — tokenizer artifact persistence + corpus encoding (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+@query("bpe_encode_documents")  # ordered merge replay isn't
+# SQL-expressible — rows-only driver check; parity vs the pure-Python
+# reference encoder is pinned in tests/test_bpe.py.
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67 — the tokenizer round-trip a training pipeline runs: learn 8
+    merges over the corpus, SAVE the merge table as a parquet artifact,
+    LOAD it, and encode every document through the distinct-word replay
+    + word-keyed join (merge arithmetic amortized over distinct words,
+    never per token).  Output: per-doc word/token counts + token-stream
+    sha."""
+    import tempfile
+
+    from sync_cosmos_db_spark.operators import bpe as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_learn(spark, docs, 8)
+    path = tempfile.mkdtemp(prefix="bpe_merges_") + "/merges"
+    B.save_merges(spark, merges, path)
+    enc = B.encode_documents(docs, B.load_merges(spark, path))
+    return enc.select("doc_id", "n_words", "n_tokens",
+                      F.sha2("tokens", 256).alias("tokens_sha"))

@@ -75,3 +75,32 @@ def test_unpersists_cached_tables(spark):
     B.bpe_learn(spark, _df(spark), 2)
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_encode_documents_matches_reference(spark, tmp_path):
+    """encode via distinct-word replay + join == per-doc pure-Python
+    replay; merge artifact save/load round-trips identically."""
+    merges = B.bpe_learn(spark, _df(spark), 5)
+    path = str(tmp_path / "merges")
+    B.save_merges(spark, merges, path)
+    assert B.load_merges(spark, path) == merges
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_tokens, r.tokens) for r in
+           B.encode_documents(docs, B.load_merges(spark, path)).collect()}
+
+    _, ref_syms = _ref_bpe(TEXTS, 5)
+    for i, t in enumerate(TEXTS):
+        words = t.split()
+        toks = [ref_syms[w] for w in words]
+        want = (len(words), sum(len(s) for s in toks),
+                " ".join("+".join(s) for s in toks))
+        assert got[i] == want, i
+
+
+def test_encode_documents_empty_merge_table_is_chars(spark):
+    docs = spark.createDataFrame([(1, "ab c")], "doc_id long, text string")
+    r = B.encode_documents(docs, []).collect()[0]
+    assert (r.n_words, r.n_tokens) == (2, 5)  # a,b,</w> + c,</w>
+    assert r.tokens == f"a+b+{B.EOW} c+{B.EOW}"
