@@ -755,3 +755,60 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = B.encode_documents(docs, B.load_merges(spark, path))
     return enc.select("doc_id", "n_words", "n_tokens",
                       F.sha2("tokens", 256).alias("tokens_sha"))
+
+
+# ---------------------------------------------------------------------------
+# X68 — ingest anomaly detection (trailing-window z-score over daily
+# event volume; pure Catalyst RANGE-frame composition)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ingest_anomaly_daily",
+    """
+    WITH d AS (SELECT date_trunc('day', ts) AS day,
+                      count(*)::BIGINT AS n
+               FROM events GROUP BY day),
+    w AS (SELECT day, n,
+                 avg(n) OVER (ORDER BY day
+                              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                              AND INTERVAL 1 DAY PRECEDING) AS mu,
+                 stddev_samp(n) OVER (ORDER BY day
+                              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                              AND INTERVAL 1 DAY PRECEDING) AS sigma,
+                 count(n) OVER (ORDER BY day
+                              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                              AND INTERVAL 1 DAY PRECEDING) AS n_hist
+          FROM d)
+    SELECT epoch(day)::BIGINT AS day_epoch, n,
+           floor(coalesce((n - mu) / nullif(sigma, 0), 0)
+                 * 10000 + 0.5) / 10000 AS z,
+           n_hist >= 3 AND sigma IS NOT NULL AND sigma <> 0
+             AND abs((n - mu) / nullif(sigma, 0)) > 3 AS anomaly
+    FROM w
+    """,
+)
+def ingest_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68 — operational ingest monitoring: daily event volume scored
+    against its OWN trailing 7-day window (RANGE frame on event time —
+    value-based, so missing days genuinely shrink the window rather
+    than sliding over rows), z-score flagged at |z| > 3 with a
+    minimum-history gate.  One aggregate + one value-frame window —
+    all Catalyst, all map-side-combinable; the oracle recomputes every
+    windowed moment."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+             .agg(F.count("*").cast("long").alias("n")))
+    from pyspark.sql import Window as W
+    day_sec = F.unix_timestamp("day")
+    w = (W.orderBy(day_sec)
+         .rangeBetween(-7 * 86400, -1 * 86400))
+    mu = F.avg("n").over(w)
+    sigma = F.stddev_samp("n").over(w)
+    n_hist = F.count("n").over(w)
+    z = (F.col("n") - mu) / F.nullif(sigma, F.lit(0))
+    return daily.select(
+        day_sec.cast("long").alias("day_epoch"),
+        "n",
+        fround(F.coalesce(z, F.lit(0.0)), 4).alias("z"),
+        ((n_hist >= 3) & sigma.isNotNull() & (sigma != 0)
+         & (F.abs(z) > 3)).alias("anomaly"))
