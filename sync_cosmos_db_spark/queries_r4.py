@@ -812,3 +812,82 @@ def ingest_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         fround(F.coalesce(z, F.lit(0.0)), 4).alias("z"),
         ((n_hist >= 3) & sigma.isNotNull() & (sigma != 0)
          & (F.abs(z) > 3)).alias("anomaly"))
+
+
+# ---------------------------------------------------------------------------
+# X69 — mixed-language detection (paragraph-level lang-id composition)
+# ---------------------------------------------------------------------------
+
+from sync_cosmos_db_spark.operators import text as _X  # noqa: E402
+
+_SEG_SCORES_SQL = ",\n".join(
+    f"len(list_intersect(list_distinct(string_split(seg, ' ')), "
+    f"[{', '.join(repr(w) for w in ws)}])) AS s_{lang}"
+    for lang, ws in sorted(_X.STOPWORDS.items()))
+_SEG_CASE_SQL = " ".join(
+    f"WHEN s_{lang} > 0 AND s_{lang} = best THEN '{lang}'"
+    for lang in sorted(_X.STOPWORDS))
+_ES_SEGMENT = "el la que y un una por con"
+
+
+@query(
+    "mixed_language_docs",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN text || chr(10) || chr(10) || '{_ES_SEGMENT}'
+                  ELSE text END AS t
+      FROM documents),
+    segs AS (SELECT doc_id,
+                    unnest(list_filter(
+                      string_split(t, chr(10) || chr(10)),
+                      x -> x <> '')) AS seg
+             FROM corpus),
+    sc AS (SELECT doc_id, seg, {_SEG_SCORES_SQL} FROM segs),
+    b AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+          FROM sc),
+    tagged AS (SELECT doc_id,
+                      CASE {_SEG_CASE_SQL} ELSE 'und' END AS sl
+               FROM b),
+    agg AS (SELECT doc_id, count(*)::BIGINT AS n_segments,
+                   list_sort(list_distinct(
+                     list_filter(array_agg(sl), x -> x <> 'und')))
+                     AS langs
+            FROM tagged GROUP BY doc_id)
+    SELECT doc_id, n_segments,
+           len(langs)::BIGINT AS n_langs,
+           coalesce(array_to_string(langs, ','), '') AS langs_csv,
+           len(langs) > 1 AS mixed
+    FROM agg
+    """,
+)
+def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69 — paragraph-level language-consistency audit: split each doc
+    into paragraphs, language-ID each with the stopword-argmax
+    classifier, and flag documents whose paragraphs disagree — the
+    mixed-language contamination signal monolingual corpora filter on.
+    Every fourth doc gets a planted Spanish-stopword paragraph, so the
+    flag is exercised in both directions; the oracle replays
+    segmentation, per-segment scoring, the argmax tie-break, and the
+    per-doc aggregation."""
+    from sync_cosmos_db_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.col("text"), F.lit("\n\n" + _ES_SEGMENT))) \
+        .otherwise(F.col("text"))
+    segs = (docs.select("doc_id",
+                        F.explode(F.filter(F.split(t, "\n\n"),
+                                           lambda x: x != F.lit("")))
+                        .alias("seg")))
+    tagged = segs.select("doc_id", lang_id("seg").alias("sl"))
+    langs = F.array_sort(F.collect_set(
+        F.when(F.col("sl") != "und", F.col("sl"))))
+    return (tagged.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_segments"),
+                 langs.alias("__langs"))
+            .select("doc_id", "n_segments",
+                    F.size("__langs").cast("long").alias("n_langs"),
+                    F.array_join("__langs", ",").alias("langs_csv"),
+                    (F.size("__langs") > 1).alias("mixed")))
