@@ -891,3 +891,82 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size("__langs").cast("long").alias("n_langs"),
                     F.array_join("__langs", ",").alias("langs_csv"),
                     (F.size("__langs") > 1).alias("mixed")))
+
+
+# ---------------------------------------------------------------------------
+# X70 — dimension-truncation recall probe (Matryoshka-style evaluation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "truncation_recall_16d",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id % 50 = 0),
+    full_s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.qv, c.embedding::DOUBLE[])
+                   * 1000000 + 0.5) / 1000000 AS cs
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+    full_r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rk
+      FROM full_s),
+    tr_s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             floor(list_cosine_similarity(q.qv[1:16],
+                                          (c.embedding::DOUBLE[])[1:16])
+                   * 1000000 + 0.5) / 1000000 AS cs
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id),
+    tr_r AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id) AS rk
+      FROM tr_s)
+    SELECT f.query_id,
+           count(t.neighbor_id)::BIGINT AS n_kept,
+           floor(count(t.neighbor_id)::DOUBLE / 10 * 10000 + 0.5) / 10000
+             AS recall_at_10
+    FROM (SELECT * FROM full_r WHERE rk <= 10) f
+    LEFT JOIN (SELECT * FROM tr_r WHERE rk <= 10) t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def truncation_recall_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 — Matryoshka-style truncation evaluation: exact top-10 under
+    the FULL 64-d embedding vs exact top-10 under the first 16 dims
+    only (cosine needs no re-normalization — the norms divide out),
+    reported as per-query recall@10.  This is the measurement that
+    justifies (or vetoes) serving ANN from truncated prefixes at a
+    quarter of the memory.  Both rankings and their overlap are
+    recomputed by the oracle."""
+    from sync_cosmos_db_spark.operators.similarity import cosine
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") % 50 == 0)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv")))
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").alias("cv"))
+
+    def topk(score_col):
+        s = (queries.join(cand,
+                          F.col("neighbor_id") != F.col("query_id"))
+             .withColumn("__cs",
+                         F.floor(score_col * 1e6 + F.lit(0.5)) / 1e6))
+        w = W.partitionBy("query_id").orderBy(F.desc("__cs"),
+                                              F.asc("neighbor_id"))
+        return (s.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 10)
+                .select("query_id", "neighbor_id"))
+
+    full = topk(cosine(F.col("qv"), F.col("cv")))
+    trunc = topk(cosine(F.slice("qv", 1, 16), F.slice("cv", 1, 16)))
+    hit = trunc.withColumn("__hit", F.lit(1))
+    return (full.join(hit, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("__hit").cast("long").alias("n_kept"),
+                 (F.floor(F.count("__hit") / 10 * 10000 + F.lit(0.5))
+                  / 10000).alias("recall_at_10")))
