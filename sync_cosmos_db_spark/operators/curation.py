@@ -528,3 +528,67 @@ def k_fold_split(df: DataFrame, id_col: str, k: int = 5,
         raise ValueError(f"k_fold_split: k must be >= 2, got {k}")
     return df.withColumn(fold_col,
                          hash_bucket(id_col, k, salt).cast("long"))
+
+
+def oversample_to_target(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    targets: dict[str, int],
+    salt: str = "epoch",
+) -> DataFrame:
+    """UPsample rare domains to per-domain row targets by deterministic
+    repetition — the complement of :func:`mixture_sample` (which only
+    drops).  Fine-tuning mixes routinely run several "epochs" of a
+    small high-quality source against one epoch of a large one; this
+    operator materializes that weighting as explicit repeated rows.
+
+    Every row of a target domain appears ``floor(target/count)`` times,
+    plus once more for the ``target mod count`` rows with the smallest
+    deterministic hash bucket — so the output hits the target EXACTLY,
+    re-runs reproduce the same repetition set, and an ``epoch``
+    column (0-based copy index) keeps downstream shuffles and
+    dedup-aware consumers honest about what is a copy.  Domains absent
+    from ``targets`` pass through once with ``epoch = 0``.
+
+    Scale shape: per-domain counts aggregate → ≤|targets|-row plan
+    broadcast back on the domain key → one in-row
+    ``explode(sequence(0, n_copies-1))``.  Driver state O(1); the
+    only data-sized shuffle is the counts aggregate.
+    """
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(d, int(t)) for d, t in targets.items() if t > 0],
+        f"{domain_col} string, __target long")
+    cnts = df.groupBy(domain_col).agg(F.count("*").alias("__c"))
+    # materialize the per-domain plan (≤ |domains in data| rows) so the
+    # returned query doesn't recompute the counts subplan
+    plan = (cnts.join(F.broadcast(tdf), domain_col, "left")
+            .localCheckpoint(eager=True))
+    base = F.coalesce(F.floor(F.col("__target") / F.col("__c")),
+                      F.lit(1)).cast("long")
+    rem = F.coalesce(F.pmod(F.col("__target"), F.col("__c")),
+                     F.lit(0)).cast("long")
+    joined = df.join(F.broadcast(plan), domain_col)
+    b = hash_bucket(id_col, 1_000_000, salt)
+    # rank rows within the domain by (hash, id) — the `rem` smallest
+    # get one extra copy; window is domain-keyed, same exchange as the
+    # join output
+    from pyspark.sql import Window as W
+    rk = F.row_number().over(
+        W.partitionBy(domain_col).orderBy(b.asc(), F.col(id_col).asc()))
+    # the window rank must be materialized BEFORE the generator — a
+    # window expression can't live inside explode()'s argument
+    staged = joined.withColumn("__rk", rk).withColumn(
+        "__n",
+        F.when(F.col("__target").isNull(), F.lit(1)).otherwise(
+            base + F.when(F.col("__rk") <= rem, 1).otherwise(0))
+        .cast("long"))
+    # sequence(0, -1) DESCENDS in Spark: rows with 0 copies (a target
+    # below the domain count downsamples) must explode an EMPTY array
+    epochs = F.when(
+        F.col("__n") > 0,
+        F.sequence(F.lit(0), (F.col("__n") - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return (staged.withColumn("epoch", F.explode(epochs))
+            .select(*df.columns, "epoch"))

@@ -973,3 +973,49 @@ def truncation_recall_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("__hit").cast("long").alias("n_kept"),
                  (F.floor(F.count("__hit") / 10 * 10000 + F.lit(0.5))
                   / 10000).alias("recall_at_10")))
+
+
+# ---------------------------------------------------------------------------
+# X71 — epoch-weighted oversampling (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "oversample_by_lang",
+    """
+    WITH t AS (SELECT * FROM (VALUES ('en', 400), ('zh', 150), ('de', 40))
+               v(lang, target)),
+    c AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents
+          GROUP BY lang),
+    plan AS (SELECT c.lang, c.cnt, t.target FROM c LEFT JOIN t USING (lang)),
+    r AS (SELECT d.doc_id, d.lang, p.cnt, p.target,
+                 row_number() OVER (PARTITION BY d.lang ORDER BY
+                   translate(substr(sha256(d.doc_id::VARCHAR || ':epoch'),
+                             1, 6), 'abcdef', '012345')::BIGINT % 1000000,
+                   d.doc_id) AS rk
+          FROM documents d JOIN plan p ON p.lang = d.lang),
+    n AS (SELECT doc_id, lang,
+                 CASE WHEN target IS NULL THEN 1
+                      ELSE (target // cnt)
+                           + CASE WHEN rk <= target % cnt THEN 1 ELSE 0 END
+                 END AS n_copies
+          FROM r)
+    SELECT doc_id, lang,
+           unnest(generate_series(0, n_copies::INT - 1))::BIGINT AS epoch
+    FROM n WHERE n_copies > 0
+    """,
+)
+def oversample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71 — epoch-weighted oversampling (operators/curation.py): rare
+    languages repeat to hit exact per-language row targets (the
+    several-epochs-of-the-small-source fine-tuning mix), targets below
+    a language's count downsample, unlisted languages pass through
+    once.  The oracle replays counts, the hash-ranked extra-copy
+    selection, and every (doc, epoch) row — exact membership, not just
+    sizes."""
+    from sync_cosmos_db_spark.operators.curation import oversample_to_target
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (oversample_to_target(docs, "doc_id", "lang",
+                                 {"en": 400, "zh": 150, "de": 40})
+            .select("doc_id", "lang", F.col("epoch").cast("long")
+                    .alias("epoch")))

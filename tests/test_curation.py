@@ -394,3 +394,42 @@ def test_k_fold_split_disjoint_exhaustive_stable(spark):
     assert all(1000 / 12 < v < 1000 / 2 for v in c.values())
     with pytest.raises(ValueError):
         k_fold_split(df, "doc_id", k=1)
+
+
+def test_oversample_hits_targets_exactly_and_deterministically(spark):
+    from sync_cosmos_db_spark.operators.curation import oversample_to_target
+
+    df = (spark.range(0, 130)
+          .select(F.col("id").alias("doc_id"),
+                  F.when(F.col("id") < 100, "big")
+                  .when(F.col("id") < 120, "small")
+                  .otherwise("other").alias("domain")))
+    # big: 100 rows → target 100 (1 epoch); small: 20 → 50 (2 full
+    # epochs + 10 extras); other: 10 rows, no target → pass through
+    out = oversample_to_target(df, "doc_id", "domain",
+                               {"big": 100, "small": 50})
+    counts = {r.domain: r.n for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 100, "small": 50, "other": 10}
+    # epoch structure: every small row appears >= 2 times, 10 exactly 3
+    eps = {r.doc_id: r.n for r in
+           out.filter("domain = 'small'").groupBy("doc_id")
+           .agg(F.count("*").alias("n")).collect()}
+    assert sorted(eps.values()).count(2) == 10
+    assert sorted(eps.values()).count(3) == 10
+    # rerun-identical repetition set
+    again = {(r.doc_id, r.epoch) for r in
+             oversample_to_target(df, "doc_id", "domain",
+                                  {"big": 100, "small": 50}).collect()}
+    first = {(r.doc_id, r.epoch) for r in out.collect()}
+    assert first == again
+
+
+def test_oversample_downsamples_when_target_below_count(spark):
+    from sync_cosmos_db_spark.operators.curation import oversample_to_target
+
+    df = (spark.range(0, 40)
+          .select(F.col("id").alias("doc_id"), F.lit("d").alias("domain")))
+    out = oversample_to_target(df, "doc_id", "domain", {"d": 7})
+    rows = out.collect()
+    assert len(rows) == 7 and all(r.epoch == 0 for r in rows)
