@@ -1,12 +1,12 @@
-"""Round-4 extension queries (X53-X70): CDC changelog apply, link
+"""Round-4 extension queries (X53-X71): CDC changelog apply, link
 extraction, HTML boilerplate strip, sentence-aware chunking,
 quality-ranked per-source caps, exact set-similarity join, reciprocal-
 rank fusion, stream-stream left-outer interval join, per-group heavy
 hitters, the end-to-end web curation pipeline, pairwise association
 rules, common-prefix boilerplate detection, deterministic k-fold
 splits, BPE artifact persistence + corpus encoding, ingest anomaly
-detection, mixed-language detection, IVF index persistence, and the
-dimension-truncation recall probe.
+detection, mixed-language detection, IVF index persistence, the
+dimension-truncation recall probe, and epoch-weighted oversampling.
 
 Every query is oracle-checked (hash-compared against DuckDB at sf0.01)
 and registers AFTER the round-4 sweep window — they queue for the
