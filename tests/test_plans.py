@@ -64,6 +64,10 @@ BNLJ_ALLOWED = {
     # query set — the nested loop is the point (small side is tiny by
     # contract, now enforced by similarity.MAX_BRUTE_FORCE_QUERIES).
     "sim_topk_bruteforce",
+    # X70 evaluation probe: the same deliberate corpus×query-set exact
+    # scoring, run twice (full-dim and truncated) to measure recall —
+    # a measurement harness over a bounded query set, not a data path.
+    "truncation_recall_16d",
     # X2 exact n² baseline (labeled; the scale path is
     # dedup_embedding_lsh which plans an equi-join on buckets).
     "dedup_embedding_cosine",
