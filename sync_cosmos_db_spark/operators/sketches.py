@@ -132,7 +132,12 @@ def mg_candidates_by_group(items: DataFrame, group_col: str,
         counters: dict = {}
         totals: dict = {}
         for pdf in batches:
-            for g, sub in pdf.groupby("grp", sort=False):
+            # dropna=False: a NULL group key is a real group (matching
+            # SQL GROUP BY semantics — round-4 ADVICE); pandas surfaces
+            # it as NaN on object columns, normalized back to None.
+            for g, sub in pdf.groupby("grp", sort=False, dropna=False):
+                if g is not None and isinstance(g, float) and g != g:
+                    g = None
                 counters[g] = _mg_summary(sub[item_col], k,
                                           counters.get(g))
                 totals[g] = totals.get(g, 0) + len(sub)
@@ -161,7 +166,10 @@ def heavy_hitters_by_group(items: DataFrame, group_col: str,
     WITHIN their group.  Same two-scan shape as :func:`heavy_hitters`
     — sketch pass collected as driver metadata (≤ (k+1)·groups·
     partitions rows), then one candidate-filtered verify aggregate
-    with per-group totals broadcast-joined (never a chained CASE)."""
+    with per-group totals broadcast-joined (never a chained CASE).
+    NULL group keys participate like any other group (null-safe join
+    keys `<=>` — still hash-joinable); NULL *items* are excluded, as in
+    :func:`heavy_hitters`."""
     sk = mg_candidates_by_group(items, group_col, item_col, k).collect()
     totals: dict = {}
     cands: set = set()
@@ -170,16 +178,23 @@ def heavy_hitters_by_group(items: DataFrame, group_col: str,
             totals[r.grp] = totals.get(r.grp, 0) + r.n_part
         else:
             cands.add((r.grp, r.item))
+    none_last = lambda v: (v is None, v)  # noqa: E731 — None sorts last
     spark = items.sparkSession
     cand_df = spark.createDataFrame(
-        sorted(cands), "grp string, item string")
+        sorted(cands, key=lambda t: (none_last(t[0]), t[1])),
+        "grp string, item string")
     tot_df = spark.createDataFrame(
-        sorted(totals.items()), "grp string, n_grp long")
-    exact = (items.select(F.col(group_col).alias("grp"),
-                          F.col(item_col).alias("item"))
-             .join(F.broadcast(cand_df), ["grp", "item"], "left_semi")
+        sorted(totals.items(), key=lambda t: none_last(t[0])),
+        "grp string, n_grp long")
+    src = items.select(F.col(group_col).alias("grp"),
+                       F.col(item_col).alias("item"))
+    exact = (src
+             .join(F.broadcast(cand_df),
+                   src["grp"].eqNullSafe(cand_df["grp"])
+                   & (src["item"] == cand_df["item"]), "left_semi")
              .groupBy("grp", "item")
              .agg(F.count("*").cast("long").alias("cnt")))
-    return (exact.join(F.broadcast(tot_df), "grp")
+    return (exact.join(F.broadcast(tot_df),
+                       exact["grp"].eqNullSafe(tot_df["grp"]))
             .filter(F.col("cnt") * (k + 1) > F.col("n_grp"))
-            .select(F.col("grp").alias(group_col), "item", "cnt"))
+            .select(exact["grp"].alias(group_col), "item", "cnt"))

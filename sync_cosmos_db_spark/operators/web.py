@@ -59,8 +59,12 @@ def strip_html(col: Column | str) -> Column:
     ``&amp;lt;`` decodes to the literal ``&lt;``, matching browsers),
     collapse whitespace runs, trim."""
     c = F.col(col) if isinstance(col, str) else col
-    c = F.regexp_replace(c, r"(?i)<script[^>]*>[^<]*(</script>)?", "")
-    c = F.regexp_replace(c, r"(?i)<style[^>]*>[^<]*(</style>)?", "")
+    # Non-greedy block match (round-4 ADVICE): `.*?` spans `<` inside
+    # the block (e.g. `if (a<b)` in JS), so the whole body is dropped up
+    # to the closing tag — or end-of-input for an unclosed block. RE2-
+    # safe: inline (?is) flags + lazy quantifier, no lookaround.
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?(</script>|$)", "")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?(</style>|$)", "")
     c = F.regexp_replace(c, r"<[^>]+>", " ")
     for ent, ch in _ENTITIES:
         c = F.replace(c, F.lit(ent), F.lit(ch))

@@ -172,8 +172,8 @@ def web_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             regexp_replace(
               regexp_replace(
                 regexp_replace(html,
-                  '(?i)<script[^>]*>[^<]*(</script>)?', '', 'g'),
-                '(?i)<style[^>]*>[^<]*(</style>)?', '', 'g'),
+                  '(?is)<script[^>]*>.*?(</script>|$)', '', 'g'),
+                '(?is)<style[^>]*>.*?(</style>|$)', '', 'g'),
               '<[^>]+>', ' ', 'g'),
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),
@@ -518,8 +518,8 @@ def heavy_hitter_terms_by_lang(spark: SparkSession,
             regexp_replace(
               regexp_replace(
                 regexp_replace(html,
-                  '(?i)<script[^>]*>[^<]*(</script>)?', '', 'g'),
-                '(?i)<style[^>]*>[^<]*(</style>)?', '', 'g'),
+                  '(?is)<script[^>]*>.*?(</script>|$)', '', 'g'),
+                '(?is)<style[^>]*>.*?(</style>|$)', '', 'g'),
               '<[^>]+>', ' ', 'g'),
             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
             '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),

@@ -94,10 +94,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/{name}.parquet"
-    plan = _READ_PLANS.get(path)
+    key = (path, _path_fingerprint(path))
+    plan = _READ_PLANS.get(key)
     if plan is None:
         plan = _sniff_read_plan(spark, path, name)
-        _READ_PLANS[path] = plan
+        _READ_PLANS[key] = plan
     pinned, nanos_cols = plan
     df = spark.read.schema(pinned).parquet(path)
     for c in nanos_cols:
@@ -105,10 +106,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     return df
 
 
-# path -> (pinned read schema, columns stored as nanos-bigint that need
-# the timestamp rebuild). StructTypes are session-independent, so the
-# cache is safe across the driver's own sessions.
-_READ_PLANS: dict[str, tuple] = {}
+# (path, mtime fingerprint) -> (pinned read schema, columns stored as
+# nanos-bigint that need the timestamp rebuild). StructTypes are
+# session-independent, so the cache is safe across the driver's own
+# sessions; keying on the fingerprint means a fixture REGENERATED at
+# the same path mid-process (different schema / timestamp encoding)
+# triggers a fresh sniff instead of reusing a stale pinned schema
+# (round-4 ADVICE, session.py:97).
+_READ_PLANS: dict[tuple, tuple] = {}
+
+
+def _path_fingerprint(path: str) -> int:
+    """Cheap local-path change detector: max mtime_ns over the parquet
+    file/dir and its direct children (a rewrite replaces part files).
+    Non-local or unstat-able paths (e.g. an object-store URI in
+    production) fingerprint as 0 — one sniff per process, the old
+    behavior, which is correct there because such paths are immutable
+    snapshots from this engine's perspective."""
+    import os
+
+    try:
+        st = os.stat(path)
+        fp = st.st_mtime_ns
+        if os.path.isdir(path):
+            for entry in os.scandir(path):
+                fp = max(fp, entry.stat().st_mtime_ns)
+        return fp
+    except OSError:
+        return 0
 
 
 def _sniff_read_plan(spark: SparkSession, path: str, name: str):

@@ -486,3 +486,33 @@ def test_heavy_hitters_by_group_exact_vs_groupby(spark):
             counts.join(tot, "lang")
             .where(F.col("cnt") * (k + 1) > F.col("n")).collect()}
     assert got == want and len(want) >= 2
+
+
+def test_heavy_hitters_by_group_null_group(spark):
+    """A NULL group key is a real group (SQL GROUP BY semantics): its
+    heavy hitters must surface exactly like any other group's
+    (round-4 ADVICE: pandas groupby drops NaN keys by default)."""
+    from sync_cosmos_db_spark.operators.sketches import (
+        heavy_hitters_by_group,
+    )
+
+    df = (spark.range(0, 2000)
+          .select(F.when(F.col("id") % 4 == 0, None)
+                  .otherwise((F.col("id") % 2).cast("string"))
+                  .alias("lang"),
+                  F.when(F.col("id") % 5 <= 2, "hot")
+                  .otherwise(F.concat(F.lit("c"), F.col("id")))
+                  .alias("item"))
+          .repartition(8))
+    k = 5
+    got = {(r.lang, r.item, r.cnt) for r in
+           heavy_hitters_by_group(df, "lang", "item", k).collect()}
+    counts = df.groupBy("lang", "item").agg(
+        F.count("*").cast("long").alias("cnt"))
+    tot = df.groupBy("lang").agg(F.count("*").alias("n"))
+    want = {(r.lang, r.item, r.cnt) for r in
+            counts.join(tot, counts["lang"].eqNullSafe(tot["lang"]))
+            .where(F.col("cnt") * (k + 1) > F.col("n"))
+            .select(counts["lang"], "item", "cnt").collect()}
+    assert got == want
+    assert any(g is None for g, _, _ in got), "NULL group missing"

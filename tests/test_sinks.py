@@ -41,3 +41,25 @@ def test_compact_parquet_preserves_data(spark, sf_dir, tmp_path):
     ).collect()[0][0]
     assert after == n < before
     assert checksum_before == checksum_after
+
+
+def test_load_table_replans_after_fixture_rewrite(spark, tmp_path):
+    """round-4 ADVICE (session.py:97): the cached read plan must be
+    keyed on the path's content fingerprint — rewriting a fixture at
+    the same path with a different schema must trigger a fresh sniff,
+    not reuse the stale pinned schema."""
+    import time
+
+    from sync_cosmos_db_spark.session import load_table
+
+    d = str(tmp_path)
+    path = os.path.join(d, "documents.parquet")
+    spark.range(0, 5).selectExpr("id AS doc_id").write.parquet(path)
+    assert load_table(spark, d, "documents").columns == ["doc_id"]
+
+    time.sleep(0.05)  # ensure a distinct mtime_ns on coarse filesystems
+    (spark.range(0, 5)
+     .selectExpr("id AS doc_id", "CAST(id AS STRING) AS extra")
+     .write.mode("overwrite").parquet(path))
+    assert set(load_table(spark, d, "documents").columns) \
+        == {"doc_id", "extra"}

@@ -47,6 +47,26 @@ def test_strip_html_plain_text_unchanged(spark):
         == "no markup here"
 
 
+def test_strip_html_script_body_with_lt_fully_dropped(spark):
+    # round-4 ADVICE: '<' inside a script/style body (comparisons in
+    # JS, nested selectors in CSS) must not leak as visible text.
+    html = ("<p>before</p><script>if (a<b) { f('<span>'); }</script>"
+            "<style>a<b {x}</style><p>after</p>")
+    assert _one(spark, html, strip_html("html")) == "before after"
+
+
+def test_strip_html_unclosed_script_drops_to_end(spark):
+    html = "<p>keep</p><script>var a = 1; if (a<2) go()"
+    assert _one(spark, html, strip_html("html")) == "keep"
+
+
+def test_strip_html_multiple_script_blocks_nongreedy(spark):
+    # lazy quantifier: each block closes at ITS OWN </script>, the
+    # visible text between blocks survives.
+    html = ("<script>a<b</script><p>mid</p><script>c<d</script>end")
+    assert _one(spark, html, strip_html("html")) == "mid end"
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
 
