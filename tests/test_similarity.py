@@ -106,3 +106,29 @@ def test_brute_force_rejects_large_query_set(spark):
     for fn in (S.brute_force_topk, S.brute_force_topk_vectorized):
         with pytest.raises(ValueError, match="lsh_topk"):
             fn(small, big, k=1)
+
+
+def test_truncation_recall_rejects_large_query_set(spark):
+    """Round-4 verdict item 2: the truncation probe's query set is
+    capped like every other brute-force path — an unbounded probe set
+    raises instead of broadcasting a corpus-sized side."""
+    import pytest
+
+    big = spark.range(S.MAX_BRUTE_FORCE_QUERIES + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="lsh_topk"):
+        S.truncation_recall(big.limit(4), big, prefix_dim=1, k=1)
+
+
+def test_truncation_recall_full_prefix_is_perfect(spark):
+    """prefix_dim == full dim ⇒ both rankings identical ⇒ recall 1.0
+    for every probe."""
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") + 0.1
+                  for i in range(4)]).alias("embedding"))
+    probes = emb.limit(5)
+    out = S.truncation_recall(emb, probes, prefix_dim=4, k=3).collect()
+    assert len(out) == 5
+    assert all(r.n_kept == 3 and r.recall_at_3 == 1.0 for r in out)
