@@ -168,3 +168,44 @@ def test_span_coverage_short_doc_retained(spark):
     # sub-n docs contribute no grams (even identical ones) but keep a row
     assert rows[1]["n_tokens"] == 3 and rows[1]["covered_tokens"] == 0
     assert rows[1]["dup_span_frac"] == 0.0
+
+
+def test_span_coverage_viral_gram_gate(spark):
+    """Round-4 verdict item 3: a corpus-viral n-gram (planted in every
+    doc) is dropped from span accounting by the count gate, the run
+    completes with the degenerate gram partition bounded by the window
+    sorter, and the audit companion reports exactly what was dropped."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.operators.dedup import (
+        duplicated_span_coverage,
+        duplicated_span_oversized_grams,
+    )
+
+    hot = "h0 h1 h2 h3 h4 h5 h6 h7"          # one viral 8-gram
+    docs = (spark.range(0, 10_000)
+            .select(F.col("id").alias("doc_id"),
+                    F.concat(F.lit(hot + " "),
+                             F.concat_ws(" ", *[
+                                 F.concat(F.lit(f"w{i}u"), F.col("id"))
+                                 for i in range(8)]))
+                    .alias("text"))
+            .repartition(8))
+
+    out = duplicated_span_coverage(docs, n=8, max_gram_occ=1000)
+    rows = out.collect()
+    assert len(rows) == 10_000
+    # the ONLY cross-doc grams involve the viral prefix; with the gate
+    # at 1000 (< 10k occurrences) every one of its pure occurrences is
+    # dropped... but mixed grams (hot tail + unique words) occur once
+    # per doc and are never shared, so coverage must be 0 everywhere.
+    assert all(r.covered_tokens == 0 for r in rows)
+
+    audit = duplicated_span_oversized_grams(
+        docs, n=8, max_gram_occ=1000).collect()
+    assert [(r.gram, r.n_occurrences, r.n_docs) for r in audit] \
+        == [(hot, 10_000, 10_000)]
+
+    # ungated, the same corpus counts the viral span everywhere
+    ungated = duplicated_span_coverage(docs, n=8).collect()
+    assert all(r.covered_tokens == 8 for r in ungated)
