@@ -41,13 +41,34 @@ def _cap_error(fn_name: str) -> ValueError:
         "the query set on the driver.")
 
 
+# (applicationId, logical-plan semanticHash) -> bounded count observed.
+# The cap check is ONE extra Spark job per DISTINCT query-set plan, not
+# per invocation: re-running the same registered query (bench loops,
+# oracle sweeps) reuses the verdict instead of re-launching the job —
+# the job-launch overhead was the measured +12% drift on
+# sim_topk_bruteforce (round-4 verdict item 5). A plan whose underlying
+# files changed mid-process could reuse a stale verdict; the guard is a
+# scale-contract tripwire, not a correctness gate, so that trade is
+# acceptable (and load_table re-sniffs changed paths anyway).
+_QUERY_SET_COUNTS: dict[tuple, int] = {}
+
+
 def _check_query_set_small(queries: DataFrame, fn_name: str) -> None:
-    """Enforce the small-query-set contract. This runs ONE extra bounded
-    Spark job (``limit(cap+1).count()``) that re-evaluates the query-set
-    subplan — acceptable for :func:`brute_force_topk`, whose query set
-    is broadcast lazily; the vectorized path avoids it by checking the
-    length of the collect() it needs anyway."""
-    n = queries.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
+    """Enforce the small-query-set contract (bounded
+    ``limit(cap+1).count()`` job, memoized per logical plan — see
+    ``_QUERY_SET_COUNTS``); the vectorized path avoids the job entirely
+    by checking the length of the collect() it needs anyway."""
+    key = None
+    try:
+        key = (queries.sparkSession.sparkContext.applicationId,
+               queries._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:
+        pass  # non-classic backends: fall back to the per-call job
+    n = _QUERY_SET_COUNTS.get(key) if key is not None else None
+    if n is None:
+        n = queries.limit(MAX_BRUTE_FORCE_QUERIES + 1).count()
+        if key is not None:
+            _QUERY_SET_COUNTS[key] = n
     if n > MAX_BRUTE_FORCE_QUERIES:
         raise _cap_error(fn_name)
 
