@@ -260,3 +260,115 @@ def csv_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.length("text").cast("long").alias("text_len"),
         F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+# ---------------------------------------------------------------------------
+# O15/O16/O17 — catalog DDL + container properties as a driver query
+# (round-4 verdict item 7: previously pytest-only)
+# ---------------------------------------------------------------------------
+
+@query(
+    "catalog_properties_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('analytics', 'documents', '/tenantId,/userId', 400, true, true),
+      ('analytics', 'events', '/id', CAST(NULL AS INT), false, false)
+    ) t(database, container, pk_paths_csv, throughput,
+        has_indexing_policy, listed)
+    ORDER BY container
+    """,
+)
+def catalog_properties_roundtrip(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """O15+O16+O17 end-to-end as a query: create a database and two
+    containers in a fresh path-catalog account root — one with a FULL
+    hierarchical pk path list, throughput, and an indexing policy, one
+    with defaults — then attempt a SECOND create with conflicting
+    properties (which create-if-absent must ignore), write data into
+    one container, and read everything back through the catalog API.
+    The oracle is the constant expected table, so the hash check pins
+    idempotency (first-write properties survive), the full pk path
+    round-trip (the reference truncates to the first path,
+    ``src/containers.py:16``; we keep the list), and the parquet-backed
+    container listing (properties-only containers are not data)."""
+    import shutil
+
+    from sync_cosmos_db_spark.sources import catalog as C
+
+    root = tempfile.mkdtemp(prefix="catalog_rt_")
+    try:
+        C.create_database_if_not_exists(root, "analytics")
+        C.create_container_if_not_exists(
+            root, "analytics", "documents",
+            {"partition_key_paths": ["/tenantId", "/userId"],
+             "throughput": 400,
+             "indexing_policy": {"indexingMode": "consistent"}})
+        # conflicting re-create: create-if-absent must keep the original
+        C.create_container_if_not_exists(
+            root, "analytics", "documents",
+            {"partition_key_paths": ["/other"], "throughput": 999})
+        C.create_container_if_not_exists(root, "analytics", "events")
+
+        docs = load_table(spark, sf_dir, "documents").limit(5)
+        docs.write.mode("overwrite").parquet(
+            C.container_data_path(root, "analytics", "documents"))
+
+        assert C.list_databases(root) == ["analytics"]
+        listed = set(C.list_containers(root, "analytics"))
+        rows = []
+        for name in ["documents", "events"]:
+            p = C.get_container_properties(root, "analytics", name)
+            rows.append((
+                "analytics", name,
+                ",".join(p["partition_key_paths"]),
+                p["throughput"],
+                p["indexing_policy"] is not None,
+                name in listed,
+            ))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "database string, container string, pk_paths_csv string, "
+        "throughput int, has_indexing_policy boolean, listed boolean",
+    ).orderBy("container")
+
+
+# ---------------------------------------------------------------------------
+# O18 — partition-key alignment pre-flight as a driver query
+# ---------------------------------------------------------------------------
+
+@query(
+    "pk_alignment_preflight",
+    """
+    SELECT * FROM (VALUES
+      ('matched', true), ('mismatched', false), ('truncated', false)
+    ) t(pk_case, aligned)
+    ORDER BY pk_case
+    """,
+)
+def pk_alignment_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O18 as a query: run the pre-flight partition-key alignment check
+    (reference ``src/migration.py:52-58``) over three container-property
+    pairs — identical hierarchical lists (pass), disjoint paths (abort),
+    and a target truncated to the first path, the corruption the
+    reference's own container re-creation introduces
+    (``src/containers.py:16``) and this engine's full-list comparison
+    catches.  Each outcome is surfaced as a row; the oracle is the
+    constant expected table."""
+    from sync_cosmos_db_spark.migration import check_pk_alignment
+
+    cases = {
+        "matched": (["/tenantId", "/userId"], ["/tenantId", "/userId"]),
+        "mismatched": (["/tenantId"], ["/id"]),
+        "truncated": (["/tenantId", "/userId"], ["/tenantId"]),
+    }
+    rows = []
+    for name, (src_paths, tgt_paths) in sorted(cases.items()):
+        try:
+            check_pk_alignment(src_paths, tgt_paths)
+            rows.append((name, True))
+        except ValueError:
+            rows.append((name, False))
+    return spark.createDataFrame(rows, "pk_case string, aligned boolean") \
+        .orderBy("pk_case")
