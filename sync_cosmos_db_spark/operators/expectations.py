@@ -64,3 +64,31 @@ def referential_violations(fact: DataFrame, fact_key: str,
     side never shuffles."""
     keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
     return fact.join(F.broadcast(keys), fact_key, "left_anti")
+
+
+def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
+    """X76 — functional-dependency audit: for each candidate FD
+    ``lhs → rhs``, how many lhs values map to MORE than one distinct
+    rhs (the violation count a schema-inference or key-discovery pass
+    acts on).
+
+    Returns one row per candidate: (fd, n_lhs, n_violating_lhs,
+    max_rhs_per_lhs).  Scale: one groupBy per FD on its lhs (shuffle
+    key = lhs) over a two-column projection — Catalyst prunes the scan
+    to exactly the columns each FD touches — then a tiny union of
+    per-FD single-row summaries."""
+    outs = []
+    for lhs, rhs in fds:
+        per = (df.select(F.col(lhs).alias("l"), F.col(rhs).alias("r"))
+               .groupBy("l")
+               .agg(F.countDistinct("r").alias("nr")))
+        outs.append(per.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum(F.when(F.col("nr") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_violating_lhs"),
+            F.max("nr").cast("long").alias("max_rhs_per_lhs")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -223,3 +223,111 @@ def centroid_outliers(df: DataFrame, id_col: str = "vec_id",
     w = W.partitionBy(label_col).orderBy(F.desc("dist"), F.asc(id_col))
     return (d.withColumn("rk", F.row_number().over(w).cast("long"))
             .where(F.col("rk") <= top_n))
+
+
+def chi2_independence(df: DataFrame, a_col: str, b_col: str,
+                      round_digits: int = 4) -> DataFrame:
+    """X73 — Pearson chi-square test of independence between two
+    categorical columns, as one aggregation pipeline.
+
+    Returns a single row (n, n_a, n_b, dof, chi2): observed counts per
+    (a, b) cell, expected = row_total·col_total/n under independence,
+    chi2 = Σ (obs − exp)²/exp over observed cells PLUS the mass of
+    structurally-empty cells (obs = 0 ⇒ contribution = exp, summed as
+    n − Σ_observed exp, so no cross-join against the full category
+    grid is ever materialized).
+
+    Scale: one groupBy on (a, b) — the contingency table, ≤ |A|·|B|
+    rows — then two tiny re-aggregations of IT (broadcast joins on the
+    margins); the source is scanned once.  Determinism: the statistic
+    is floor-rounded at ``round_digits``; cell math is plain IEEE
+    arithmetic identical across engines."""
+    cells = (df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    arow = cells.groupBy("a").agg(F.sum("o").alias("ra"))
+    brow = cells.groupBy("b").agg(F.sum("o").alias("rb"))
+    tot = cells.agg(F.sum("o").alias("n"),
+                    F.countDistinct("a").alias("n_a"),
+                    F.countDistinct("b").alias("n_b"))
+    j = (cells.join(F.broadcast(arow), "a")
+         .join(F.broadcast(brow), "b")
+         .crossJoin(F.broadcast(tot)))
+    exp = F.col("ra") * F.col("rb") / F.col("n")
+    # observed cells contribute (o-e)^2/e; the unobserved remainder of
+    # the grid contributes exactly its expected mass: n - sum(e_obs).
+    agg = j.groupBy("n", "n_a", "n_b").agg(
+        F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("s"),
+        F.sum(exp).alias("e_obs"))
+    p = 10 ** round_digits
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("long").alias("dof"),
+        (F.floor((F.col("s") + F.col("n") - F.col("e_obs")) * p
+                 + F.lit(0.5)) / p).alias("chi2"))
+
+
+def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
+                     lo: float = 0.05, hi: float = 0.95,
+                     round_digits: int = 4) -> DataFrame:
+    """X74 — per-group winsorized aggregation: values clamped to the
+    group's [p_lo, p_hi] interpolated percentiles before averaging, the
+    standard robust-mean pass that tames heavy tails without dropping
+    rows.
+
+    Returns (group, n, p_lo, p_hi, mean_raw, mean_winsorized).  Scale:
+    ONE group aggregate computes both percentiles (exact
+    ``percentile``, which at 100 TB you would swap for
+    ``percentile_approx`` — same plan shape), broadcast back onto the
+    rows for the clamp, then a second group aggregate; the source is
+    scanned twice, shuffled on the group key only."""
+    p = 10 ** round_digits
+    pcts = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("plo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("phi"))
+    r = df.select(F.col(group_col).alias("g"),
+                  F.col(value_col).cast("double").alias("v")) \
+        .join(F.broadcast(pcts), "g")
+    clamped = F.least(F.greatest(F.col("v"), F.col("plo")), F.col("phi"))
+    return (r.groupBy("g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 (F.floor(F.min("plo") * p + F.lit(0.5)) / p).alias("p_lo"),
+                 (F.floor(F.min("phi") * p + F.lit(0.5)) / p).alias("p_hi"),
+                 (F.floor(F.avg("v") * p + F.lit(0.5)) / p)
+                 .alias("mean_raw"),
+                 (F.floor(F.avg(clamped) * p + F.lit(0.5)) / p)
+                 .alias("mean_winsorized"))
+            .select(F.col("g").alias(group_col), "n", "p_lo", "p_hi",
+                    "mean_raw", "mean_winsorized"))
+
+
+def categorical_entropy(df: DataFrame, cols: list[str],
+                        round_digits: int = 4) -> DataFrame:
+    """X77 — per-column categorical distribution profile: distinct
+    count, Shannon entropy (bits), and Gini impurity — the three
+    numbers a feature auditor reads to spot degenerate columns (zero
+    entropy ⇒ constant, log2(n) entropy ⇒ uniform ⇒ likely an id).
+
+    One pass: every column's value is exploded into (col, value) pairs
+    in-row, ONE groupBy(col, value) counts, one groupBy(col)
+    re-aggregates the (tiny) count table into the three stats.  NULLs
+    count as a category of their own (SQL GROUP BY semantics).
+    Rounded floor-style at ``round_digits`` for cross-engine parity."""
+    p = 10 ** round_digits
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(c).cast("string").alias("val"))
+        for c in cols])).alias("cv")).select("cv.col", "cv.val")
+    counts = pairs.groupBy("col", "val").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("col").agg(F.sum("c").alias("n"))
+    r = counts.join(F.broadcast(tot), "col") \
+        .withColumn("p", F.col("c") / F.col("n"))
+    return (r.groupBy("col")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                 (F.floor(F.sum(-F.col("p") * F.log2("p")) * p
+                          + F.lit(0.5)) / p).alias("entropy_bits"),
+                 (F.floor((F.lit(1.0) - F.sum(F.col("p") * F.col("p")))
+                          * p + F.lit(0.5)) / p).alias("gini"))
+            .select(F.col("col").alias("column_name"), "n_distinct",
+                    "entropy_bits", "gini"))

@@ -215,3 +215,38 @@ def rrf_fuse(
     if top_n is not None:
         out = out.filter(F.col("fused_rank") <= top_n)
     return out
+
+
+def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """X75 — exact phrase search via a positional inverted index: a doc
+    matches where tokens of ``phrase`` occur at consecutive positions.
+
+    The classic positional-index intersection, expressed relationally:
+    the (doc, pos, token) explode is filtered to the phrase's k terms
+    (so the shuffle carries only candidate postings, not the corpus),
+    each term's postings are aligned to the phrase start
+    (``pos − offset``) and k-way INNER-joined on (doc, start) — all
+    equi-joins on (doc, aligned-position) keys. Degenerate phrases
+    with a repeated term still work: each occurrence feeds every
+    offset it can satisfy.
+
+    Returns (id, n_matches, first_pos) per matching doc (1-based
+    token positions)."""
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+"))
+        .alias("pos0", "token"),
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    out = None
+    for off, term in enumerate(terms):
+        side = (toks.filter(F.col("token") == term)
+                .select(F.col(id_col),
+                        (F.col("pos") - off).alias("start")))
+        out = side if out is None else out.join(side, [id_col, "start"])
+    return (out.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
+                 F.min("start").cast("long").alias("first_pos")))

@@ -194,3 +194,49 @@ def gap_fill(df: DataFrame, keys: list[str], ts_col: str,
         filled = filled.withColumn(
             f"{v}_filled", F.last(v, ignorenulls=True).over(w))
     return filled
+
+
+def ewma_calendar(df: DataFrame, day_col: str, value_col: str,
+                  alpha: float = 0.5, window_days: int = 30,
+                  round_digits: int = 4) -> DataFrame:
+    """X72 — calendar-decay exponentially-weighted moving average over
+    a (day, value) series: for each present day ``d``,
+
+        ewma(d) = Σ_{i: 0 ≤ d−i < W} v_i·(1−α)^(d−i)
+                / Σ_{i: 0 ≤ d−i < W} (1−α)^(d−i)
+
+    — the pandas ``adjust=True`` normalization with decay by CALENDAR
+    distance (a gap of 3 days decays 3×, so irregular series don't
+    overweight stale values), truncated at ``window_days`` where the
+    weight has decayed to negligible.
+
+    Scale shape: NO self-join and NO non-equi range join — each day
+    EXPLODES its value forward onto the ≤ W future days it influences
+    (weight (1−α)^k for offset k, an in-row ``sequence``), then ONE
+    groupBy on the receiving day sums weighted numerator/denominator,
+    and a semi join keeps only days present in the input. Every
+    shuffle key is a day; the W-fold row expansion is a constant (30),
+    not a data-dependent blow-up.
+
+    Determinism: with ``alpha = 0.5`` the weights 0.5^k are exact
+    dyadic doubles, so both engines compute identical products;
+    results floor-round at ``round_digits``.
+    """
+    q = 1.0 - alpha
+    contrib = (df.select(F.col(day_col).alias("src_day"),
+                         F.col(value_col).cast("double").alias("v"))
+               .select("src_day", "v",
+                       F.explode(F.sequence(F.lit(0),
+                                            F.lit(window_days - 1)))
+                       .alias("k"))
+               .select(F.date_add(F.col("src_day"), F.col("k"))
+                       .alias("day"),
+                       (F.col("v") * F.pow(F.lit(q), F.col("k")))
+                       .alias("wv"),
+                       F.pow(F.lit(q), F.col("k")).alias("w")))
+    present = df.select(F.col(day_col).alias("day")).distinct()
+    p = 10 ** round_digits
+    return (contrib.join(present, "day", "left_semi")
+            .groupBy("day")
+            .agg((F.floor(F.sum("wv") / F.sum("w") * p + F.lit(0.5)) / p)
+                 .alias("ewma")))

@@ -76,6 +76,9 @@ BNLJ_ALLOWED = {
     "dedup_embedding_lsh_containment",
     # O21: joins two single-row count aggregates — a 1×1 BNLJ.
     "verify_counts",
+    # X73: the contingency-cell table (≤ |A|·|B| rows) crossJoins the
+    # BROADCAST single-row (n, n_a, n_b) aggregate — linear in cells.
+    "chi2_orders_status_priority",
     # X62: chains three single-row stage aggregates — 1×1 BNLJs.
     "web_pipeline_stats",
     # TPC-H scalar-subquery shapes: an N×1 BNLJ against a BROADCAST
