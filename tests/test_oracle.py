@@ -41,17 +41,33 @@ def test_all_queries_return_rows(spark, sf_dir):
 
 def test_sweep_window_covers_every_family():
     """The driver's correctness sweep covers the FIRST 50 queries in
-    registration order (round-1 verdict item 1). Pin the invariant:
-    every SWEEP_PRIORITY name exists and occupies the first-50 window,
-    so each SURVEY §2 operator family gets a driver-verified row."""
+    registration order (round-1 verdict item 1). Pin the round-5
+    invariants: SWEEP_PRIORITY IS the window (exactly 50 names, in
+    order), every windowed query has an oracle (zero `no_oracle` rows
+    in the driver report — round-4 verdict item 6), and every
+    oracle-bearing query the driver has never swept (r1–r4) is in the
+    window (round-4 verdict item 1)."""
+    import glob
+    import json
+    import os
+
     from sync_cosmos_db_spark.queries import SWEEP_PRIORITY
 
     names = list(entrymod.queries())
-    missing = [n for n in SWEEP_PRIORITY if n not in names]
-    assert not missing, f"SWEEP_PRIORITY names not registered: {missing}"
-    window = names[:50]
-    out = [n for n in SWEEP_PRIORITY if n not in window]
-    assert not out, f"priority queries fell outside the sweep window: {out}"
+    oracles = entrymod.oracle_sql()
+    assert len(SWEEP_PRIORITY) == 50
+    assert names[:50] == SWEEP_PRIORITY, "window != SWEEP_PRIORITY"
+    no_oracle = [n for n in SWEEP_PRIORITY if n not in oracles]
+    assert not no_oracle, f"windowed queries without oracles: {no_oracle}"
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    swept: set = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
+        with open(f) as fh:
+            swept |= set(json.load(fh))
+    backlog = [n for n in names
+               if n in oracles and n not in swept and n not in names[:50]]
+    assert not backlog, f"never-swept oracle queries missed: {backlog}"
 
 
 def test_entry_smoke(spark):
