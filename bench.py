@@ -60,6 +60,14 @@ HEADLINE_LLM = [
     "gopher_repetition_flags",
     "dedup_span_coverage",
     "heavy_hitter_terms",
+    # Round-4 heavies (round-4 verdict item 4): set-similarity join,
+    # CDC changelog apply, web curation pipeline, sentence chunking —
+    # so a perf regression in any round-4 family is visible in
+    # BENCH_r{N}, not only in correctness.
+    "setsim_join_docs",
+    "cdc_apply_orders",
+    "web_pipeline_stats",
+    "sentence_chunk_64",
 ]
 
 

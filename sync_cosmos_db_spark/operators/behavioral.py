@@ -155,3 +155,79 @@ def sessionize(
            .rowsBetween(W.unboundedPreceding, W.currentRow))
     return df.withColumn("session_idx",
                          F.sum(new_s).over(run).cast("long"))
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """X84 — last-touch conversion attribution: for every user with at
+    least one conversion event, credit the LAST non-conversion event
+    strictly before the user's FIRST conversion, and count converters
+    per attributed channel.  Users whose first conversion has no prior
+    touch are reported under the 'direct' channel — the marketing
+    attribution query every event warehouse runs.
+
+    Two user-keyed hops, both shrinking: (1) one aggregate finds each
+    converter's first conversion timestamp (one row per converter);
+    (2) prior touches join that small table (broadcast when it fits)
+    and a user-keyed max-struct aggregate picks the latest touch — no
+    window over raw events, no collect_list.  Ties on the touch
+    timestamp break by highest ``id_col`` so the pick is total-ordered
+    and oracle-reproducible."""
+    first_conv = (df.filter(F.col(type_col) == conversion_type)
+                  .groupBy(user_col)
+                  .agg(F.min(ts_col).alias("conv_ts")))
+    touches = (df.filter(F.col(type_col) != conversion_type)
+               .join(first_conv, user_col)
+               .filter(F.col(ts_col) < F.col("conv_ts")))
+    last_touch = (touches.groupBy(user_col)
+                  .agg(F.max(F.struct(F.col(ts_col).alias("t"),
+                                      F.col(id_col).alias("i"),
+                                      F.col(type_col).alias("ch")))
+                       .alias("s"))
+                  .select(user_col, F.col("s.ch").alias("channel")))
+    attributed = (first_conv.join(last_touch, user_col, "left")
+                  .withColumn("channel",
+                              F.coalesce(F.col("channel"),
+                                         F.lit("direct"))))
+    return (attributed.groupBy("channel")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_converters")))
+
+
+def rolling_active_users(
+    df: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """X85 — trailing-window distinct actives (the DAU/WAU board
+    metric): for each calendar day present in the data, the count of
+    distinct users seen in the trailing ``window_days`` days.
+
+    A rolling DISTINCT cannot ride a window frame (COUNT(DISTINCT) is
+    not frame-mergeable) and the naive day×events range join is
+    quadratic.  The scale shape used here mirrors ``ewma_calendar``:
+    dedup to (user, day) pairs first (one user/day-keyed aggregate —
+    the big shrink), explode each pair onto the ≤``window_days``
+    future days it keeps the user active for (bounded in-row
+    expansion of an already-deduped table), then one day-keyed
+    distinct count, semi-joined to days actually present so trailing
+    ghost days don't appear."""
+    day = F.col(ts_col).cast("date")
+    user_days = (df.select(F.col(user_col).alias("u"), day.alias("d"))
+                 .distinct())
+    present = user_days.select("d").distinct()
+    influenced = user_days.select(
+        "u", F.explode(F.sequence(
+            F.col("d"),
+            F.date_add(F.col("d"), window_days - 1))).alias("day"))
+    return (influenced.join(present.select(F.col("d").alias("day")),
+                            "day", "semi")
+            .groupBy("day")
+            .agg(F.count_distinct("u").cast("long")
+                 .alias("active_users")))

@@ -15,7 +15,7 @@ across engines, so the whole histogram is oracle-checkable bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -331,3 +331,139 @@ def categorical_entropy(df: DataFrame, cols: list[str],
                           * p + F.lit(0.5)) / p).alias("gini"))
             .select(F.col("col").alias("column_name"), "n_distinct",
                     "entropy_bits", "gini"))
+
+
+def psi_ks_drift(df_a: DataFrame, df_b: DataFrame, col: str,
+                 lo: float, hi: float, n_buckets: int = 20,
+                 round_digits: int = 4) -> DataFrame:
+    """X79 — distribution-drift audit between two samples of the same
+    numeric column: Population Stability Index over fixed bins plus a
+    binned Kolmogorov–Smirnov statistic (max CDF gap on the same
+    bins).  This is the train/serve-skew check every production
+    pipeline runs before (re)training: PSI > 0.2 or a large KS means
+    the incoming distribution moved.
+
+    Both samples bucket with the shared ``bucket_of`` fixed-bound
+    expression — no quantile pre-pass, so ONE scan per side and a
+    ≤ n_buckets-row shuffle each.  Binned (not exact) KS is the
+    deliberate scale choice: exact KS needs a global total order over
+    every distinct value (a single-partition sort at 100 TB), while
+    the binned statistic converges to it from below and stays a
+    constant-size aggregate.  Empty-bucket probabilities clamp to
+    1e-6 before the PSI log-ratio (standard practice; both engines
+    clamp identically, keeping the oracle bit-exact).  Returns ONE row
+    ``(n_a, n_b, psi, ks)``."""
+    p = 10 ** round_digits
+    b = bucket_of(col, lo, hi, n_buckets)
+
+    def _bucketed(df: DataFrame, name: str) -> DataFrame:
+        return (df.filter(F.col(col).isNotNull())
+                .groupBy(b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias(name)))
+
+    buckets = (_bucketed(df_a, "ca").join(_bucketed(df_b, "cb"),
+                                          "bucket", "full_outer")
+               .fillna(0, ["ca", "cb"]))
+    tot = buckets.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    r = (buckets.crossJoin(F.broadcast(tot))
+         .withColumn("pa", F.greatest(F.col("ca") / F.col("na"),
+                                      F.lit(1e-6)))
+         .withColumn("pb", F.greatest(F.col("cb") / F.col("nb"),
+                                      F.lit(1e-6))))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    r = (r.withColumn("cdf_a", F.sum(F.col("ca") / F.col("na")).over(w))
+         .withColumn("cdf_b", F.sum(F.col("cb") / F.col("nb")).over(w)))
+    return (r.groupBy()
+            .agg(F.max("na").cast("long").alias("n_a"),
+                 F.max("nb").cast("long").alias("n_b"),
+                 (F.floor(F.sum((F.col("pa") - F.col("pb"))
+                                * F.log(F.col("pa") / F.col("pb"))) * p
+                          + F.lit(0.5)) / p).alias("psi"),
+                 (F.floor(F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))) * p
+                          + F.lit(0.5)) / p).alias("ks")))
+
+
+def benford_audit(df: DataFrame, col: str,
+                  round_digits: int = 4) -> DataFrame:
+    """X80 — Benford first-significant-digit audit: observed frequency
+    of the leading digit of a positive numeric column vs the Benford
+    expectation log10(1 + 1/d) — the classic fabricated-or-capped
+    numeric detector in data-quality sweeps.
+
+    The leading digit is computed arithmetically
+    (``floor(x / 10^floor(log10(x)))``), never via string formatting,
+    so both engines derive it from the same IEEE double.  One scan,
+    one ≤9-row shuffle.  Returns per-digit rows
+    ``(digit, n, obs_p, exp_p, abs_dev)``."""
+    p = 10 ** round_digits
+    x = F.col(col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x))))
+    counts = (df.filter(x > 0)
+              .groupBy(digit.cast("long").alias("digit"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    tot = counts.agg(F.sum("c").alias("n_tot"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .select(F.col("digit"),
+                    F.col("c").cast("long").alias("n"),
+                    (F.floor(F.col("c") / F.col("n_tot") * p + F.lit(0.5))
+                     / p).alias("obs_p"),
+                    (F.floor(exp_p * p + F.lit(0.5)) / p).alias("exp_p"),
+                    (F.floor(F.abs(F.col("c") / F.col("n_tot") - exp_p) * p
+                             + F.lit(0.5)) / p).alias("abs_dev")))
+
+
+def mad_outliers(df: DataFrame, group_col: str, value_col: str,
+                 z_thresh: float = 3.5,
+                 round_digits: int = 4) -> DataFrame:
+    """X81 — robust outlier flagging via the median absolute deviation:
+    per group, modified z-score ``0.6745·(x − median)/MAD`` with the
+    Iglewicz–Hoaglin 3.5 cutoff.  The MAD tolerates up to 50% gross
+    contamination where the IQR fence (``iqr_outliers``) breaks at
+    25% — this is the robust sibling a curation pipeline prefers on
+    scraped numerics.
+
+    Two group-keyed percentile aggregations (median, then MAD of the
+    residuals) + one broadcast join back; the aggregate tables are
+    group-cardinality-sized.  Exact interpolated percentiles here; at
+    100 TB the identical plan takes ``percentile_approx``.  Returns
+    per-group ``(group, n, med, mad, n_outliers)``."""
+    p = 10 ** round_digits
+    v = F.col(value_col).cast("double")
+    med = (df.groupBy(group_col)
+           .agg(F.expr(f"percentile({value_col}, 0.5)").alias("med")))
+    with_med = df.join(F.broadcast(med), group_col)
+    mad = (with_med
+           .groupBy(group_col)
+           .agg(F.expr(f"percentile(abs({value_col} - med), 0.5)")
+                .alias("mad")))
+    joined = with_med.join(F.broadcast(mad), group_col)
+    rz = F.lit(0.6745) * (v - F.col("med")) / F.col("mad")
+    return (joined.groupBy(group_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 (F.floor(F.max("med") * p + F.lit(0.5)) / p).alias("med"),
+                 (F.floor(F.max("mad") * p + F.lit(0.5)) / p).alias("mad"),
+                 F.sum(F.when(F.abs(rz) > z_thresh, 1).otherwise(0))
+                 .cast("long").alias("n_outliers")))
+
+
+def key_skew_histogram(df: DataFrame, key_col: str) -> DataFrame:
+    """X87 — shuffle-skew diagnostic: histogram of per-key row counts
+    in powers-of-two buckets.  This is the pre-flight a cluster
+    operator runs before a big join/groupBy: a heavy tail here is the
+    direct predictor of straggler partitions, and its output decides
+    whether to salt (``operators/skew.py``) or broadcast.
+
+    One key-keyed count (the same shuffle the diagnosed join would
+    pay, but with map-side partials so only (key, count) rows move),
+    then a ≤64-row re-aggregate.  The bucket is
+    ``floor(log2(count) + 1e-9)`` — the epsilon absorbs sub-ulp libm
+    differences at exact powers of two so both engines bucket
+    identically.  Returns ``(count_bucket, n_keys, total_rows,
+    max_count)``."""
+    counts = (df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c")))
+    bucket = F.floor(F.log2(F.col("c").cast("double")) + F.lit(1e-9))
+    return (counts.groupBy(bucket.cast("long").alias("count_bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                 F.sum("c").cast("long").alias("total_rows"),
+                 F.max("c").cast("long").alias("max_count")))

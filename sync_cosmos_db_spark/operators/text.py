@@ -508,3 +508,47 @@ def clean_text(col: Column | str, lowercase: bool = False) -> Column:
     if lowercase:
         c = F.lower(c)
     return c
+
+
+def vocab_growth(df, bucket_size: int = 50, id_col: str = "doc_id",
+                 text_col: str = "text"):
+    """X86 — Heaps'-law vocabulary-growth profile: corpus docs in
+    ``bucket_size``-doc ingestion buckets (by ``id_col`` order), and
+    per bucket the CUMULATIVE token volume, cumulative distinct
+    vocabulary, and the count of never-before-seen types the bucket
+    introduced.  A flattening curve says more data stops buying new
+    vocabulary — the diminishing-returns signal a data-mixture owner
+    watches; a sudden jump flags an encoding/tokenizer regression in
+    one ingest batch.
+
+    Scale shape: ONE token explode feeding ONE token-keyed aggregate
+    that carries only ``(min_bucket, count)`` per distinct type — the
+    corpus never re-shuffles per bucket, and the quadratic
+    "re-count distinct under every prefix" formulation is avoided by
+    the first-occurrence identity (cumulative vocab at bucket b =
+    #types with min_bucket ≤ b).  The cumulative window then runs
+    over the tiny per-bucket table (≤ corpus/bucket_size rows).
+    """
+    from pyspark.sql import DataFrame, Window  # noqa: F401
+
+    bucket = F.floor(F.col(id_col) / bucket_size).cast("long")
+    toks = (df.select(bucket.alias("bucket"),
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    per_type = (toks.groupBy("tok")
+                .agg(F.min("bucket").alias("first_bucket"),
+                     F.count(F.lit(1)).alias("occ")))
+    # token volume per bucket (all occurrences), new types per bucket
+    vol = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tokens"))
+    news = (per_type.groupBy(F.col("first_bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("new_types")))
+    joined = vol.join(news, "bucket", "left").fillna(0, ["new_types"])
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (joined
+            .select(F.col("bucket"),
+                    F.sum("n_tokens").over(w).cast("long")
+                    .alias("cum_tokens"),
+                    F.sum("new_types").over(w).cast("long")
+                    .alias("cum_vocab"),
+                    F.col("new_types").cast("long").alias("new_types")))

@@ -370,23 +370,23 @@ SWEEP_PRIORITY: list[str] = [
     # --- X2 hash-checked containment twins (replace `no_oracle` rows)
     "dedup_lsh_containment",
     "dedup_embedding_lsh_containment",
-    # --- re-checks: code paths changed this round
+    # --- NEW this round: X79-X87
+    "drift_orders_price_halves",
+    "benford_order_prices",
+    "mad_outlier_prices",
+    "revenue_decile_profile",
+    "pivot_priority_by_status",
+    "attribution_last_touch",
+    "rolling_7d_active_users",
+    "vocab_growth_documents",
+    "skew_histogram_events_users",
+    # --- re-checks: code paths changed since their last driver row
     "dedup_span_coverage",        # viral-gram gate
     "sim_topk_bruteforce",        # cap-check memoization
     "sim_topk_vectorized",        # shares the brute-force contract
-    "heavy_hitter_terms",         # sketches module touched
+    "heavy_hitter_terms",         # sketches module touched (NULL groups)
     "migrate_classify_counts",    # flagship; load_table cache rekeyed
-    # --- re-checks: high-value standing coverage
-    "dedup_exact_content",
-    "dedup_jaccard_pairs",
-    "sanitize_customer_pii",
-    "asof_join_latest_snapshot",
-    "multimodal_png_roundtrip",
-    "gopher_quality_flags",
-    "pack_sequences_64",
-    "stream_dedup_events",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
+    "dedup_exact_content",        # standing coverage of the X1 anchor
 ]
 
 

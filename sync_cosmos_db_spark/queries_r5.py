@@ -1,7 +1,10 @@
-"""Round-5 extension operators (X72–X78): calendar-decay EWMA
+"""Round-5 extension operators (X72–X87): calendar-decay EWMA
 smoothing, chi-square independence audit, winsorized robust
 aggregation, positional phrase search, functional-dependency audit,
-categorical entropy profiling, and Z-order clustered layout.
+categorical entropy profiling, Z-order clustered layout, PSI/KS drift
+detection, Benford audit, MAD outliers, equi-depth revenue deciles,
+pivoted crosstab, last-touch attribution, rolling distinct actives,
+vocabulary-growth profile, and key-skew diagnostics.
 
 None of these exist in the reference (its analytic surface is a single
 document count, ``/root/reference/src/migration.py:62``); they are the
@@ -295,3 +298,365 @@ def zorder_roundtrip_documents(spark: SparkSession,
     back = spark.read.parquet(path)
     return back.select("doc_id", "n_chars", "lang",
                        F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+# ---------------------------------------------------------------------------
+# X79 — PSI + binned-KS drift (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "drift_orders_price_halves",
+    """
+    WITH b AS (
+      SELECT greatest(0, least(floor(o_totalprice / 30000), 19))::BIGINT
+               AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS is_a
+      FROM orders),
+    c AS (SELECT bucket, sum(is_a)::DOUBLE AS ca,
+                 sum(1 - is_a)::DOUBLE AS cb
+          FROM b GROUP BY 1),
+    t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+    r AS (SELECT bucket, ca, cb, na, nb,
+                 greatest(ca / na, 1e-6) AS pa,
+                 greatest(cb / nb, 1e-6) AS pb,
+                 sum(ca / na) OVER (ORDER BY bucket) AS cdf_a,
+                 sum(cb / nb) OVER (ORDER BY bucket) AS cdf_b
+          FROM c CROSS JOIN t)
+    SELECT max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+           floor(sum((pa - pb) * ln(pa / pb)) * 10000 + 0.5) / 10000
+             AS psi,
+           floor(max(abs(cdf_a - cdf_b)) * 10000 + 0.5) / 10000 AS ks
+    FROM r
+    """,
+)
+def drift_orders_price_halves(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X79 — train/serve drift audit (``profiling.psi_ks_drift``):
+    PSI + binned KS between pre-1998 and post-1998 order totals over
+    20 fixed [0, 600k] bins.  Binned KS is the deliberate 100 TB
+    choice — exact KS needs a global total order; the binned CDF gap
+    is a constant-size aggregate.  The oracle recomputes both
+    statistics from a conditional-sum contingency table rather than a
+    two-sided outer join, so agreement pins the semantics."""
+    from sync_cosmos_db_spark.operators.profiling import psi_ks_drift
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    return psi_ks_drift(orders.filter(F.col("o_orderdate") < cut),
+                        orders.filter(F.col("o_orderdate") >= cut),
+                        "o_totalprice", lo=0.0, hi=600000.0, n_buckets=20)
+
+
+# ---------------------------------------------------------------------------
+# X80 — Benford first-digit audit (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "benford_order_prices",
+    """
+    WITH d AS (
+      SELECT floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+               ::BIGINT AS digit
+      FROM orders WHERE o_totalprice > 0),
+    c AS (SELECT digit, count(*)::DOUBLE AS c FROM d GROUP BY 1),
+    t AS (SELECT sum(c) AS n_tot FROM c)
+    SELECT digit, c::BIGINT AS n,
+           floor(c / n_tot * 10000 + 0.5) / 10000 AS obs_p,
+           floor(log10(1.0 + 1.0 / digit) * 10000 + 0.5) / 10000 AS exp_p,
+           floor(abs(c / n_tot - log10(1.0 + 1.0 / digit)) * 10000 + 0.5)
+             / 10000 AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80 — Benford first-significant-digit audit
+    (``profiling.benford_audit``) over order totals: observed leading-
+    digit frequencies vs log10(1 + 1/d).  The digit is derived
+    arithmetically (never via string formatting) so both engines
+    compute it from the same IEEE double; one scan, one ≤9-row
+    shuffle."""
+    from sync_cosmos_db_spark.operators.profiling import benford_audit
+
+    return benford_audit(load_table(spark, sf_dir, "orders"),
+                         "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# X81 — MAD robust outliers (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "mad_outlier_prices",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS g,
+             quantile_cont(o_totalprice, 0.5) AS med
+      FROM orders GROUP BY 1),
+    j AS (SELECT o.o_orderpriority AS g, o.o_totalprice::DOUBLE AS v,
+                 m.med
+          FROM orders o JOIN med m ON m.g = o.o_orderpriority),
+    mad AS (SELECT g, quantile_cont(abs(v - med), 0.5) AS mad
+            FROM j GROUP BY 1)
+    SELECT j.g AS o_orderpriority, count(*)::BIGINT AS n,
+           floor(max(j.med) * 10000 + 0.5) / 10000 AS med,
+           floor(max(mad.mad) * 10000 + 0.5) / 10000 AS mad,
+           sum(CASE WHEN abs(0.6745 * (v - j.med) / mad.mad) > 3.5
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM j JOIN mad ON mad.g = j.g
+    GROUP BY 1
+    """,
+)
+def mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81 — median-absolute-deviation outlier flags
+    (``profiling.mad_outliers``): per-priority modified z-score
+    0.6745·(x−med)/MAD with the Iglewicz–Hoaglin 3.5 cutoff — the
+    50%-breakdown robust sibling of the IQR fence (X29).  Two
+    group-keyed interpolated-percentile aggregates + broadcast joins;
+    at 100 TB the identical plan takes ``percentile_approx``."""
+    from sync_cosmos_db_spark.operators.profiling import mad_outliers
+
+    return mad_outliers(load_table(spark, sf_dir, "orders"),
+                        "o_orderpriority", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# X82 — equi-depth revenue deciles (broadcast-threshold bucketing)
+# ---------------------------------------------------------------------------
+
+@query(
+    "revenue_decile_profile",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(o_totalprice) AS spend
+      FROM orders GROUP BY 1),
+    b AS (SELECT quantile_cont(spend,
+                   [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+            AS bounds FROM spend),
+    d AS (SELECT o_custkey, spend,
+                 (len(list_filter(bounds, x -> spend > x)) + 1)::BIGINT
+                   AS decile
+          FROM spend CROSS JOIN b)
+    SELECT decile, count(*)::BIGINT AS n_customers,
+           floor(sum(spend) * 10000 + 0.5) / 10000 AS total_spend,
+           floor(min(spend) * 10000 + 0.5) / 10000 AS min_spend,
+           floor(max(spend) * 10000 + 0.5) / 10000 AS max_spend
+    FROM d GROUP BY decile
+    """,
+)
+def revenue_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82 — customer-revenue deciles WITHOUT a global sort: the naive
+    NTILE(10) needs a single-partition total order over every
+    customer; here the nine interpolated decile boundaries come from
+    ONE single-row percentile aggregate, broadcast back, and each row
+    buckets itself by comparison (`1 + #bounds below`) — the
+    equi-depth histogram shape that survives a 15B-customer table.
+    Ties share a decile (unlike NTILE's arbitrary split), which is
+    the semantics a revenue-band report actually wants."""
+    spend = (load_table(spark, sf_dir, "orders")
+             .groupBy("o_custkey")
+             .agg(F.sum("o_totalprice").alias("spend")))
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = spend.agg(F.expr(
+        f"percentile(spend, array({', '.join(str(q) for q in qs)}))")
+        .alias("bounds"))
+    p = 10 ** 4
+    d = (spend.crossJoin(F.broadcast(bounds))
+         .withColumn("decile",
+                     (F.size(F.filter(
+                         "bounds",
+                         lambda x: F.col("spend") > x)) + 1).cast("long")))
+    return (d.groupBy("decile")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 (F.floor(F.sum("spend") * p + F.lit(0.5)) / p)
+                 .alias("total_spend"),
+                 (F.floor(F.min("spend") * p + F.lit(0.5)) / p)
+                 .alias("min_spend"),
+                 (F.floor(F.max("spend") * p + F.lit(0.5)) / p)
+                 .alias("max_spend")))
+
+
+# ---------------------------------------------------------------------------
+# X83 — pivoted crosstab (Catalyst pivot)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pivot_priority_by_status",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT
+             AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT
+             AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT
+             AS n_p
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X83 — crosstab via Catalyst ``pivot`` with EXPLICIT pivot
+    values: passing the value list skips the extra distinct-values
+    job a bare ``pivot(col)`` runs and makes the output schema static
+    — the form that's safe to run unattended at scale.  The oracle is
+    the CASE-WHEN expansion pivot desugars to."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (orders.groupBy("o_orderpriority")
+          .pivot("o_orderstatus", ["F", "O", "P"])
+          .agg(F.count(F.lit(1))))
+    return (pv.select("o_orderpriority",
+                      F.coalesce(F.col("F"), F.lit(0)).cast("long")
+                      .alias("n_f"),
+                      F.coalesce(F.col("O"), F.lit(0)).cast("long")
+                      .alias("n_o"),
+                      F.coalesce(F.col("P"), F.lit(0)).cast("long")
+                      .alias("n_p")))
+
+
+# ---------------------------------------------------------------------------
+# X84 — last-touch attribution (operators/behavioral.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH fc AS (
+      SELECT user_id, min(ts) AS conv_ts
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    t AS (SELECT e.user_id, e.ts, e.event_id, e.event_type
+          FROM events e JOIN fc USING (user_id)
+          WHERE e.event_type <> 'purchase' AND e.ts < fc.conv_ts),
+    lt AS (SELECT user_id, event_type AS channel FROM (
+             SELECT user_id, event_type,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC)
+                      AS rn
+             FROM t) WHERE rn = 1)
+    SELECT coalesce(lt.channel, 'direct') AS channel,
+           count(*)::BIGINT AS n_converters
+    FROM fc LEFT JOIN lt USING (user_id)
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84 — last-touch conversion attribution
+    (``behavioral.last_touch_attribution``): each converter's credit
+    goes to the last non-purchase event before their first purchase
+    ('direct' when none).  The Spark plan picks the touch with a
+    user-keyed max-struct aggregate (no window over raw events); the
+    oracle picks it with a row_number window — two mechanisms, one
+    answer."""
+    from sync_cosmos_db_spark.operators.behavioral import (
+        last_touch_attribution,
+    )
+
+    return last_touch_attribution(load_table(spark, sf_dir, "events"),
+                                  "purchase")
+
+
+# ---------------------------------------------------------------------------
+# X85 — rolling distinct actives (operators/behavioral.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT user_id AS u, ts::DATE AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud),
+    r AS (SELECT days.d AS day, ud.u
+          FROM days JOIN ud ON ud.d <= days.d AND ud.d > days.d - 7)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           count(DISTINCT u)::BIGINT AS active_users
+    FROM r GROUP BY 1
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X85 — trailing-7-day distinct active users
+    (``behavioral.rolling_active_users``): the WAU board metric.  A
+    rolling DISTINCT can't ride a window frame, and the day×events
+    range join the oracle runs is quadratic — the Spark plan instead
+    dedups to (user, day) pairs FIRST, explodes each pair onto the
+    ≤7 days it keeps the user active (bounded in-row expansion of the
+    already-shrunk table), and runs one day-keyed distinct count."""
+    from sync_cosmos_db_spark.operators.behavioral import (
+        rolling_active_users,
+    )
+
+    out = rolling_active_users(load_table(spark, sf_dir, "events"),
+                               window_days=7)
+    return out.select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      "active_users")
+
+
+# ---------------------------------------------------------------------------
+# X86 — vocabulary-growth profile (operators/text.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "vocab_growth_documents",
+    """
+    WITH toks AS (
+      SELECT floor(doc_id / 50)::BIGINT AS bucket,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT bucket, tok FROM toks WHERE tok <> ''),
+    pt AS (SELECT tok, min(bucket) AS fb FROM tf GROUP BY 1),
+    vol AS (SELECT bucket, count(*) AS n_tokens FROM tf GROUP BY 1),
+    news AS (SELECT fb AS bucket, count(*) AS new_types
+             FROM pt GROUP BY 1),
+    j AS (SELECT vol.bucket, n_tokens, coalesce(new_types, 0) AS new_types
+          FROM vol LEFT JOIN news USING (bucket))
+    SELECT bucket,
+           (sum(n_tokens) OVER (ORDER BY bucket))::BIGINT AS cum_tokens,
+           (sum(new_types) OVER (ORDER BY bucket))::BIGINT AS cum_vocab,
+           new_types::BIGINT AS new_types
+    FROM j
+    """,
+)
+def vocab_growth_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86 — Heaps'-law vocabulary growth (``text.vocab_growth``):
+    cumulative distinct vocabulary and token volume per 50-doc ingest
+    bucket.  The corpus shuffles ONCE (token-keyed, carrying only
+    (min_bucket, count) per type); cumulative vocab at bucket b falls
+    out of the first-occurrence identity #\\{types: min_bucket ≤ b\\} —
+    never a per-prefix re-count.  A flattening curve = more data buys
+    no new vocabulary; a jump = an ingest batch with a tokenizer or
+    encoding regression."""
+    from sync_cosmos_db_spark.operators.text import vocab_growth
+
+    return vocab_growth(load_table(spark, sf_dir, "documents"),
+                        bucket_size=50)
+
+
+# ---------------------------------------------------------------------------
+# X87 — key-skew diagnostics (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "skew_histogram_events_users",
+    """
+    WITH c AS (SELECT user_id, count(*)::DOUBLE AS c
+               FROM events GROUP BY 1)
+    SELECT floor(log2(c) + 1e-9)::BIGINT AS count_bucket,
+           count(*)::BIGINT AS n_keys,
+           sum(c)::BIGINT AS total_rows,
+           max(c)::BIGINT AS max_count
+    FROM c GROUP BY 1
+    """,
+)
+def skew_histogram_events_users(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X87 — shuffle-skew pre-flight (``profiling.key_skew_histogram``):
+    per-user event counts bucketed into powers of two — the histogram
+    an operator reads to decide salt-vs-broadcast before a user-keyed
+    join at scale (a populated high bucket = straggler partitions).
+    One key-keyed count with map-side partials, then a ≤64-row
+    re-aggregate; the +1e-9 epsilon absorbs sub-ulp libm differences
+    at exact powers of two so both engines bucket identically."""
+    from sync_cosmos_db_spark.operators.profiling import (
+        key_skew_histogram,
+    )
+
+    return key_skew_histogram(load_table(spark, sf_dir, "events"),
+                              "user_id")

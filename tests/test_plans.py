@@ -87,6 +87,15 @@ BNLJ_ALLOWED = {
     "q11_important_stock",
     "q15_top_supplier",
     "q22_dormant_customers",
+    # X79/X80: the ≤20-row (resp. ≤9-row) bucket/digit count table
+    # crossJoins its BROADCAST single-row total aggregate — linear in
+    # buckets/digits.
+    "drift_orders_price_halves",
+    "benford_order_prices",
+    # X82: the per-customer spend table crossJoins the BROADCAST
+    # single-row decile-boundary aggregate (N×1, the same decorrelated
+    # scalar-subquery shape as q11/q15/q22) — linear in customers.
+    "revenue_decile_profile",
 }
 
 

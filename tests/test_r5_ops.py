@@ -173,3 +173,128 @@ def test_write_zordered_constant_column_ok(spark, tmp_path):
     path = str(tmp_path / "zc.parquet")
     write_zordered(df, path, ["x", "y"], num_files=4)
     assert spark.read.parquet(path).count() == 100
+
+
+def test_psi_ks_identical_samples_zero(spark):
+    """Identical distributions → psi ≈ 0, ks ≈ 0."""
+    from sync_cosmos_db_spark.operators.profiling import psi_ks_drift
+
+    df = spark.createDataFrame([(float(i % 10),) for i in range(100)],
+                               "x double")
+    row = psi_ks_drift(df, df, "x", lo=0.0, hi=10.0,
+                       n_buckets=10).collect()[0]
+    assert row.n_a == 100 and row.n_b == 100
+    assert row.psi == 0.0 and row.ks == 0.0
+
+
+def test_psi_ks_detects_shift(spark):
+    """A hard location shift between disjoint supports maximizes the
+    binned KS (CDF gap → 1) and produces a large PSI."""
+    from sync_cosmos_db_spark.operators.profiling import psi_ks_drift
+
+    a = spark.createDataFrame([(1.0,)] * 50, "x double")
+    b = spark.createDataFrame([(9.0,)] * 50, "x double")
+    row = psi_ks_drift(a, b, "x", lo=0.0, hi=10.0,
+                       n_buckets=10).collect()[0]
+    assert row.ks == 1.0
+    assert row.psi > 10  # two one-sided bins clamped at 1e-6
+
+def test_benford_hand_case(spark):
+    """Leading digit spans magnitudes: 1, 12, 190, 0.02 → digits
+    1,1,1,2 (0.02's leading significant digit is 2); zero and
+    negative values are excluded."""
+    from sync_cosmos_db_spark.operators.profiling import benford_audit
+
+    df = spark.createDataFrame(
+        [(1.0,), (12.0,), (190.0,), (0.02,), (0.0,), (-5.0,)],
+        "x double")
+    rows = {r.digit: r for r in benford_audit(df, "x").collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n == 3 and rows[2].n == 1
+    assert rows[1].obs_p == 0.75
+    assert abs(rows[1].exp_p - round(math.log10(2), 4)) < 1e-9
+
+
+def test_mad_outliers_flags_gross_point(spark):
+    """29 values near 10 plus one at 1000: the IQR-robust MAD flags
+    exactly the gross point."""
+    from sync_cosmos_db_spark.operators.profiling import mad_outliers
+
+    vals = [float(v) for v in range(1, 30)] + [1000.0]
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "g string, x double")
+    row = mad_outliers(df, "g", "x").collect()[0]
+    assert row.n == 30
+    assert row.n_outliers == 1
+    assert row.med == 15.5
+
+
+def test_key_skew_histogram_buckets(spark):
+    """Keys with counts 1, 2, 3, 8 land in log2 buckets 0, 1, 1, 3."""
+    from sync_cosmos_db_spark.operators.profiling import (
+        key_skew_histogram,
+    )
+
+    rows = ([("a",)] * 1 + [("b",)] * 2 + [("c",)] * 3 + [("d",)] * 8)
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.count_bucket: r for r in
+           key_skew_histogram(df, "k").collect()}
+    assert out[0].n_keys == 1 and out[0].max_count == 1
+    assert out[1].n_keys == 2 and out[1].total_rows == 5
+    assert out[3].n_keys == 1 and out[3].max_count == 8
+
+
+def test_last_touch_attribution_direct_and_tiebreak(spark):
+    """u1: click then purchase → click.  u2: purchase first → direct.
+    u3: two touches at the SAME timestamp → higher event_id wins."""
+    from sync_cosmos_db_spark.operators.behavioral import (
+        last_touch_attribution,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "click"),
+         (2, "2024-01-01 11:00:00", 1, "purchase"),
+         (3, "2024-01-02 09:00:00", 2, "purchase"),
+         (4, "2024-01-02 10:00:00", 2, "view"),
+         (5, "2024-01-03 08:00:00", 3, "view"),
+         (6, "2024-01-03 08:00:00", 3, "signup"),
+         (7, "2024-01-03 09:00:00", 3, "purchase")],
+        "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.channel: r.n_converters for r in
+           last_touch_attribution(df, "purchase").collect()}
+    assert out == {"click": 1, "direct": 1, "signup": 1}
+
+
+def test_rolling_active_users_window_edges(spark):
+    """u1 active on day 1 counts for days 1..7 that exist in the data;
+    day 8 only counts its own user."""
+    from sync_cosmos_db_spark.operators.behavioral import (
+        rolling_active_users,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1),
+         (2, "2024-01-07 00:00:00", 2),
+         (3, "2024-01-08 00:00:00", 2)],
+        "event_id long, ts string, user_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {str(r.day): r.active_users for r in
+           rolling_active_users(df, window_days=7).collect()}
+    # present days only: 01, 07, 08
+    assert out == {"2024-01-01": 1, "2024-01-07": 2, "2024-01-08": 1}
+
+
+def test_vocab_growth_first_occurrence_identity(spark):
+    """Bucket 0 introduces {a,b}; bucket 1 re-uses a and adds c:
+    cum_vocab = 2 then 3, new_types = 2 then 1."""
+    from sync_cosmos_db_spark.operators.text import vocab_growth
+
+    df = spark.createDataFrame(
+        [(0, "a b a"), (50, "a c")], "doc_id long, text string")
+    out = {r.bucket: r for r in
+           vocab_growth(df, bucket_size=50).collect()}
+    assert out[0].cum_tokens == 3 and out[0].cum_vocab == 2
+    assert out[0].new_types == 2
+    assert out[1].cum_tokens == 5 and out[1].cum_vocab == 3
+    assert out[1].new_types == 1
