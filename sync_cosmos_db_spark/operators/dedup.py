@@ -641,3 +641,37 @@ def duplicated_span_oversized_grams(
                  F.countDistinct(F.col(id_col)).alias("n_docs"))
             .filter(F.col("n_occurrences") > max_gram_occ)
             .select(F.col("g").alias("gram"), "n_occurrences", "n_docs"))
+
+
+def elect_canonical(pairs: DataFrame, docs: DataFrame,
+                    id_col: str = "doc_id",
+                    quality_col: str = "n_chars") -> DataFrame:
+    """X91 — survivorship election over duplicate clusters: pairs →
+    connected components → per cluster, keep the member with the
+    highest ``quality_col`` (lowest id on ties).  This is the step
+    between near-dup DETECTION (X2) and the curated corpus: every
+    cluster contributes exactly one canonical document, chosen by an
+    explicit, deterministic rule rather than "whichever survived the
+    dropDuplicates".
+
+    Scale shape: CC is :func:`connected_components` (node-keyed label
+    propagation); the election is ONE cluster-keyed max-struct
+    aggregate over the (node, component, quality) table — cluster
+    membership lists are never collected.  Returns
+    ``(component, canonical_id, n_members, best_quality)``.
+    """
+    comp = connected_components(pairs)
+    labeled = comp.join(
+        docs.select(F.col(id_col).alias("node"),
+                    F.col(quality_col).cast("long").alias("__q")),
+        "node")
+    return (labeled.groupBy("component")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.max(F.struct(
+                     F.col("__q").alias("q"),
+                     (-F.col("node")).alias("neg_id"))).alias("best"))
+            .select("component",
+                    (-F.col("best.neg_id")).cast("long")
+                    .alias("canonical_id"),
+                    "n_members",
+                    F.col("best.q").alias("best_quality")))

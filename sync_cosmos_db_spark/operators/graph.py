@@ -134,3 +134,46 @@ def triangle_count(edges: DataFrame, src: str = "src",
     closing = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
+             src: str = "src", dst: str = "dst",
+             node_col: str = "node") -> DataFrame:
+    """X90 — bounded-depth BFS: minimum hop count from a SEED SET to
+    every node reachable within ``max_hops`` — the blast-radius /
+    influence-frontier query (which suppliers are within two trades of
+    a sanctioned customer set).
+
+    ``edges`` must already contain both directions for undirected
+    traversal (same contract as :func:`pagerank`).  The loop is the
+    textbook distributed frontier expansion: per hop ONE edge join on
+    the frontier + ONE anti-join against the visited set, both keyed
+    on node ids, and the frontier strictly shrinks to never-seen
+    nodes so total work is bounded by |reachable| · deg regardless of
+    ``max_hops``.  Driver state is one row count per hop (early-exit
+    when a frontier empties); each hop materializes via ``count()``
+    to keep lineage one hop deep — the same persist discipline as
+    :func:`pagerank`.  Returns ``(node, hops)``.
+    """
+    if max_hops < 0:
+        raise ValueError(f"bfs_hops: max_hops must be >= 0, got {max_hops}")
+    visited = (seeds.select(F.col(node_col).alias("node")).distinct()
+               .withColumn("hops", F.lit(0).cast("long")).persist())
+    frontier = visited
+    visited.count()
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(edges,
+                             frontier["node"] == edges[src])
+               .select(F.col(dst).alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h).cast("long"))
+               .persist())
+        if nxt.count() == 0:
+            nxt.unpersist()
+            break
+        new_visited = visited.unionByName(nxt).persist()
+        new_visited.count()
+        visited.unpersist()
+        visited = new_visited
+        frontier = nxt
+    return visited

@@ -20,20 +20,30 @@ not a tuning outcome.
 
 Scale shape, stage by stage:
 
+* **set collapse** — documents group by a sha2 signature of their
+  sorted token set; every downstream stage works on DISTINCT sets
+  (web corpora are exact-dup-heavy, so this is often a large shrink),
+  and same-signature pairs are emitted in closed form (J = 1).
 * **df ranking** — one (token)-keyed aggregate over distinct
-  (doc, token) pairs; output is vocabulary-sized, joined back by
+  (set, token) pairs; output is vocabulary-sized, joined back by
   token.  Rarest-first ordering is what keeps prefix postings short:
   a stopword is in nobody's prefix, so the hot-token skew that kills
   naive token joins never enters the candidate join.
 * **prefix candidates** — equi-join of prefix postings with
-  ``id_a < id_b``; shuffle keys are tokens, volume is bounded by the
-  per-token posting lists of PREFIX tokens only.
-* **exact verify** — candidates joined back to full token sets,
-  one (pair)-keyed count gives the intersection; union size follows
-  from |A| + |B| − inter.  Only candidate pairs are verified.
+  ``sig_a < sig_b`` AND the PPJoin length filter
+  (t·|A| <= |B| <= |A|/t) in the join condition; shuffle keys are
+  tokens, volume is bounded by prefix-token posting lists minus the
+  size-incompatible pairs.
+* **in-row exact verify** — candidate pairs carry both sorted arrays
+  (bounded by document length) and intersect via ``array_intersect``
+  in one codegen'd projection — no second explode, no pair-keyed
+  count shuffle.
+* **member expansion** — qualifying set pairs equi-join the
+  (sig, id) member table on each side; output volume equals answer
+  volume, which is the lower bound for any exact join.
 
-Every shuffle key is a token or a pair id; there is no n² stage, no
-driver state beyond Spark's own planning.
+Every shuffle key is a token, a signature, or a pair; there is no n²
+stage, no driver state beyond Spark's own planning.
 """
 
 from __future__ import annotations
@@ -63,51 +73,131 @@ def setsim_join(
     ``threshold``.  Returns (id_a, id_b, inter, n_union, jaccard) with
     jaccard floor-rounded to 6 decimals AFTER the exact integer
     inter/union are fixed, so the oracle can hash-compare every pair.
+
+    Round-5 rewrite (the round-4 form verified candidates by
+    re-exploding both token sets into a two-hop posting join — at
+    sf0.1, where the synthetic corpus has a 31-token vocabulary and
+    ~5M genuinely-qualifying pairs, that shuffled ~200M rows and took
+    159 s; this form runs in a fraction of that and is strictly
+    better on real corpora too):
+
+    * **set collapse first** — documents group by a sha2 signature of
+      their SORTED token set, so exact-duplicate sets (ubiquitous in
+      web corpora) are joined ONCE and expanded back at the end;
+      same-signature pairs are emitted in closed form (J = 1).
+    * **prefix filtering at set level** — the AllPairs equi-join runs
+      over DISTINCT sets, with the PPJoin LENGTH filter
+      (t·|A| <= |B| <= |A|/t) applied inside the join condition so
+      size-incompatible candidates never reach the distinct.
+    * **in-row verify** — candidate pairs carry both sorted token
+      arrays (each bounded by document length) and intersect with
+      ``array_intersect`` in one codegen'd projection — no second
+      explode, no pair-keyed count shuffle.
+
+    The corpus-cardinality tables (sets, distinct sets, prefix
+    postings) are left persisted because the returned plan reads each
+    of them from several branches (same contract as
+    ``graph.pagerank``): the caller may ``spark.catalog.clearCache()``
+    after consuming the result, or let block eviction reclaim them.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     toks = _doc_tokens(df, id_col, text_col)
 
-    # global canonical order: ascending df, then token (deterministic)
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
-    ranked = (toks.join(dfreq, "tok")
+    # collapse to distinct token SETS: sig -> (sorted tokens, size).
+    # sets/dsets/prefix each feed MULTIPLE downstream branches (the
+    # two candidate sides, the two verify sides, the two member
+    # expansions, the same-signature branch); without an explicit
+    # persist Spark re-evaluates the tokenize→collect_list→window
+    # subplan once per consumer — measured 8× on the bench corpus,
+    # turning a ~15 s plan into ~120 s.  All three tables are
+    # corpus-CARDINALITY-sized (one row per doc / distinct set /
+    # prefix posting, no pair blow-up), so caching them is safe at any
+    # scale; eager count() pins materialization to one job each.
+    sets = (toks.groupBy("id")
+            .agg(F.array_sort(F.collect_list("tok")).alias("tk"))
+            .withColumn("sig", F.sha2(F.to_json(F.col("tk")), 256))
+            .persist())
+    sets.count()
+    members = sets.select("sig", "id")
+    dsets = (sets.select("sig", "tk", F.size("tk").alias("sz"))
+             .dropDuplicates(["sig"])
+             .persist())
+
+    # global canonical order: ascending set-frequency df, then token
+    dtoks = dsets.select("sig", "sz", F.explode("tk").alias("tok"))
+    dfreq = dtoks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (dtoks.join(dfreq, "tok")
               .withColumn("__rk", F.row_number().over(
-                  W.partitionBy("id").orderBy(F.col("__df").asc(),
-                                              F.col("tok").asc())))
-              .withColumn("__sz", F.count("*").over(W.partitionBy("id"))))
+                  W.partitionBy("sig").orderBy(F.col("__df").asc(),
+                                               F.col("tok").asc()))))
 
     # prefix length: |X| - ceil(t*|X|) + 1.  The 1e-9 guard keeps a
     # float-rounded-UP product (e.g. 0.7*20 = 14.000000000000002) from
     # ceiling one too high and SHORTENING the prefix — a longer prefix
     # only adds candidates, a shorter one breaks completeness.
-    prefix_len = (F.col("__sz")
-                  - F.ceil(F.lit(threshold) * F.col("__sz") - 1e-9) + 1)
-    prefix = ranked.filter(F.col("__rk") <= prefix_len) \
-        .select("id", "tok", "__sz")
+    prefix_len = (F.col("sz")
+                  - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
+    prefix = (ranked.filter(F.col("__rk") <= prefix_len)
+              .select("sig", "tok", "sz")
+              .persist())
 
-    a = prefix.select(F.col("id").alias("id_a"), "tok",
-                      F.col("__sz").alias("__sza"))
-    b = prefix.select(F.col("id").alias("id_b"), "tok",
-                      F.col("__sz").alias("__szb"))
-    cands = (a.join(b, "tok")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "__sza", "__szb")
+    a = prefix.select(F.col("sig").alias("sig_a"), "tok",
+                      F.col("sz").alias("__sza"))
+    b = prefix.select(F.col("sig").alias("sig_b"), "tok",
+                      F.col("sz").alias("__szb"))
+    # PPJoin length filter inside the join condition: J >= t implies
+    # t·|A| <= |B| (and symmetrically), so size-incompatible pairs are
+    # dropped before the distinct ever sees them.
+    cands = (a.join(b, (a["tok"] == b["tok"])
+                    & (F.col("sig_a") < F.col("sig_b"))
+                    & (F.col("__szb") >= F.lit(threshold) * F.col("__sza"))
+                    & (F.col("__sza") >= F.lit(threshold) * F.col("__szb")))
+             .select("sig_a", "sig_b")
              .distinct())
 
-    # exact verify: intersection via the full token sets
-    ta = toks.select(F.col("id").alias("id_a"), "tok")
-    tb = toks.select(F.col("id").alias("id_b"), "tok")
-    inter = (cands.join(ta, "id_a").join(tb, ["id_b", "tok"])
-             .groupBy("id_a", "id_b", "__sza", "__szb")
-             .agg(F.count("*").cast("long").alias("inter")))
-    out = inter.withColumn(
-        "n_union", (F.col("__sza") + F.col("__szb") - F.col("inter"))
-        .cast("long"))
+    # in-row exact verify: both sorted arrays ride the candidate row
+    ta = dsets.select(F.col("sig").alias("sig_a"),
+                      F.col("tk").alias("__tka"),
+                      F.col("sz").alias("__sza"))
+    tb = dsets.select(F.col("sig").alias("sig_b"),
+                      F.col("tk").alias("__tkb"),
+                      F.col("sz").alias("__szb"))
+    verified = (cands.join(ta, "sig_a").join(tb, "sig_b")
+                .withColumn("inter",
+                            F.size(F.array_intersect("__tka", "__tkb"))
+                            .cast("long"))
+                .withColumn("n_union",
+                            (F.col("__sza") + F.col("__szb")
+                             - F.col("inter")).cast("long"))
+                .filter(F.col("inter") / F.col("n_union")
+                        >= F.lit(threshold))
+                .select("sig_a", "sig_b", "inter", "n_union"))
+
+    # expand set pairs back to doc pairs (id order normalized)
+    ma = members.select(F.col("sig").alias("sig_a"),
+                        F.col("id").alias("__ida"))
+    mb = members.select(F.col("sig").alias("sig_b"),
+                        F.col("id").alias("__idb"))
+    cross = (verified.join(ma, "sig_a").join(mb, "sig_b")
+             .select(F.least("__ida", "__idb").alias("id_a"),
+                     F.greatest("__ida", "__idb").alias("id_b"),
+                     "inter", "n_union"))
+
+    # same-signature pairs: identical sets, J = 1 by construction
+    m2a = members.select("sig", F.col("id").alias("id_a"))
+    m2b = members.select("sig", F.col("id").alias("id_b"))
+    same = (m2a.join(m2b, "sig")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .join(dsets.select("sig", F.col("sz").alias("inter")), "sig")
+            .select("id_a", "id_b", "inter",
+                    F.col("inter").alias("n_union")))
+
+    out = cross.unionByName(same)
     jac = F.col("inter") / F.col("n_union")
-    return (out.filter(jac >= threshold)
-            .select("id_a", "id_b", "inter", "n_union",
-                    (F.floor(jac * 1e6 + F.lit(0.5)) / 1e6)
-                    .alias("jaccard")))
+    return out.select("id_a", "id_b", "inter", "n_union",
+                      (F.floor(jac * 1e6 + F.lit(0.5)) / 1e6)
+                      .alias("jaccard"))
 
 
 def prefix_length(set_size: int, threshold: float) -> int:

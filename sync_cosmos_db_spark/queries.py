@@ -380,13 +380,17 @@ SWEEP_PRIORITY: list[str] = [
     "rolling_7d_active_users",
     "vocab_growth_documents",
     "skew_histogram_events_users",
-    # --- re-checks: code paths changed since their last driver row
-    "dedup_span_coverage",        # viral-gram gate
-    "sim_topk_bruteforce",        # cap-check memoization
-    "sim_topk_vectorized",        # shares the brute-force contract
-    "heavy_hitter_terms",         # sketches module touched (NULL groups)
-    "migrate_classify_counts",    # flagship; load_table cache rekeyed
-    "dedup_exact_content",        # standing coverage of the X1 anchor
+    # --- NEW this round: X88-X91 + the O2 pagination projection
+    "binaryfile_ingest_documents",
+    "partition_pruned_read_en",
+    "bfs_3hop_nation1",
+    "canonical_doc_election",
+    "pagination_buckets_orders",
+    # --- re-check: the riskiest round-4→5 code change (viral-gram
+    # gate in span dedup); other changed paths are pinned by pytest
+    # (test_similarity memoization, test_sketches NULL groups) and by
+    # bench.py timings.
+    "dedup_span_coverage",
 ]
 
 
@@ -409,6 +413,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_scale  # noqa: F401
     from sync_cosmos_db_spark import queries_r4  # noqa: F401
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
+    from sync_cosmos_db_spark import queries_r5b  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -422,6 +427,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_scale  # noqa: F401
     from sync_cosmos_db_spark import queries_r4  # noqa: F401
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
+    from sync_cosmos_db_spark import queries_r5b  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

@@ -209,3 +209,20 @@ def test_span_coverage_viral_gram_gate(spark):
     # ungated, the same corpus counts the viral span everywhere
     ungated = duplicated_span_coverage(docs, n=8).collect()
     assert all(r.covered_tokens == 8 for r in ungated)
+
+
+def test_elect_canonical_quality_and_tiebreak(spark):
+    """Two clusters: in {1,2,3} quality picks 2; in {10,11} a quality
+    TIE resolves to the lower id."""
+    from sync_cosmos_db_spark.operators.dedup import elect_canonical
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4)],
+        "doc_id long, n_chars long")
+    out = {r.component: r for r in
+           elect_canonical(pairs, docs).collect()}
+    assert out[1].canonical_id == 2 and out[1].n_members == 3
+    assert out[1].best_quality == 9
+    assert out[10].canonical_id == 10 and out[10].n_members == 2

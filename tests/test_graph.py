@@ -88,3 +88,38 @@ def test_negative_iter_raises(spark):
     e = _edges(spark, [(1, 2, 1.0)])
     with pytest.raises(ValueError):
         pagerank(e, n_iter=-1)
+
+
+def test_bfs_hops_line_graph(spark):
+    """1-2-3-4-5 line, seed {1}, max_hops=3: hops are path distances
+    and node 5 stays unreached."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.operators.graph import bfs_hops
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    e = spark.createDataFrame(pairs, "a long, b long")
+    edges = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(e.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.hops for r in bfs_hops(edges, seeds, 3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_bfs_hops_early_exit_and_min_hop(spark):
+    """A triangle plus a long way round: BFS keeps the MIN hop count,
+    and an exhausted frontier stops the loop before max_hops."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.operators.graph import bfs_hops
+
+    # 1-2, 2-3, 1-3 (3 reachable at hop 1 via direct edge)
+    pairs = [(1, 2), (2, 3), (1, 3)]
+    e = spark.createDataFrame(pairs, "a long, b long")
+    edges = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(e.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"))))
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.hops for r in bfs_hops(edges, seeds, 10).collect()}
+    assert out == {1: 0, 2: 1, 3: 1}

@@ -63,3 +63,23 @@ def test_load_table_replans_after_fixture_rewrite(spark, tmp_path):
      .write.mode("overwrite").parquet(path))
     assert set(load_table(spark, d, "documents").columns) \
         == {"doc_id", "extra"}
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """X89: a lang predicate over the hive-partitioned layout must
+    resolve in PartitionFilters (directory pruning), leaving no lang
+    residual in the data filters."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.session import load_table
+    from sync_cosmos_db_spark.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ["lang"])
+    back = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "lang" in scan.split("PartitionFilters")[1].split("]")[0]
+    n_en = back.count()
+    assert n_en == docs.filter(F.col("lang") == "en").count()
