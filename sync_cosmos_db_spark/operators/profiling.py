@@ -467,3 +467,40 @@ def key_skew_histogram(df: DataFrame, key_col: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
                  F.sum("c").cast("long").alias("total_rows"),
                  F.max("c").cast("long").alias("max_count")))
+
+
+def theil_sen_slope(df: DataFrame, group_col: str, x_col: str,
+                    y_col: str, round_digits: int = 4) -> DataFrame:
+    """X92 — Theil–Sen robust trend: per group, the MEDIAN of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i), x_i < x_j — up to ~29%
+    gross outlier contamination leaves the estimate standing where
+    OLS (``group_trend``) follows a single corrupted point.
+
+    Contract: call on PRE-AGGREGATED series (daily/monthly points per
+    group), never raw events — the pair space is quadratic in POINTS
+    PER GROUP by definition of the estimator, so the aggregation
+    level is the scale knob (a 10-year monthly series is 120 points →
+    7,140 pairs per group; fine at any group count).  The plan is one
+    group-keyed self-join on the tiny series table + one interpolated
+    median per group.  Returns ``(group, n_points, n_pairs, slope)``.
+    """
+    p = 10 ** round_digits
+    a = df.select(F.col(group_col).alias("g"),
+                  F.col(x_col).cast("double").alias("xa"),
+                  F.col(y_col).cast("double").alias("ya"))
+    b = df.select(F.col(group_col).alias("g"),
+                  F.col(x_col).cast("double").alias("xb"),
+                  F.col(y_col).cast("double").alias("yb"))
+    pairs = (a.join(b, "g")
+             .filter(F.col("xa") < F.col("xb"))
+             .withColumn("slope", (F.col("yb") - F.col("ya"))
+                         / (F.col("xb") - F.col("xa"))))
+    n_pts = (df.groupBy(F.col(group_col).alias("g"))
+             .agg(F.count(F.lit(1)).cast("long").alias("n_points")))
+    out = (pairs.groupBy("g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.expr("percentile(slope, 0.5)").alias("__med")))
+    return (out.join(n_pts, "g")
+            .select(F.col("g").alias(group_col), "n_points", "n_pairs",
+                    (F.floor(F.col("__med") * p + F.lit(0.5)) / p)
+                    .alias("slope")))

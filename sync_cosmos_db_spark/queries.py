@@ -367,9 +367,6 @@ SWEEP_PRIORITY: list[str] = [
     "fd_audit_docs_orders",
     "entropy_profile_categoricals",
     "zorder_roundtrip_documents",
-    # --- X2 hash-checked containment twins (replace `no_oracle` rows)
-    "dedup_lsh_containment",
-    "dedup_embedding_lsh_containment",
     # --- NEW this round: X79-X87
     "drift_orders_price_halves",
     "benford_order_prices",
@@ -380,18 +377,23 @@ SWEEP_PRIORITY: list[str] = [
     "rolling_7d_active_users",
     "vocab_growth_documents",
     "skew_histogram_events_users",
-    # --- NEW this round: X88-X91 + the O2 pagination projection
+    # --- NEW this round: X88-X92 + the O2 pagination projection
     "binaryfile_ingest_documents",
     "partition_pruned_read_en",
     "bfs_3hop_nation1",
     "canonical_doc_election",
     "pagination_buckets_orders",
-    # --- re-check: the riskiest round-4→5 code change (viral-gram
-    # gate in span dedup); other changed paths are pinned by pytest
-    # (test_similarity memoization, test_sketches NULL groups) and by
-    # bench.py timings.
-    "dedup_span_coverage",
+    "theil_sen_monthly_revenue",
+    "dow_seasonality_events",
+    "ttl_expiry_events",
 ]
+# The never-swept backlog now EXCEEDS the 50-query window
+# (nation_revenue_share and session_path_trigrams queue in
+# registration order for the round-6 window); every window slot above
+# goes to a never-driver-swept query — re-checks of changed code paths
+# (span-dedup viral gate, brute-force memoization) and of the
+# already-green X2 containment twins are covered by pytest + bench
+# instead.
 
 
 def _sweep_ordered(mapping: dict) -> dict:

@@ -1,7 +1,9 @@
-"""Round-5 extension operators, second batch (X88–X91 + the O2
+"""Round-5 extension operators, second batch (X88–X96 + the O2
 pagination projection): binary-file ingestion, hive-partitioned pruned
 layout, bounded-depth BFS, duplicate-cluster survivorship election,
-and oracle-checked stable pagination buckets.
+oracle-checked stable pagination buckets, Theil–Sen robust trend,
+day-of-week seasonality, TTL expiry sweep, share-of-total analytics,
+and session path trigrams.
 
 None of these exist in the reference (the closest is its page-at-a-time
 container read loop, ``/root/reference/src/containers.py:55-89``, which
@@ -16,7 +18,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sync_cosmos_db_spark.queries import query
@@ -257,3 +259,227 @@ def pagination_buckets_orders(spark: SparkSession,
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100)
                  .alias("sum_price")))
+
+
+# ---------------------------------------------------------------------------
+# X92 — Theil–Sen robust trend (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "theil_sen_monthly_revenue",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS g,
+             (year(o_orderdate) * 12 + month(o_orderdate))::DOUBLE AS x,
+             sum(o_totalprice) AS y
+      FROM orders GROUP BY 1, 2),
+    pr AS (SELECT a.g, (b.y - a.y) / (b.x - a.x) AS slope
+           FROM m a JOIN m b ON a.g = b.g AND a.x < b.x),
+    np AS (SELECT g, count(*)::BIGINT AS n_points FROM m GROUP BY 1)
+    SELECT pr.g AS o_orderpriority, np.n_points,
+           count(*)::BIGINT AS n_pairs,
+           floor(quantile_cont(slope, 0.5) * 10000 + 0.5) / 10000 AS slope
+    FROM pr JOIN np USING (g)
+    GROUP BY pr.g, np.n_points
+    """,
+)
+def theil_sen_monthly_revenue(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X92 — Theil–Sen robust slope (``profiling.theil_sen_slope``) of
+    monthly revenue per order priority: the median-of-pairwise-slopes
+    estimator that shrugs off up to ~29% corrupted months where the
+    OLS trend (X29) follows them.  Runs on the PRE-AGGREGATED monthly
+    series (the estimator's pair space is quadratic in points per
+    group — aggregation level is the scale knob, stated in the
+    operator contract)."""
+    from sync_cosmos_db_spark.operators.profiling import theil_sen_slope
+
+    monthly = (load_table(spark, sf_dir, "orders")
+               .groupBy(F.col("o_orderpriority"),
+                        (F.year("o_orderdate") * 12
+                         + F.month("o_orderdate")).cast("double")
+                        .alias("x"))
+               .agg(F.sum("o_totalprice").alias("y")))
+    return theil_sen_slope(monthly, "o_orderpriority", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# X93 — day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+@query(
+    "dow_seasonality_events",
+    """
+    WITH d AS (
+      SELECT isodow(ts)::BIGINT AS iso_dow,
+             sum(value) AS s, count(*)::DOUBLE AS c
+      FROM events GROUP BY 1)
+    SELECT iso_dow, c::BIGINT AS n_events,
+           floor(s / c * 10000 + 0.5) / 10000 AS avg_value,
+           floor((s / c) / (sum(s) OVER () / sum(c) OVER ())
+                 * 10000 + 0.5) / 10000 AS seasonal_index
+    FROM d
+    """,
+)
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93 — day-of-week seasonal index of event value: per-ISO-dow
+    mean over the global mean — the calendar-seasonality baseline a
+    forecaster divides out (and an anomaly detector must NOT flag).
+    One dow-keyed aggregate; the normalizing global mean is a window
+    over the 7-ROW aggregate, never a second pass over events."""
+    ev = load_table(spark, sf_dir, "events")
+    iso = ((F.dayofweek("ts") + 5) % 7 + 1).cast("long")
+    d = (ev.groupBy(iso.alias("iso_dow"))
+         .agg(F.sum("value").alias("s"),
+              F.count(F.lit(1)).cast("double").alias("c")))
+    w = Window.partitionBy()
+    p = 10 ** 4
+    return d.select(
+        "iso_dow", F.col("c").cast("long").alias("n_events"),
+        (F.floor(F.col("s") / F.col("c") * p + F.lit(0.5)) / p)
+        .alias("avg_value"),
+        (F.floor((F.col("s") / F.col("c"))
+                 / (F.sum("s").over(w) / F.sum("c").over(w)) * p
+                 + F.lit(0.5)) / p).alias("seasonal_index"))
+
+
+# ---------------------------------------------------------------------------
+# X94 — TTL expiry sweep (Cosmos container-TTL semantics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ttl_expiry_events",
+    """
+    SELECT event_type, count(*)::BIGINT AS n_total,
+           sum(CASE WHEN epoch_us(ts) < m.mx - 7 * 86400000000::BIGINT
+                    THEN 1 ELSE 0 END)::BIGINT AS n_expired,
+           sum(CASE WHEN epoch_us(ts) >= m.mx - 7 * 86400000000::BIGINT
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM events CROSS JOIN (SELECT max(epoch_us(ts)) AS mx FROM events) m
+    GROUP BY event_type
+    """,
+)
+def ttl_expiry_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94 — TTL expiry sweep: Cosmos DB containers expire documents
+    ``DefaultTimeToLive`` seconds after their last write; the batch
+    re-expression classifies every row against
+    ``max(ts) − ttl`` (microsecond-exact) — the pre-migration audit
+    that predicts how many source documents the connector will never
+    see.  The watermark is a broadcast single-row aggregate (the
+    q11-style scalar-subquery shape); one event-type-keyed aggregate
+    does the rest."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_micros("ts")).alias("mx"))
+    ttl_us = 7 * 86400 * 1_000_000
+    expired = (F.unix_micros("ts") < F.col("mx") - F.lit(ttl_us))
+    return (ev.crossJoin(F.broadcast(mx))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+                 F.sum(expired.cast("long")).cast("long")
+                 .alias("n_expired"),
+                 F.sum((~expired).cast("long")).cast("long")
+                 .alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# X95 — share-of-total window analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum(o.o_totalprice) AS rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2)
+    SELECT region, nation,
+           floor(rev * 100 + 0.5) / 100 AS revenue,
+           floor(rev / sum(rev) OVER (PARTITION BY region)
+                 * 1000000 + 0.5) / 1000000 AS region_share
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95 — percent-of-parent analytics: each nation's share of its
+    region's revenue — the ratio_to_report pattern every BI layer
+    needs.  The heavy work is one groupBy over the order→customer→
+    nation→region star (dimension joins broadcast); the share is a
+    window over the ≤|nations|-row aggregate, so the normalization
+    never rescans facts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+           .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+           .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+           .groupBy(F.col("r_name").alias("region"),
+                    F.col("n_name").alias("nation"))
+           .agg(F.sum("o_totalprice").alias("rev")))
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region", "nation",
+        (F.floor(F.col("rev") * 100 + F.lit(0.5)) / 100).alias("revenue"),
+        (F.floor(F.col("rev") / F.sum("rev").over(w) * 1e6 + F.lit(0.5))
+         / 1e6).alias("region_share"))
+
+
+# ---------------------------------------------------------------------------
+# X96 — session path trigrams (operators/behavioral.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "session_path_trigrams",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id))
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+          FROM o),
+    tri AS (
+      SELECT event_type || '>' ||
+             lead(event_type, 1) OVER w || '>' ||
+             lead(event_type, 2) OVER w AS path
+      FROM s
+      WINDOW w AS (PARTITION BY user_id, session_idx
+                   ORDER BY ts, event_id))
+    SELECT path, count(*)::BIGINT AS n
+    FROM tri WHERE path IS NOT NULL
+    GROUP BY path HAVING count(*) >= 5
+    """,
+)
+def session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96 — top session paths: 3-step event-type sequences WITHIN a
+    30-minute session (``behavioral.sessionize`` + two leads over the
+    same (user, session, ts, id) sort), counted corpus-wide with a
+    ≥5 support floor — the navigation-pattern miner behind "users who
+    did X then Y then Z".  The trigram window reuses sessionize's
+    partitioning (one sort serves three window functions); the count
+    is a path-keyed aggregate over short strings."""
+    from sync_cosmos_db_spark.operators.behavioral import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, gap_seconds=1800)
+    w = (Window.partitionBy("user_id", "session_idx")
+         .orderBy(F.col("ts"), F.col("event_id")))
+    tri = (s.withColumn("__l1", F.lead("event_type", 1).over(w))
+           .withColumn("__l2", F.lead("event_type", 2).over(w))
+           .filter(F.col("__l1").isNotNull() & F.col("__l2").isNotNull())
+           .select(F.concat_ws(">", "event_type", "__l1", "__l2")
+                   .alias("path")))
+    return (tri.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .filter(F.col("n") >= 5))

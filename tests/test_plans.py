@@ -96,6 +96,9 @@ BNLJ_ALLOWED = {
     # single-row decile-boundary aggregate (N×1, the same decorrelated
     # scalar-subquery shape as q11/q15/q22) — linear in customers.
     "revenue_decile_profile",
+    # X94: events crossJoin the BROADCAST single-row max-ts watermark
+    # (N×1 scalar-subquery shape) — linear in events.
+    "ttl_expiry_events",
 }
 
 

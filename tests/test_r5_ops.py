@@ -298,3 +298,17 @@ def test_vocab_growth_first_occurrence_identity(spark):
     assert out[0].new_types == 2
     assert out[1].cum_tokens == 5 and out[1].cum_vocab == 3
     assert out[1].new_types == 1
+
+
+def test_theil_sen_ignores_gross_outlier(spark):
+    """y = 2x exactly except one corrupted point: OLS would bend, the
+    pairwise-slope median stays at 2."""
+    from sync_cosmos_db_spark.operators.profiling import theil_sen_slope
+
+    pts = [(float(x), 2.0 * x) for x in range(10)]
+    pts[5] = (5.0, 1000.0)
+    df = spark.createDataFrame([("g", x, y) for x, y in pts],
+                               "g string, x double, y double")
+    row = theil_sen_slope(df, "g", "x", "y").collect()[0]
+    assert row.n_points == 10 and row.n_pairs == 45
+    assert row.slope == 2.0
