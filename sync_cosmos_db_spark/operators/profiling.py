@@ -504,3 +504,41 @@ def theil_sen_slope(df: DataFrame, group_col: str, x_col: str,
             .select(F.col("g").alias(group_col), "n_points", "n_pairs",
                     (F.floor(F.col("__med") * p + F.lit(0.5)) / p)
                     .alias("slope")))
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding",
+                        sigma: float = 3.0,
+                        round_digits: int = 6) -> DataFrame:
+    """X98 — per-DIMENSION embedding health audit: mean, population
+    std, and >kσ outlier count for every coordinate — the check that
+    catches dead dims (std ≈ 0: the encoder never uses them),
+    saturated dims, and scale drift between embedding versions before
+    they poison cosine rankings or IVF training.
+
+    One ``posexplode`` feeding one dim-keyed sum/sumsq aggregate
+    (64–4096 rows out), broadcast back for the outlier count — raw
+    vectors shuffle once as (dim, value) pairs with map-side partials.
+    Mean/std are floor-rounded BEFORE the σ comparison (the
+    ``iqr_outliers`` discipline) so the classification is
+    engine-reproducible."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    dv = df.select(F.posexplode(vec_col).alias("dim", "v")) \
+        .withColumn("v", F.col("v").cast("double"))
+    stats = (dv.groupBy("dim")
+             .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                  F.sum("v").alias("__s"),
+                  F.sum(F.col("v") * F.col("v")).alias("__ss")))
+    stats = (stats
+             .withColumn("mean", fr(F.col("__s") / F.col("n")))
+             .withColumn("std", fr(F.sqrt(
+                 F.col("__ss") / F.col("n")
+                 - (F.col("__s") / F.col("n"))
+                 * (F.col("__s") / F.col("n"))))))
+    out = (dv.join(F.broadcast(stats.select("dim", "mean", "std")), "dim")
+           .groupBy("dim")
+           .agg(F.sum((F.abs(F.col("v") - F.col("mean"))
+                       > F.lit(sigma) * F.col("std")).cast("long"))
+                .cast("long").alias("n_outliers")))
+    return (stats.join(out, "dim")
+            .select("dim", "n", "mean", "std", "n_outliers"))

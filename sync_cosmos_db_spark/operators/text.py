@@ -552,3 +552,25 @@ def vocab_growth(df, bucket_size: int = 50, id_col: str = "doc_id",
                     F.sum("new_types").over(w).cast("long")
                     .alias("cum_vocab"),
                     F.col("new_types").cast("long").alias("new_types")))
+
+
+def flesch_reading_ease(col):
+    """X100 — Flesch reading-ease column expression:
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+    with syllables estimated as VOWEL GROUPS (``[aeiouy]+`` runs) and
+    sentences as terminator runs (``[.!?]+``), floored at 1 so
+    unterminated fragments count as one sentence.
+
+    All three counts are single-pass JVM regexps over the row — zero
+    shuffle, whole-stage codegen, RE2-safe patterns (the DuckDB twin
+    needs the ``'g'`` flag on ``regexp_replace``; Java replaces
+    globally by default — the cross-engine gotcha this docstring
+    exists to record)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.split(c, r"\s+"))
+    syllables = (F.size(F.split(
+        F.regexp_replace(F.lower(c), "[aeiouy]+", "#"), "#")) - 1)
+    sentences = F.greatest(F.lit(1), F.size(F.split(c, "[.!?]+")) - 1)
+    return (F.lit(206.835)
+            - F.lit(1.015) * (words.cast("double") / sentences)
+            - F.lit(84.6) * (syllables.cast("double") / words))

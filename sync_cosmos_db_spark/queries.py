@@ -416,6 +416,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r4  # noqa: F401
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
     from sync_cosmos_db_spark import queries_r5b  # noqa: F401
+    from sync_cosmos_db_spark import queries_r5c  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -430,6 +431,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r4  # noqa: F401
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
     from sync_cosmos_db_spark import queries_r5b  # noqa: F401
+    from sync_cosmos_db_spark import queries_r5c  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

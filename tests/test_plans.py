@@ -99,6 +99,9 @@ BNLJ_ALLOWED = {
     # X94: events crossJoin the BROADCAST single-row max-ts watermark
     # (N×1 scalar-subquery shape) — linear in events.
     "ttl_expiry_events",
+    # X99: the single-row forecast aggregate crossJoins the single-row
+    # actual-count aggregate — a 1×1 BNLJ (verify_counts shape).
+    "join_cardinality_forecast",
 }
 
 

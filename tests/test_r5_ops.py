@@ -312,3 +312,30 @@ def test_theil_sen_ignores_gross_outlier(spark):
     row = theil_sen_slope(df, "g", "x", "y").collect()[0]
     assert row.n_points == 10 and row.n_pairs == 45
     assert row.slope == 2.0
+
+
+def test_flesch_hand_case(spark):
+    """'The cat sat. The dog ran.' — 6 words, 2 sentences, 6 vowel
+    groups → 206.835 − 1.015·3 − 84.6·1 = 119.19."""
+    from sync_cosmos_db_spark.operators.text import flesch_reading_ease
+
+    df = spark.createDataFrame([("The cat sat. The dog ran.",)],
+                               "text string")
+    got = df.select(flesch_reading_ease("text").alias("f")).collect()[0].f
+    assert abs(got - (206.835 - 1.015 * 3 - 84.6 * 1)) < 1e-9
+
+
+def test_embedding_dim_stats_dead_dim_and_outlier(spark):
+    """dim 0 is constant (std=0, outlier comparison never fires); dim 1
+    has one gross outlier among tight values."""
+    from sync_cosmos_db_spark.operators.profiling import (
+        embedding_dim_stats,
+    )
+
+    vecs = [[1.0, 0.0] for _ in range(29)] + [[1.0, 100.0]]
+    df = spark.createDataFrame([(v,) for v in vecs],
+                               "embedding array<double>")
+    out = {r.dim: r for r in embedding_dim_stats(df).collect()}
+    assert out[0].std == 0.0 and out[0].n_outliers == 0
+    assert out[1].n_outliers == 1
+    assert out[0].n == 30 and out[1].n == 30
