@@ -1,6 +1,7 @@
-"""Round-5 extension operators, third batch (X97–X100): trailing
+"""Round-5 extension operators, third batch (X97–X104): trailing
 windowed percentiles, per-dimension embedding health, join-cardinality
-forecasting, and Flesch readability profiling.
+forecasting, Flesch readability profiling, CUBE with grouping_id,
+cross-metric correlation, RFM segmentation, and k-anonymity auditing.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -196,3 +197,195 @@ def flesch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_flesch"),
                  (F.floor(F.min("fre") * p + F.lit(0.5)) / p)
                  .alias("min_flesch")))
+
+
+# ---------------------------------------------------------------------------
+# X101 — CUBE with grouping_id (SQL-surface completion)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cube_status_priority",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           (grouping(o_orderstatus) * 2 + grouping(o_orderpriority))
+             ::BIGINT AS gid,
+           count(*)::BIGINT AS n,
+           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101 — full CUBE over (status, priority) with an explicit
+    ``grouping_id`` so consumers can tell a real NULL from a rollup
+    row — the one GROUPING SETS shape X44's time hierarchy didn't
+    cover.  Catalyst expands the cube into one grouping-sets
+    aggregate (a single shuffle carrying each row once per grouping
+    set — 4 here, a constant)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping_id().cast("long").alias("gid"),
+                 F.count(F.lit(1)).cast("long").alias("n"),
+                 (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100)
+                 .alias("revenue"))
+            .select(F.coalesce("o_orderstatus", F.lit("<all>"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("<all>"))
+                    .alias("priority"),
+                    "gid", "n", "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# X102 — cross-metric correlation (leading-indicator diagnostics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "view_purchase_hourly_corr",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS h,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               ::DOUBLE AS v,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               ::DOUBLE AS p
+      FROM events GROUP BY 1),
+    s AS (SELECT count(*)::DOUBLE AS n, sum(v) AS sv, sum(p) AS sp,
+                 sum(v * v) AS svv, sum(p * p) AS spp,
+                 sum(v * p) AS svp
+          FROM h)
+    SELECT n::BIGINT AS n_hours,
+           floor((n * svp - sv * sp)
+                 / sqrt((n * svv - sv * sv) * (n * spp - sp * sp))
+                 * 1000000 + 0.5) / 1000000 AS r
+    FROM s
+    """,
+)
+def view_purchase_hourly_corr(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X102 — Pearson correlation between hourly view volume and
+    hourly purchase volume: the leading-indicator sanity check behind
+    "do views drive purchases".  One hour-keyed conditional-sum
+    aggregate builds both series in a single events pass (no
+    self-join of two filtered scans); the correlation assembles from
+    explicit sufficient statistics (the ``corr_pairs`` discipline) so
+    both engines compute it bit-comparably."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+         .agg(F.sum((F.col("event_type") == "view").cast("long"))
+              .cast("double").alias("v"),
+              F.sum((F.col("event_type") == "purchase").cast("long"))
+              .cast("double").alias("p")))
+    s = h.agg(F.count(F.lit(1)).cast("double").alias("n"),
+              F.sum("v").alias("sv"), F.sum("p").alias("sp"),
+              F.sum(F.col("v") * F.col("v")).alias("svv"),
+              F.sum(F.col("p") * F.col("p")).alias("spp"),
+              F.sum(F.col("v") * F.col("p")).alias("svp"))
+    num = F.col("n") * F.col("svp") - F.col("sv") * F.col("sp")
+    den = F.sqrt((F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+                 * (F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")))
+    return s.select(F.col("n").cast("long").alias("n_hours"),
+                    (F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6)
+                    .alias("r"))
+
+
+# ---------------------------------------------------------------------------
+# X103 — RFM segmentation
+# ---------------------------------------------------------------------------
+
+@query(
+    "rfm_segment_counts",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', max(o_orderdate), (SELECT mxd FROM mx))
+               AS recency_days,
+             count(*)::BIGINT AS frequency,
+             sum(o_totalprice) AS monetary
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT CASE WHEN recency_days <= 365 THEN 3
+                  WHEN recency_days <= 730 THEN 2 ELSE 1 END AS r_score,
+             CASE WHEN frequency >= 12 THEN 3
+                  WHEN frequency >= 6 THEN 2 ELSE 1 END AS f_score,
+             CASE WHEN monetary >= 1500000 THEN 3
+                  WHEN monetary >= 750000 THEN 2 ELSE 1 END AS m_score,
+             monetary
+      FROM rfm)
+    SELECT (r_score * 100 + f_score * 10 + m_score)::BIGINT AS segment,
+           count(*)::BIGINT AS n_customers,
+           floor(sum(monetary) * 100 + 0.5) / 100 AS total_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103 — RFM (recency / frequency / monetary) segmentation with
+    FIXED score boundaries (the profiling-against-stable-bounds
+    discipline of ``histogram_fixed``: drift stays visible instead of
+    being renormalized away).  One customer-keyed aggregate; the
+    reference recency anchor (max order date) is a broadcast
+    single-row aggregate; scores are plain CASE arithmetic, so the
+    227-cell segment table is oracle-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    rfm = (o.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count(F.lit(1)).cast("long").alias("frequency"),
+                F.sum("o_totalprice").alias("monetary"))
+           .crossJoin(F.broadcast(mx))
+           .withColumn("recency_days",
+                       F.datediff("mxd", "last_order")))
+    r_s = (F.when(F.col("recency_days") <= 365, 3)
+           .when(F.col("recency_days") <= 730, 2).otherwise(1))
+    f_s = (F.when(F.col("frequency") >= 12, 3)
+           .when(F.col("frequency") >= 6, 2).otherwise(1))
+    m_s = (F.when(F.col("monetary") >= 1500000, 3)
+           .when(F.col("monetary") >= 750000, 2).otherwise(1))
+    return (rfm.withColumn("segment",
+                           (r_s * 100 + f_s * 10 + m_s).cast("long"))
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
+                 (F.floor(F.sum("monetary") * 100 + F.lit(0.5)) / 100)
+                 .alias("total_monetary")))
+
+
+# ---------------------------------------------------------------------------
+# X104 — k-anonymity audit (privacy / sanitizer companion)
+# ---------------------------------------------------------------------------
+
+@query(
+    "k_anonymity_customers",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS grp
+      FROM customer GROUP BY 1, 2)
+    SELECT sum(CASE WHEN grp < 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_small_groups,
+           sum(CASE WHEN grp < 5 THEN grp ELSE 0 END)::BIGINT
+             AS n_risky_rows,
+           count(*)::BIGINT AS n_groups,
+           min(grp) AS min_group,
+           sum(grp)::BIGINT AS n_rows
+    FROM g
+    """,
+)
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104 — k-anonymity audit over the (nationkey, mktsegment)
+    quasi-identifier: rows in equivalence classes smaller than k=5
+    are re-identifiable even after O19's column sanitization — this
+    is the release gate that runs BEFORE a sanitized extract ships
+    (the reference sanitizes values, ``src/sanitizer.py:6-63``, but
+    never audits group sizes).  One quasi-id-keyed count plus a
+    constant-size re-aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).cast("long").alias("grp")))
+    small = F.col("grp") < 5
+    return g.agg(
+        F.sum(small.cast("long")).cast("long").alias("n_small_groups"),
+        F.sum(F.when(small, F.col("grp")).otherwise(0)).cast("long")
+        .alias("n_risky_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("grp").alias("min_group"),
+        F.sum("grp").cast("long").alias("n_rows"))

@@ -102,6 +102,9 @@ BNLJ_ALLOWED = {
     # X99: the single-row forecast aggregate crossJoins the single-row
     # actual-count aggregate — a 1×1 BNLJ (verify_counts shape).
     "join_cardinality_forecast",
+    # X103: the per-customer RFM table crossJoins the BROADCAST
+    # single-row max-orderdate anchor (N×1 scalar-subquery shape).
+    "rfm_segment_counts",
 }
 
 
