@@ -1,7 +1,8 @@
-"""Round-5 extension operators, third batch (X97–X104): trailing
+"""Round-5 extension operators, third batch (X97–X105): trailing
 windowed percentiles, per-dimension embedding health, join-cardinality
 forecasting, Flesch readability profiling, CUBE with grouping_id,
-cross-metric correlation, RFM segmentation, and k-anonymity auditing.
+cross-metric correlation, RFM segmentation, k-anonymity auditing, and
+VARIANT-typed dynamic document processing.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -389,3 +390,82 @@ def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_groups"),
         F.min("grp").alias("min_group"),
         F.sum("grp").cast("long").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# X105 — VARIANT-typed dynamic documents (Spark 4 semi-structured type)
+# ---------------------------------------------------------------------------
+
+@query(
+    "variant_dynamic_documents",
+    """
+    WITH payloads AS (
+      SELECT CASE
+        WHEN doc_id % 3 = 0 THEN
+          '{"id": ' || doc_id || ', "meta": {"lang": "' || lang
+          || '", "chars": ' || n_chars || '}}'
+        WHEN doc_id % 3 = 1 THEN
+          '{"id": ' || doc_id || ', "tags": ["' || source || '", "'
+          || lang || '"]}'
+        ELSE
+          '{"id": ' || doc_id || ', "flat": ' || n_chars || '}'
+      END AS payload
+      FROM documents),
+    x AS (
+      SELECT (json_extract(payload, '$.id'))::BIGINT AS id,
+             json_extract_string(payload, '$.meta.lang') AS meta_lang,
+             (json_extract(payload, '$.meta.chars'))::BIGINT AS meta_chars,
+             json_extract_string(payload, '$.tags[0]') AS tag0,
+             (json_extract(payload, '$.flat'))::BIGINT AS flat
+      FROM payloads)
+    SELECT coalesce(meta_lang, tag0, '<flat>') AS bucket,
+           count(*)::BIGINT AS n,
+           sum(coalesce(meta_chars, flat, 0))::BIGINT AS total_chars,
+           sum(CASE WHEN meta_lang IS NOT NULL THEN 1 ELSE 0 END)
+             ::BIGINT AS n_with_meta
+    FROM x GROUP BY 1
+    """,
+)
+def variant_dynamic_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X105 — schemaless-document processing on Spark 4's native
+    VARIANT type: three deliberately HETEROGENEOUS payload shapes
+    (nested meta / tag array / flat scalar — the shape drift a real
+    Cosmos container accumulates, SURVEY.md §1.3) parse ONCE with
+    ``parse_json`` into variant, and every downstream path access is
+    ``try_variant_get`` — typed, null-safe on missing paths, no
+    schema inference pass and no per-shape DataFrame union.  This is
+    the Spark-4-native upgrade over the X6/O8 era
+    ``get_json_object`` string re-parsing: variant stores a parsed
+    binary form, so repeated path access doesn't re-tokenize JSON.
+    The oracle runs the same three shapes through DuckDB's JSON
+    extraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit('{"id": '), F.col("doc_id"),
+            F.lit(', "meta": {"lang": "'), F.col("lang"),
+            F.lit('", "chars": '), F.col("n_chars"), F.lit("}}")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(
+            F.lit('{"id": '), F.col("doc_id"),
+            F.lit(', "tags": ["'), F.col("source"), F.lit('", "'),
+            F.col("lang"), F.lit('"]}')))
+        .otherwise(F.concat(
+            F.lit('{"id": '), F.col("doc_id"),
+            F.lit(', "flat": '), F.col("n_chars"), F.lit("}"))))
+    v = docs.select(F.parse_json(payload).alias("v"))
+    x = v.select(
+        F.try_variant_get("v", "$.id", "long").alias("id"),
+        F.try_variant_get("v", "$.meta.lang", "string")
+        .alias("meta_lang"),
+        F.try_variant_get("v", "$.meta.chars", "long")
+        .alias("meta_chars"),
+        F.try_variant_get("v", "$.tags[0]", "string").alias("tag0"),
+        F.try_variant_get("v", "$.flat", "long").alias("flat"))
+    return (x.groupBy(F.coalesce("meta_lang", "tag0", F.lit("<flat>"))
+                      .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum(F.coalesce("meta_chars", "flat", F.lit(0)))
+                 .cast("long").alias("total_chars"),
+                 F.sum(F.col("meta_lang").isNotNull().cast("long"))
+                 .cast("long").alias("n_with_meta")))

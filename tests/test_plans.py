@@ -124,3 +124,26 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         if name not in BNLJ_ALLOWED:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, sf_dir,
+                                                         tmp_path):
+    """A10 — joining the hive-partitioned layout (X89) on its
+    partition column against a selectively-filtered dimension must
+    plan a dynamicpruning subquery: at 100 TB the fact scan reads
+    only the partitions the dim filter survives, decided at RUNTIME."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.session import load_table
+    from sync_cosmos_db_spark.sinks import write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_dpp")
+    write_partitioned(docs, path, ["lang"])
+    fact = spark.read.parquet(path)
+    dim = (spark.createDataFrame([("en", 1), ("de", 2), ("fr", 3)],
+                                 "lang string, w int")
+           .filter(F.col("w") == 1))
+    plan = (fact.join(dim, "lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "dynamicpruning" in plan.lower()
