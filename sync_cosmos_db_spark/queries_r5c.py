@@ -1,8 +1,9 @@
 """Round-5 extension operators, third batch (X97–X105): trailing
 windowed percentiles, per-dimension embedding health, join-cardinality
 forecasting, Flesch readability profiling, CUBE with grouping_id,
-cross-metric correlation, RFM segmentation, k-anonymity auditing, and
-VARIANT-typed dynamic document processing.
+cross-metric correlation, RFM segmentation, k-anonymity auditing,
+VARIANT-typed dynamic document processing, OHLC resampling, and A/B
+experiment readouts.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -469,3 +470,134 @@ def variant_dynamic_documents(spark: SparkSession,
                  .cast("long").alias("total_chars"),
                  F.sum(F.col("meta_lang").isNotNull().cast("long"))
                  .cast("long").alias("n_with_meta")))
+
+
+# ---------------------------------------------------------------------------
+# X106 — OHLC time-series resampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "ohlc_4h_by_event_type",
+    """
+    WITH b AS (
+      SELECT event_type,
+             (floor(epoch_us(ts) / 14400000000) * 14400)::BIGINT
+               AS bucket_s,
+             value, {'t': ts, 'v': value} AS tv
+      FROM events)
+    SELECT event_type, bucket_s, count(*)::BIGINT AS n,
+           floor((min(tv)).v * 10000 + 0.5) / 10000 AS open,
+           floor(max(value) * 10000 + 0.5) / 10000 AS high,
+           floor(min(value) * 10000 + 0.5) / 10000 AS low,
+           floor((max(tv)).v * 10000 + 0.5) / 10000 AS close
+    FROM b GROUP BY event_type, bucket_s
+    """,
+)
+def ohlc_4h_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106 — OHLC downsampling: per (event_type, 4-hour bar) the
+    open/high/low/close of event value — the resample-to-bars
+    operator every time-series store exposes.  Open/close pick the
+    value at the earliest/latest timestamp via MIN/MAX over a
+    (ts, value) STRUCT — pure aggregate ordering, no window, no sort,
+    deterministic under ts ties (lexicographic tiebreak on value,
+    identical in both engines).  One bucket-keyed aggregate with
+    map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket_s = (F.floor(F.unix_micros("ts") / 14400000000) * 14400) \
+        .cast("long")
+    tv = F.struct(F.col("ts").alias("t"), F.col("value").alias("v"))
+    p = 10 ** 4
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    return (ev.groupBy("event_type", bucket_s.alias("bucket_s"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 fr(F.min(tv).getField("v")).alias("open"),
+                 fr(F.max("value")).alias("high"),
+                 fr(F.min("value")).alias("low"),
+                 fr(F.max(tv).getField("v")).alias("close")))
+
+
+# ---------------------------------------------------------------------------
+# X107 — A/B experiment conversion analysis
+# ---------------------------------------------------------------------------
+
+@query(
+    "ab_experiment_conversion",
+    """
+    WITH arms AS (
+      SELECT DISTINCT user_id,
+             translate(substr(sha256(user_id::VARCHAR || ':exp1'), 1, 6),
+                       'abcdef', '012345')::BIGINT % 2 AS arm
+      FROM events),
+    conv AS (SELECT DISTINCT user_id FROM events
+             WHERE event_type = 'purchase'),
+    per_arm AS (
+      SELECT arm, count(*)::BIGINT AS n_users,
+             sum(CASE WHEN conv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+               ::BIGINT AS n_converters
+      FROM arms LEFT JOIN conv USING (user_id)
+      GROUP BY arm),
+    w AS (SELECT
+            max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+            max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+            max(CASE WHEN arm = 0 THEN n_converters END) AS c0,
+            max(CASE WHEN arm = 1 THEN n_converters END) AS c1
+          FROM per_arm)
+    SELECT n0, n1, c0, c1,
+           floor(c0::DOUBLE / n0 * 1000000 + 0.5) / 1000000 AS p0,
+           floor(c1::DOUBLE / n1 * 1000000 + 0.5) / 1000000 AS p1,
+           CASE WHEN c0 + c1 = 0 OR c0 + c1 = n0 + n1 THEN 0.0
+                ELSE floor((c1::DOUBLE / n1 - c0::DOUBLE / n0)
+                     / sqrt(((c0 + c1)::DOUBLE / (n0 + n1))
+                            * (1 - (c0 + c1)::DOUBLE / (n0 + n1))
+                            * (1.0 / n0 + 1.0 / n1))
+                     * 10000 + 0.5) / 10000 END AS z
+    FROM w
+    """,
+)
+def ab_experiment_conversion(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X107 — two-proportion experiment readout: users split into
+    arms by the deterministic sha2 bucket (``curation.hash_bucket``
+    — the rerun-stable, cross-engine-reproducible assignment a real
+    experiment framework needs; never ``rand()``), per-arm converter
+    counts, and the pooled two-proportion z statistic in closed form.
+    Two user-keyed aggregates (arms, converters) + a left join on the
+    shrunk user table; the z assembles from the 4-cell summary."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    arms = (ev.select("user_id").distinct()
+            .withColumn("arm", hash_bucket("user_id", 2, "exp1")))
+    conv = (ev.filter(F.col("event_type") == "purchase")
+            .select("user_id").distinct()
+            .withColumn("__c", F.lit(1)))
+    per_arm = (arms.join(conv, "user_id", "left")
+               .groupBy("arm")
+               .agg(F.count(F.lit(1)).cast("long").alias("n_users"),
+                    F.sum(F.coalesce("__c", F.lit(0))).cast("long")
+                    .alias("n_converters")))
+    w = per_arm.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converters")))
+        .alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converters")))
+        .alias("c1"))
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = ((F.col("c0") + F.col("c1")).cast("double")
+          / (F.col("n0") + F.col("n1")))
+    # degenerate pools (0% or 100% conversion) have zero variance; z is
+    # reported as 0.0 instead of dividing by zero (identical CASE in
+    # the oracle — and Spark 4's ANSI mode would otherwise raise)
+    z_raw = (p1 - p0) / F.sqrt(pp * (1 - pp)
+                               * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    total_c = F.col("c0") + F.col("c1")
+    total_n = F.col("n0") + F.col("n1")
+    z = (F.when((total_c == 0) | (total_c == total_n), F.lit(0.0))
+         .otherwise(F.floor(z_raw * 1e4 + F.lit(0.5)) / 1e4))
+    return w.select(
+        "n0", "n1", "c0", "c1",
+        (F.floor(p0 * 1e6 + F.lit(0.5)) / 1e6).alias("p0"),
+        (F.floor(p1 * 1e6 + F.lit(0.5)) / 1e6).alias("p1"),
+        z.alias("z"))
