@@ -592,3 +592,46 @@ def oversample_to_target(
     ).otherwise(F.array().cast("array<int>"))
     return (staged.withColumn("epoch", F.explode(epochs))
             .select(*df.columns, "epoch"))
+
+
+def hashed_features(df: DataFrame, id_col: str, text_col: str,
+                    dim: int = 16, salt: str = "feat") -> DataFrame:
+    """X108 — the hashing trick: tokens map to a FIXED ``dim``-bucket
+    feature space through the deterministic sha2 bucket (same
+    translate-digits twin as :func:`hash_bucket`, so the oracle
+    recomputes every assignment), yielding (id, bucket, n) count
+    rows.  Fixed dimensionality with no vocabulary pass is what lets
+    a 100 TB corpus vectorize in ONE scan — no fit/transform split,
+    no driver-held vocabulary, collisions traded for boundedness
+    (the standard Vowpal-Wabbit/scikit HashingVectorizer contract).
+    Scale shape: explode → (id, bucket) groupBy, both doc-keyed."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    return (toks.withColumn("bucket", hash_bucket("tok", dim, salt))
+            .groupBy("id", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def category_index(df: DataFrame, cols: list[str]) -> DataFrame:
+    """X109 — deterministic label encoding: every distinct value of
+    each categorical column gets a CONTIGUOUS zero-based index in
+    sorted-value order — the rerun-stable, cluster-stable
+    StringIndexer replacement (frequency- or arrival-ordered indexers
+    renumber when data moves; sorted order never does).  One in-row
+    (col, value) explode + distinct (vocabulary-sized output), then a
+    per-column rank window over that TINY table — the raw table is
+    scanned once and never sorted.  Returns
+    ``(column_name, value, idx, n_rows)``."""
+    from pyspark.sql import Window as W
+
+    pairs = df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("column_name"),
+                 F.col(c).cast("string").alias("value"))
+        for c in cols])).alias("cv")).select("cv.column_name", "cv.value")
+    counts = (pairs.groupBy("column_name", "value")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_rows")))
+    w = W.partitionBy("column_name").orderBy("value")
+    return counts.withColumn(
+        "idx", (F.row_number().over(w) - 1).cast("long"))

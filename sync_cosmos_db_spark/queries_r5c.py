@@ -2,8 +2,9 @@
 windowed percentiles, per-dimension embedding health, join-cardinality
 forecasting, Flesch readability profiling, CUBE with grouping_id,
 cross-metric correlation, RFM segmentation, k-anonymity auditing,
-VARIANT-typed dynamic document processing, OHLC resampling, and A/B
-experiment readouts.
+VARIANT-typed dynamic document processing, OHLC resampling, A/B
+experiment readouts, hashed feature vectorization, and deterministic
+label encoding.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -601,3 +602,69 @@ def ab_experiment_conversion(spark: SparkSession,
         (F.floor(p0 * 1e6 + F.lit(0.5)) / 1e6).alias("p0"),
         (F.floor(p1 * 1e6 + F.lit(0.5)) / 1e6).alias("p1"),
         z.alias("z"))
+
+
+# ---------------------------------------------------------------------------
+# X108 — hashed feature vectorizer (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "hashed_features_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS tok
+      FROM documents),
+    tf AS (SELECT id, tok FROM toks WHERE tok <> '')
+    SELECT id,
+           translate(substr(sha256(tok || ':feat'), 1, 6),
+                     'abcdef', '012345')::BIGINT % 16 AS bucket,
+           count(*)::BIGINT AS n
+    FROM tf GROUP BY 1, 2
+    """,
+)
+def hashed_features_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X108 — the hashing trick (``curation.hashed_features``):
+    tokens → fixed 16-bucket feature space via the deterministic sha2
+    bucket, (doc, bucket, count) rows out.  No vocabulary pass, no
+    fit/transform split, no driver state — the one-scan vectorizer
+    shape that survives 100 TB; the oracle recomputes every bucket
+    assignment from the documented SQL twin."""
+    from sync_cosmos_db_spark.operators.curation import hashed_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_features(docs, "doc_id", "text", dim=16, salt="feat")
+
+
+# ---------------------------------------------------------------------------
+# X109 — deterministic category indexing (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "category_index_documents",
+    """
+    WITH pairs AS (
+      SELECT 'lang' AS column_name, lang AS value FROM documents
+      UNION ALL SELECT 'source', source FROM documents),
+    counts AS (SELECT column_name, value, count(*)::BIGINT AS n_rows
+               FROM pairs GROUP BY 1, 2)
+    SELECT column_name, value,
+           (row_number() OVER (PARTITION BY column_name
+                               ORDER BY value) - 1)::BIGINT AS idx,
+           n_rows
+    FROM counts
+    """,
+)
+def category_index_documents(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X109 — deterministic label encoding
+    (``curation.category_index``): contiguous zero-based indices in
+    sorted-value order for lang and source — rerun- and
+    cluster-stable where frequency/arrival-ordered StringIndexers
+    renumber when data moves.  The rank window runs over the
+    vocabulary-sized count table, never the corpus."""
+    from sync_cosmos_db_spark.operators.curation import category_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return category_index(docs, ["lang", "source"])
