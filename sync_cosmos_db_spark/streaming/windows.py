@@ -264,3 +264,31 @@ def enrich_stream(events: DataFrame, dim: DataFrame,
     whose key is missing from the dimension (attributes null) — an
     enrichment must never drop events."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def ohlc_stream(events: DataFrame, duration: str = "1 hour",
+                watermark: str = DEFAULT_WATERMARK,
+                group_cols: list[str] | None = None,
+                ts_col: str = "ts",
+                value_col: str = "value") -> DataFrame:
+    """Streaming OHLC bars (X106's streaming twin): per (window,
+    group), open/high/low/close of ``value_col`` over event-time
+    tumbling windows.  Open/close ride MIN/MAX over a (ts, value)
+    struct — an ordinary mergeable aggregate, so the streaming state
+    per bar is FOUR scalars + two structs regardless of event volume,
+    and the watermark bounds how many bars stay open.  This is the
+    live market-data shape: bars finalize as the watermark passes
+    their window end."""
+    tv = F.struct(F.col(ts_col).alias("t"), F.col(value_col).alias("v"))
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.window(ts_col, duration),
+                     *(group_cols or ["event_type"]))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.min(tv).getField("v").alias("open"),
+                 F.max(value_col).alias("high"),
+                 F.min(value_col).alias("low"),
+                 F.max(tv).getField("v").alias("close"))
+            .select(F.unix_timestamp(F.col("window.start"))
+                    .cast("long").alias("window_start"),
+                    *(group_cols or ["event_type"]),
+                    "n", "open", "high", "low", "close"))
