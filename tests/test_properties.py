@@ -112,3 +112,114 @@ def test_gopher_rules_individual_failures(spark):
     assert not rows[3].ok_symbol_ratio and not rows[3].keep
     assert not rows[4].ok_word_alpha and not rows[4].keep
     assert not rows[5].ok_stopwords and not rows[5].keep
+
+
+_vals = st.lists(st.floats(min_value=-1000, max_value=1000,
+                           allow_nan=False, allow_infinity=False,
+                           width=32),
+                 min_size=5, max_size=60)
+
+
+@_SETTINGS
+@given(_vals)
+def test_psi_ks_self_drift_is_zero(spark, vals):
+    """PSI and binned KS of a sample against ITSELF are exactly 0
+    for any input — the calibration invariant a drift monitor must
+    satisfy before its alerts mean anything."""
+    from sync_cosmos_db_spark.operators.profiling import psi_ks_drift
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    row = psi_ks_drift(df, df, "x", lo=-1000.0, hi=1000.0,
+                       n_buckets=10).collect()[0]
+    assert row.psi == 0.0 and row.ks == 0.0
+    assert row.n_a == len(vals) == row.n_b
+
+
+@_SETTINGS
+@given(_vals, st.floats(min_value=-50, max_value=50, allow_nan=False))
+def test_theil_sen_shift_invariance(spark, vals, shift):
+    """Adding a constant to every y leaves the Theil–Sen slope
+    unchanged (slopes are differences); x is the index so pairs
+    always have distinct x."""
+    from sync_cosmos_db_spark.operators.profiling import theil_sen_slope
+
+    rows = [("g", float(i), float(v)) for i, v in enumerate(vals)]
+    shifted = [("g", x, y + shift) for _, x, y in rows]
+    df1 = spark.createDataFrame(rows, "g string, x double, y double")
+    df2 = spark.createDataFrame(shifted, "g string, x double, y double")
+    s1 = theil_sen_slope(df1, "g", "x", "y").collect()[0].slope
+    s2 = theil_sen_slope(df2, "g", "x", "y").collect()[0].slope
+    assert abs(s1 - s2) <= 2e-4  # one rounding ulp at 4 digits
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 20), st.integers(0, 9)),
+                min_size=1, max_size=60))
+def test_rolling_actives_bounds(spark, pairs):
+    """For every day: actives ≥ that day's own distinct users and
+    ≤ total distinct users; and day-1 actives equal day-1's own
+    distinct users when no earlier day exists."""
+    from sync_cosmos_db_spark.operators.behavioral import (
+        rolling_active_users,
+    )
+
+    rows = [(i, f"2024-01-{1 + d:02d} 00:00:00", u)
+            for i, (d, u) in enumerate(pairs)]
+    df = (spark.createDataFrame(rows,
+                                "event_id long, ts string, user_id long")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = {str(r.day): r.active_users for r in
+           rolling_active_users(df, 7).collect()}
+    per_day = {}
+    for d, u in pairs:
+        per_day.setdefault(d, set()).add(u)
+    total = len({u for _, u in pairs})
+    for d, users in per_day.items():
+        day = f"2024-01-{1 + d:02d}"
+        assert len(users) <= out[day] <= total
+    first = min(per_day)
+    assert out[f"2024-01-{1 + first:02d}"] == len(per_day[first])
+
+
+@_SETTINGS
+@given(st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=30),
+                min_size=1, max_size=25))
+def test_hashed_features_preserves_token_mass(spark, texts):
+    """Total feature mass equals total (non-empty) token count — the
+    hashing trick may collide buckets but never loses or invents
+    tokens."""
+    from sync_cosmos_db_spark.operators.curation import hashed_features
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = hashed_features(df, "doc_id", "text", dim=8)
+    got = out.agg(F.sum("n")).collect()[0][0] or 0
+    want = sum(len([t for t in tx.split() if t]) for tx in texts)
+    assert got == want
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 99), st.integers(0, 999)),
+                min_size=2, max_size=80))
+def test_bfs_hops_triangle_inequality(spark, edge_pairs):
+    """On any random graph: hop counts from a seed are ≥ 0, ≤ max_hops,
+    0 exactly for the seed, and every reached node at hop h>0 has a
+    neighbor at hop h-1 (BFS level consistency)."""
+    from sync_cosmos_db_spark.operators.graph import bfs_hops
+
+    e = spark.createDataFrame(edge_pairs, "a long, b long")
+    edges = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionByName(e.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst")))).persist()
+    seed_node = edge_pairs[0][0]
+    seeds = spark.createDataFrame([(seed_node,)], "node long")
+    out = {r.node: r.hops for r in bfs_hops(edges, seeds, 3).collect()}
+    adj = {}
+    for a, b in edge_pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    assert out[seed_node] == 0
+    for node, h in out.items():
+        assert 0 <= h <= 3
+        if h > 0:
+            assert any(out.get(nb) == h - 1 for nb in adj.get(node, ()))
