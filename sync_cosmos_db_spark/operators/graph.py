@@ -177,3 +177,41 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
         visited = new_visited
         frontier = nxt
     return visited
+
+
+def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
+                 src: str = "src", dst: str = "dst", weight: str = "w",
+                 node_col: str = "node") -> DataFrame:
+    """X112 — bounded-round Bellman–Ford: minimum path COST from a
+    seed set using at most ``rounds`` edges — the weighted sibling of
+    :func:`bfs_hops` (cheapest route, not fewest hops).
+
+    Each round is one relax step: dist' = min(dist, min over incoming
+    edges of dist[src] + w) — ONE src-keyed join + ONE dst-keyed min
+    aggregate + ONE full-outer min merge, all node-keyed; after k
+    rounds every ≤k-edge shortest path is exact (the textbook
+    invariant), so ``rounds`` is the path-length budget, not an
+    approximation knob.  Negative edges are rejected (min-merge with
+    a bounded horizon is only meaningful for non-negative costs
+    here).  Returns ``(node, cost)``."""
+    if rounds < 0:
+        raise ValueError(f"bellman_ford: rounds must be >= 0, got {rounds}")
+    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("cost", F.lit(0).cast("long")).persist())
+    dist.count()
+    for _ in range(rounds):
+        relaxed = (dist.join(edges, dist["node"] == edges[src])
+                   .select(F.col(dst).alias("node"),
+                           (F.col("cost") + F.col(weight)).alias("cand"))
+                   .groupBy("node")
+                   .agg(F.min("cand").alias("cand")))
+        new_dist = (dist.join(relaxed, "node", "full_outer")
+                    .select("node",
+                            F.least(F.coalesce("cost", F.lit(2 ** 62)),
+                                    F.coalesce("cand", F.lit(2 ** 62)))
+                            .cast("long").alias("cost"))
+                    .persist())
+        new_dist.count()
+        dist.unpersist()
+        dist = new_dist
+    return dist

@@ -542,3 +542,78 @@ def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding",
                 .cast("long").alias("n_outliers")))
     return (stats.join(out, "dim")
             .select("dim", "n", "mean", "std", "n_outliers"))
+
+
+def _unit_uniform(h: Column) -> Column:
+    """Uniform [0,1) from the first 6 hex chars of a sha256 digest,
+    each mapped through its true 16-value alphabet (``instr`` over
+    '0123456789abcdef') — UNLIKE the translate-digits bucket trick
+    (fine for bucketing, biased as a uniform), this is exactly
+    uniform at 24-bit resolution and the identical expression runs in
+    DuckDB for oracle parity."""
+    total = F.lit(0.0)
+    for i in range(1, 7):
+        v = F.expr(
+            f"instr('0123456789abcdef', substr(__h, {i}, 1)) - 1")
+        total = total + v.cast("double") * F.lit(16.0 ** -i)
+    return total
+
+
+# Poisson(1) CDF thresholds for k = 0..6 (12 significant digits; the
+# SAME literals appear in the SQL oracle so both engines compare the
+# same doubles).  u >= the k=6 threshold draws the capped weight 7.
+_POISSON1_CDF = [0.367879441171, 0.735758882343, 0.919698602929,
+                 0.981011843124, 0.996340153173, 0.999405815182,
+                 0.999916758851]
+
+
+def poisson_bootstrap_ci(df: DataFrame, key_col: str, value_col: str,
+                         n_resamples: int = 50, salt: str = "boot",
+                         round_digits: int = 4) -> DataFrame:
+    """X111 — Poisson-bootstrap confidence interval for the mean: the
+    bootstrap that works at 100 TB.  A classical resample needs a
+    global row index and n draws WITH replacement — a total order
+    plus a shuffle per resample; the Poisson bootstrap (Chamandy et
+    al., the standard at-scale substitute) gives every row an
+    independent Poisson(1) multiplicity per resample instead, which
+    approximates multinomial resampling with NO index, NO extra
+    shuffle, and one bounded ×B in-row expansion.
+
+    Every draw is DETERMINISTIC: u = uniform from
+    sha256(key:b:salt), inverted through the Poisson(1) CDF
+    (weights capped at 7, beyond the 0.99992 quantile) — rerun- and
+    engine-reproducible, so the full resample table is
+    oracle-checkable.  Returns one row
+    ``(n_rows, n_resamples, mean_point, ci_lo, ci_hi)`` with the
+    2.5%/97.5% interpolated percentiles of the resample means."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    x = F.col(value_col).cast("double")
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    drawn = (df.select(F.col(key_col).cast("string").alias("k"),
+                       x.alias("x"))
+             .select("k", "x", b)
+             .withColumn("__h", F.sha2(F.concat_ws(
+                 ":", F.col("k"), F.col("b"), F.lit(salt)), 256))
+             .withColumn("u", _unit_uniform(F.col("__h"))))
+    w = F.lit(7)
+    for k in range(6, -1, -1):
+        w = F.when(F.col("u") < F.lit(_POISSON1_CDF[k]), F.lit(k)) \
+            .otherwise(w)
+    means = (drawn.withColumn("w", w.cast("double"))
+             .groupBy("b")
+             .agg(F.sum(F.col("w") * F.col("x")).alias("__swx"),
+                  F.sum("w").alias("__sw"))
+             .filter(F.col("__sw") > 0)
+             .select("b", (F.col("__swx") / F.col("__sw")).alias("m")))
+    point = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                   F.avg(x).alias("__mp"))
+    ci = means.agg(
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+        F.expr("percentile(m, 0.025)").alias("__lo"),
+        F.expr("percentile(m, 0.975)").alias("__hi"))
+    return (point.crossJoin(F.broadcast(ci))
+            .select("n_rows", "n_resamples",
+                    fr(F.col("__mp")).alias("mean_point"),
+                    fr(F.col("__lo")).alias("ci_lo"),
+                    fr(F.col("__hi")).alias("ci_hi")))

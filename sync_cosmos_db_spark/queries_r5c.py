@@ -4,7 +4,8 @@ forecasting, Flesch readability profiling, CUBE with grouping_id,
 cross-metric correlation, RFM segmentation, k-anonymity auditing,
 VARIANT-typed dynamic document processing, OHLC resampling, A/B
 experiment readouts, hashed feature vectorization, deterministic
-label encoding, and streaming OHLC bars.
+label encoding, streaming OHLC bars, Poisson-bootstrap confidence
+intervals, and bounded-round Bellman–Ford.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -714,3 +715,121 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       fr(F.col("high")).alias("high"),
                       fr(F.col("low")).alias("low"),
                       fr(F.col("close")).alias("close"))
+
+
+# ---------------------------------------------------------------------------
+# X111 — Poisson-bootstrap confidence interval (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+_U6 = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    f" * power(16.0, -{i})" for i in range(1, 7))
+
+@query(
+    "bootstrap_ci_order_price",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey::VARCHAR AS k, o_totalprice::DOUBLE AS x
+      FROM orders),
+    drawn AS (
+      SELECT x, bb.b,
+             sha256(k || ':' || bb.b || ':boot') AS h
+      FROM base CROSS JOIN
+           (SELECT unnest(generate_series(0, 49)) AS b) bb),
+    u AS (SELECT b, x, {_U6} AS u FROM drawn),
+    wt AS (SELECT b, x,
+             CASE WHEN u < 0.367879441171 THEN 0
+                  WHEN u < 0.735758882343 THEN 1
+                  WHEN u < 0.919698602929 THEN 2
+                  WHEN u < 0.981011843124 THEN 3
+                  WHEN u < 0.996340153173 THEN 4
+                  WHEN u < 0.999405815182 THEN 5
+                  WHEN u < 0.999916758851 THEN 6
+                  ELSE 7 END::DOUBLE AS w
+           FROM u),
+    means AS (SELECT b, sum(w * x) / sum(w) AS m
+              FROM wt GROUP BY b HAVING sum(w) > 0),
+    point AS (SELECT count(*)::BIGINT AS n_rows, avg(x) AS mp FROM base),
+    ci AS (SELECT count(*)::BIGINT AS n_resamples,
+                  quantile_cont(m, 0.025) AS lo,
+                  quantile_cont(m, 0.975) AS hi
+           FROM means)
+    SELECT n_rows, n_resamples,
+           floor(mp * 10000 + 0.5) / 10000 AS mean_point,
+           floor(lo * 10000 + 0.5) / 10000 AS ci_lo,
+           floor(hi * 10000 + 0.5) / 10000 AS ci_hi
+    FROM point CROSS JOIN ci
+    """,
+)
+def bootstrap_ci_order_price(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X111 — 95% CI for the mean order price via the POISSON
+    bootstrap (``profiling.poisson_bootstrap_ci``): the at-scale
+    bootstrap — no global row index, no per-resample shuffle, one
+    bounded ×50 in-row expansion, every Poisson(1) draw derived
+    deterministically from sha256(key:resample) through a true
+    16-alphabet uniform (the translate-digits bucket trick is biased;
+    this path is exactly uniform) — so the ENTIRE resampling
+    procedure, not just its summary, is oracle-reproducible."""
+    from sync_cosmos_db_spark.operators.profiling import (
+        poisson_bootstrap_ci,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return poisson_bootstrap_ci(orders, "o_orderkey", "o_totalprice",
+                                n_resamples=50, salt="boot")
+
+
+# ---------------------------------------------------------------------------
+# X112 — bounded-round Bellman–Ford (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "bellman_ford_trade_distance",
+    """
+    WITH RECURSIVE e AS (
+      SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+             (4 - least(count(*), 3))::BIGINT AS w
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2),
+    edges AS (SELECT src, dst, w FROM e
+              UNION ALL SELECT dst, src, w FROM e),
+    seeds AS (SELECT c_custkey * 2 AS node FROM customer
+              WHERE c_nationkey = 1),
+    walk(node, cost, hops) AS (
+      SELECT node, 0::BIGINT, 0 FROM seeds
+      UNION
+      SELECT edges.dst, walk.cost + edges.w, walk.hops + 1
+      FROM walk JOIN edges ON edges.src = walk.node
+      WHERE walk.hops < 3)
+    SELECT node, min(cost)::BIGINT AS cost FROM walk GROUP BY node
+    """,
+)
+def bellman_ford_trade_distance(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X112 — weighted relationship distance (``graph.bellman_ford``):
+    cheapest ≤3-edge path from the nation-1 customer seed set over
+    the trade graph, edge cost 4 − min(lineitems, 3) so frequent
+    trading partners are CLOSE — the weighted sibling of X90's BFS
+    (cheapest route, not fewest hops).  Three relax rounds, each one
+    src-keyed join + dst-keyed min + full-outer min merge; the oracle
+    enumerates bounded-hop path states in a recursive CTE (states are
+    finite because costs are bounded integers) and takes min —
+    different mechanism, same answer by the Bellman–Ford invariant."""
+    from sync_cosmos_db_spark.operators.graph import bellman_ford
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    raw = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .groupBy((F.col("o_custkey") * 2).alias("c_node"),
+                    (F.col("l_suppkey") * 2 + 1).alias("s_node"))
+           .agg((4 - F.least(F.count(F.lit(1)), F.lit(3)))
+                .cast("long").alias("w")))
+    edges = (raw.select(F.col("c_node").alias("src"),
+                        F.col("s_node").alias("dst"), "w")
+             .unionByName(raw.select(F.col("s_node").alias("src"),
+                                     F.col("c_node").alias("dst"), "w")))
+    seeds = (load_table(spark, sf_dir, "customer")
+             .filter(F.col("c_nationkey") == 1)
+             .select((F.col("c_custkey") * 2).alias("node")))
+    return bellman_ford(edges, seeds, rounds=3)

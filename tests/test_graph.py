@@ -123,3 +123,25 @@ def test_bfs_hops_early_exit_and_min_hop(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     out = {r.node: r.hops for r in bfs_hops(edges, seeds, 10).collect()}
     assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_bellman_ford_prefers_cheap_long_path(spark):
+    """1→2 direct costs 10; 1→3→2 costs 2 — two relax rounds must
+    find the cheaper 2-edge path; one round only sees the direct."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.operators.graph import bellman_ford
+
+    rows = [(1, 2, 10), (1, 3, 1), (3, 2, 1)]
+    e = spark.createDataFrame(rows, "a long, b long, w long")
+    edges = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"),
+                      "w")
+             .unionByName(e.select(F.col("b").alias("src"),
+                                   F.col("a").alias("dst"), "w")))
+    seeds = spark.createDataFrame([(1,)], "node long")
+    two = {r.node: r.cost for r in
+           bellman_ford(edges, seeds, rounds=2).collect()}
+    assert two == {1: 0, 3: 1, 2: 2}
+    one = {r.node: r.cost for r in
+           bellman_ford(edges, seeds, rounds=1).collect()}
+    assert one[2] == 10  # direct edge only after a single round

@@ -339,3 +339,24 @@ def test_embedding_dim_stats_dead_dim_and_outlier(spark):
     assert out[0].std == 0.0 and out[0].n_outliers == 0
     assert out[1].n_outliers == 1
     assert out[0].n == 30 and out[1].n == 30
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    """Same inputs → bit-identical CI across runs; the interval
+    brackets the point mean; weights average ≈ 1 (Poisson(1))."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.operators.profiling import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame([(i, float(100 + (i * 37) % 50))
+                                for i in range(400)],
+                               "k long, x double")
+    r1 = poisson_bootstrap_ci(df, "k", "x", n_resamples=30).collect()[0]
+    r2 = poisson_bootstrap_ci(df, "k", "x", n_resamples=30).collect()[0]
+    assert r1 == r2
+    assert r1.ci_lo <= r1.mean_point <= r1.ci_hi
+    assert r1.n_rows == 400 and r1.n_resamples == 30
+    # the interval is non-degenerate but far narrower than the range
+    assert 0 < r1.ci_hi - r1.ci_lo < 50
