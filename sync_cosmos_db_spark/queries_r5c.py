@@ -5,7 +5,8 @@ cross-metric correlation, RFM segmentation, k-anonymity auditing,
 VARIANT-typed dynamic document processing, OHLC resampling, A/B
 experiment readouts, hashed feature vectorization, deterministic
 label encoding, streaming OHLC bars, Poisson-bootstrap confidence
-intervals, and bounded-round Bellman–Ford.
+intervals, bounded-round Bellman–Ford, reset-segmented running
+balances, and period-over-period growth.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -833,3 +834,115 @@ def bellman_ford_trade_distance(spark: SparkSession,
              .filter(F.col("c_nationkey") == 1)
              .select((F.col("c_custkey") * 2).alias("node")))
     return bellman_ford(edges, seeds, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# X113 — running balance with conditional resets (segment window algebra)
+# ---------------------------------------------------------------------------
+
+@query(
+    "running_value_since_signup",
+    """
+    WITH seg AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS segment
+      FROM events),
+    run AS (
+      SELECT user_id, segment, event_id,
+             sum(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0 END)
+               OVER (PARTITION BY user_id, segment ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS bal
+      FROM seg)
+    SELECT user_id, max(segment)::BIGINT AS n_segments,
+           floor(max(bal) * 10000 + 0.5) / 10000 AS max_balance,
+           count(*)::BIGINT AS n_events
+    FROM run GROUP BY user_id
+    """,
+)
+def running_value_since_signup(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X113 — running balance with CONDITIONAL RESETS: cumulative
+    purchase value per user that restarts at every signup event — the
+    reset-at-marker accumulation (meter readings, balance-after-
+    top-up, miles-since-service) that looks sequential but compiles
+    to pure window algebra: the reset marker's own running COUNT
+    becomes a segment id, and the balance is a second cumsum
+    partitioned by (user, segment).  Both windows share one
+    (user, ts, id) sort; no iteration, no state."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    order = (W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    seg = ev.withColumn(
+        "segment",
+        F.sum((F.col("event_type") == "signup").cast("long")).over(order))
+    order2 = (W.partitionBy("user_id", "segment")
+              .orderBy(F.col("ts"), F.col("event_id"))
+              .rowsBetween(W.unboundedPreceding, W.currentRow))
+    run = seg.withColumn(
+        "bal",
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+              .otherwise(F.lit(0.0))).over(order2))
+    p = 10 ** 4
+    return (run.groupBy("user_id")
+            .agg(F.max("segment").cast("long").alias("n_segments"),
+                 (F.floor(F.max("bal") * p + F.lit(0.5)) / p)
+                 .alias("max_balance"),
+                 F.count(F.lit(1)).cast("long").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# X114 — period-over-period growth report
+# ---------------------------------------------------------------------------
+
+@query(
+    "mom_revenue_growth",
+    """
+    WITH m AS (
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1)::BIGINT
+               AS month_idx,
+             sum(o_totalprice) AS rev
+      FROM orders GROUP BY 1),
+    g AS (SELECT month_idx, rev,
+                 lag(rev) OVER (ORDER BY month_idx) AS prev,
+                 month_idx - lag(month_idx) OVER (ORDER BY month_idx)
+                   AS gap
+          FROM m)
+    SELECT month_idx,
+           floor(rev * 100 + 0.5) / 100 AS revenue,
+           CASE WHEN prev IS NULL OR gap <> 1 THEN NULL
+                ELSE floor((rev - prev) / prev * 1000000 + 0.5)
+                     / 1000000 END AS mom_growth
+    FROM g
+    """,
+)
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114 — month-over-month revenue growth: the period-over-period
+    staple, with the subtle correctness detail most versions miss —
+    growth is NULL (not computed against the wrong month) when the
+    previous CALENDAR month is absent, detected by lagging the month
+    index itself.  The lag window runs over the months-row aggregate,
+    never the fact table."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy((F.year("o_orderdate") * 12 + F.month("o_orderdate")
+                    - 1).cast("long").alias("month_idx"))
+         .agg(F.sum("o_totalprice").alias("rev")))
+    w = W.orderBy("month_idx")
+    g = (m.withColumn("prev", F.lag("rev").over(w))
+         .withColumn("gap",
+                     F.col("month_idx") - F.lag("month_idx").over(w)))
+    growth = (F.when(F.col("prev").isNull() | (F.col("gap") != 1),
+                     F.lit(None).cast("double"))
+              .otherwise(F.floor((F.col("rev") - F.col("prev"))
+                                 / F.col("prev") * 1e6 + F.lit(0.5))
+                         / 1e6))
+    return g.select("month_idx",
+                    (F.floor(F.col("rev") * 100 + F.lit(0.5)) / 100)
+                    .alias("revenue"),
+                    growth.alias("mom_growth"))
