@@ -105,6 +105,9 @@ BNLJ_ALLOWED = {
     # X103: the per-customer RFM table crossJoins the BROADCAST
     # single-row max-orderdate anchor (N×1 scalar-subquery shape).
     "rfm_segment_counts",
+    # X111: the single-row point-estimate aggregate crossJoins the
+    # single-row CI aggregate — a 1×1 BNLJ (verify_counts shape).
+    "bootstrap_ci_order_price",
 }
 
 
