@@ -6,7 +6,8 @@ VARIANT-typed dynamic document processing, OHLC resampling, A/B
 experiment readouts, hashed feature vectorization, deterministic
 label encoding, streaming OHLC bars, Poisson-bootstrap confidence
 intervals, bounded-round Bellman–Ford, reset-segmented running
-balances, and period-over-period growth.
+balances, period-over-period growth, and contrastive negative
+sampling.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -946,3 +947,62 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.floor(F.col("rev") * 100 + F.lit(0.5)) / 100)
                     .alias("revenue"),
                     growth.alias("mom_growth"))
+
+
+# ---------------------------------------------------------------------------
+# X115 — contrastive negative sampling
+# ---------------------------------------------------------------------------
+
+@query(
+    "negative_samples_embeddings",
+    """
+    WITH n AS (SELECT (max(vec_id) + 1)::BIGINT AS n FROM embeddings),
+    draws AS (
+      SELECT e.vec_id AS anchor, e.label AS a_label, d.i,
+             translate(substr(sha256(e.vec_id::VARCHAR || ':'
+                                     || d.i || ':neg'), 1, 6),
+                       'abcdef', '012345')::BIGINT % n.n AS cand
+      FROM embeddings e
+      CROSS JOIN n
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) d),
+    labeled AS (
+      SELECT draws.anchor, draws.i, draws.cand, draws.a_label,
+             c.label AS c_label
+      FROM draws JOIN embeddings c ON c.vec_id = draws.cand)
+    SELECT anchor, i AS draw_idx, cand AS negative
+    FROM labeled
+    WHERE cand <> anchor AND c_label <> a_label
+    """,
+)
+def negative_samples_embeddings(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X115 — deterministic negative sampling for contrastive
+    training: each anchor draws 4 candidate ids from the dense id
+    domain via the sha2 bucket, keeps those with a DIFFERENT label
+    (rejection, so anchors yield ≤4 negatives — the standard
+    approximate-k contract; exact-k would need per-anchor ranked
+    scans).  Rerun/cluster-stable (never ``rand()``), and the
+    candidate's label arrives by an id-keyed EQUI-join against the
+    corpus — the shape that still works when the corpus is 10B rows
+    and labels don't fit anywhere's memory.  The id-domain size is a
+    broadcast single-row aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.agg((F.max("vec_id") + 1).cast("long").alias("n"))
+    draws = (emb.select(F.col("vec_id").alias("anchor"),
+                        F.col("label").alias("a_label"))
+             .crossJoin(F.broadcast(n))
+             .select("anchor", "a_label", "n",
+                     F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"))
+             .withColumn("__h", F.sha2(F.concat_ws(
+                 ":", F.col("anchor"), F.col("i"), F.lit("neg")), 256))
+             .withColumn("cand", F.pmod(
+                 F.translate(F.substring("__h", 1, 6),
+                             "abcdef", "012345").cast("bigint"),
+                 F.col("n"))))
+    cand_labels = emb.select(F.col("vec_id").alias("cand"),
+                             F.col("label").alias("c_label"))
+    return (draws.join(cand_labels, "cand")
+            .filter((F.col("cand") != F.col("anchor"))
+                    & (F.col("c_label") != F.col("a_label")))
+            .select("anchor", F.col("i").alias("draw_idx"),
+                    F.col("cand").alias("negative")))

@@ -108,6 +108,10 @@ BNLJ_ALLOWED = {
     # X111: the single-row point-estimate aggregate crossJoins the
     # single-row CI aggregate — a 1×1 BNLJ (verify_counts shape).
     "bootstrap_ci_order_price",
+    # X115: anchors crossJoin the BROADCAST single-row id-domain-size
+    # aggregate (N×1 scalar-subquery shape); the label lookup itself
+    # is an id-keyed equi-join.
+    "negative_samples_embeddings",
 }
 
 
