@@ -617,3 +617,75 @@ def poisson_bootstrap_ci(df: DataFrame, key_col: str, value_col: str,
                     fr(F.col("__mp")).alias("mean_point"),
                     fr(F.col("__lo")).alias("ci_lo"),
                     fr(F.col("__hi")).alias("ci_hi")))
+
+
+def _round10(x: float) -> float:
+    import math
+    return math.floor(x * 1e10 + 0.5) / 1e10
+
+
+def power_iteration_pc(df: DataFrame, vec_col: str = "embedding",
+                       n_iter: int = 3) -> DataFrame:
+    """X117 — top principal component by distributed power iteration:
+    the direction of maximum variance of the (mean-centered)
+    embedding cloud — the whitening/debiasing axis an embedding
+    pipeline removes (Mu & Viswanath's all-but-the-top) and the
+    health check for a collapsed encoder (one dominant λ = the space
+    degenerated to a line).
+
+    The covariance matrix (dim², up to ~16M doubles at 4k dims) is
+    NEVER materialized: each iteration computes s = Σᵢ xᵢ(xᵢ·v)
+    directly — the per-row dot is an in-row zip_with against the
+    BROADCAST literal v (no join), and the per-dimension sums are one
+    posexplode → dim-keyed aggregate, so one bounded shuffle of
+    (dim, partial) pairs per iteration.  Driver state is O(dim): the
+    64-row sum table collects back and renormalizes.
+
+    Cross-engine determinism: the init is e₀, and v is floor-rounded
+    to 10 decimals after every normalization ON BOTH ENGINES, so
+    ulp-level summation-order drift cannot compound across
+    iterations (the oracle replays the identical schedule in SQL).
+    The sign is whatever the deterministic schedule yields — callers
+    wanting a canonical sign flip on a fixed coordinate.  Returns
+    ``(dim, loading, eigenvalue)`` with λ estimated as ‖s‖/n."""
+    import math
+
+    dv0 = (df.select(F.posexplode(vec_col).alias("dim", "x"))
+           .withColumn("x", F.col("x").cast("double")))
+    mu_rows = (dv0.groupBy("dim").agg(F.avg("x").alias("mu"))
+               .collect())
+    n_dim = len(mu_rows)
+    mu = [0.0] * n_dim
+    for r in mu_rows:
+        mu[r.dim] = _round10(r.mu)
+    n_rows = df.count()
+
+    centered = df.select(
+        F.zip_with(F.transform(vec_col, lambda x: x.cast("double")),
+                   F.array(*[F.lit(m) for m in mu]),
+                   lambda x, m: x - m).alias("cv"))
+    centered = centered.persist()
+    v = [1.0] + [0.0] * (n_dim - 1)
+    norm_s = 0.0
+    for _ in range(n_iter):
+        lit_v = F.array(*[F.lit(c) for c in v])
+        d = F.aggregate(F.zip_with(F.col("cv"), lit_v,
+                                   lambda x, w: x * w),
+                        F.lit(0.0), lambda acc, x: acc + x)
+        sums = (centered.withColumn("d", d)
+                .select(F.posexplode("cv").alias("dim", "x"), "d")
+                .groupBy("dim")
+                .agg(F.sum(F.col("x") * F.col("d")).alias("s"))
+                .collect())
+        s = [0.0] * n_dim
+        for r in sums:
+            s[r.dim] = r.s
+        norm_s = math.sqrt(sum(x * x for x in s))
+        v = [_round10(x / norm_s) for x in s]
+    centered.unpersist()
+    spark = df.sparkSession
+    eig = math.floor(norm_s / n_rows * 1e4 + 0.5) / 1e4
+    return spark.createDataFrame(
+        [(i, math.floor(v[i] * 1e6 + 0.5) / 1e6, eig)
+         for i in range(n_dim)],
+        "dim long, loading double, eigenvalue double")

@@ -6,8 +6,9 @@ VARIANT-typed dynamic document processing, OHLC resampling, A/B
 experiment readouts, hashed feature vectorization, deterministic
 label encoding, streaming OHLC bars, Poisson-bootstrap confidence
 intervals, bounded-round Bellman–Ford, reset-segmented running
-balances, period-over-period growth, and contrastive negative
-sampling.
+balances, period-over-period growth, contrastive negative sampling,
+purchase-cadence profiling, and the power-iteration top principal
+component.
 
 No reference counterpart (SURVEY.md §2.3); same contract as every
 query module: Spark-first plans, DuckDB-recomputable oracles.
@@ -1006,3 +1007,121 @@ def negative_samples_embeddings(spark: SparkSession,
                     & (F.col("c_label") != F.col("a_label")))
             .select("anchor", F.col("i").alias("draw_idx"),
                     F.col("cand").alias("negative")))
+
+
+# ---------------------------------------------------------------------------
+# X116 — purchase-cadence profile (inter-event interval statistics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "purchase_cadence_profile",
+    """
+    WITH p AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type = 'purchase'),
+    gaps AS (
+      SELECT user_id,
+             (epoch_us(ts) - epoch_us(prev)) / 1000000.0 AS gap_s
+      FROM p WHERE prev IS NOT NULL),
+    per_user AS (
+      SELECT user_id, count(*)::BIGINT AS n_gaps,
+             quantile_cont(gap_s, 0.5) AS med_gap
+      FROM gaps GROUP BY 1)
+    SELECT count(*)::BIGINT AS n_repeat_buyers,
+           floor(quantile_cont(med_gap, 0.5) * 10000 + 0.5) / 10000
+             AS median_user_cadence_s,
+           floor(quantile_cont(med_gap, 0.9) * 10000 + 0.5) / 10000
+             AS p90_user_cadence_s,
+           sum(n_gaps)::BIGINT AS n_intervals
+    FROM per_user
+    """,
+)
+def purchase_cadence_profile(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X116 — purchase cadence: each repeat buyer's MEDIAN
+    inter-purchase interval, summarized across users (median and p90
+    of the per-user medians) — the retention-health number a growth
+    team watches.  Per-user lag over one (user, ts, id) sort,
+    microsecond-exact gap arithmetic, then two percentile aggregates
+    over strictly shrinking tables (gaps → users → one row)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .withColumn("prev", F.lag("ts").over(w))
+         .filter(F.col("prev").isNotNull())
+         .withColumn("gap_s",
+                     (F.unix_micros("ts") - F.unix_micros("prev"))
+                     / 1e6))
+    per_user = (p.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+                     F.expr("percentile(gap_s, 0.5)").alias("med_gap")))
+    r = 10 ** 4
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeat_buyers"),
+        (F.floor(F.expr("percentile(med_gap, 0.5)") * r + F.lit(0.5)) / r)
+        .alias("median_user_cadence_s"),
+        (F.floor(F.expr("percentile(med_gap, 0.9)") * r + F.lit(0.5)) / r)
+        .alias("p90_user_cadence_s"),
+        F.sum("n_gaps").cast("long").alias("n_intervals"))
+
+
+# ---------------------------------------------------------------------------
+# X117 — power-iteration top principal component (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+def _power_iter_oracle(n_iter: int = 3) -> str:
+    head = """
+    WITH dv0 AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS x
+      FROM embeddings),
+    mu AS (SELECT dim, floor(avg(x) * 1e10 + 0.5) / 1e10 AS mu
+           FROM dv0 GROUP BY dim),
+    dv AS (SELECT vec_id, dv0.dim, x - mu AS x
+           FROM dv0 JOIN mu USING (dim)),
+    nr AS (SELECT count(DISTINCT vec_id)::DOUBLE AS n FROM dv0),
+    v0 AS (SELECT dim, CASE WHEN dim = 0 THEN 1.0 ELSE 0.0 END AS val
+           FROM mu)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        its.append(f""",
+    d{k} AS (SELECT vec_id, sum(dv.x * v{k - 1}.val) AS d
+           FROM dv JOIN v{k - 1} USING (dim) GROUP BY vec_id),
+    s{k} AS (SELECT dim, sum(dv.x * d{k}.d) AS s
+           FROM dv JOIN d{k} USING (vec_id) GROUP BY dim),
+    v{k} AS (SELECT dim,
+                  floor(s / (SELECT sqrt(sum(s * s)) FROM s{k})
+                        * 1e10 + 0.5) / 1e10 AS val
+           FROM s{k})""")
+    tail = f"""
+    SELECT v{n_iter}.dim,
+           floor(v{n_iter}.val * 1000000 + 0.5) / 1000000 AS loading,
+           floor((SELECT sqrt(sum(s * s)) FROM s{n_iter})
+                 / (SELECT n FROM nr) * 10000 + 0.5) / 10000
+             AS eigenvalue
+    FROM v{n_iter}"""
+    return head + "".join(its) + tail
+
+
+@query("embedding_top_pc", _power_iter_oracle(3))
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117 — top principal component of the embedding cloud by
+    distributed power iteration (``profiling.power_iteration_pc``):
+    the whitening/debiasing axis (all-but-the-top) and the
+    encoder-collapse detector.  The dim² covariance matrix is never
+    materialized — s = Σ x(x·v) per iteration with an in-row
+    broadcast-literal dot and ONE (dim, partial) shuffle; driver
+    state is O(dim).  v is floor-rounded to 10 decimals after every
+    normalization ON BOTH ENGINES, so summation-order ulps cannot
+    compound; the oracle replays the identical 3-iteration schedule
+    as chained SQL CTEs."""
+    from sync_cosmos_db_spark.operators.profiling import (
+        power_iteration_pc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_pc(emb, "embedding", n_iter=3)

@@ -360,3 +360,27 @@ def test_poisson_bootstrap_deterministic_and_sane(spark):
     assert r1.n_rows == 400 and r1.n_resamples == 30
     # the interval is non-degenerate but far narrower than the range
     assert 0 < r1.ci_hi - r1.ci_lo < 50
+
+
+def test_power_iteration_finds_planted_direction(spark):
+    """Points spread along (1,1,0)/√2 with small noise on other axes:
+    the top PC must align with the planted direction (|cos| > 0.99)
+    and the eigenvalue must dominate the noise scale."""
+    import math
+
+    from sync_cosmos_db_spark.operators.profiling import (
+        power_iteration_pc,
+    )
+
+    rows = []
+    for i in range(200):
+        t = (i - 100) / 10.0        # spread ±10 along the direction
+        noise = ((i * 37) % 7 - 3) / 50.0   # deterministic small noise
+        rows.append(([t / math.sqrt(2), t / math.sqrt(2), noise],))
+    df = spark.createDataFrame(rows, "embedding array<double>")
+    out = {r.dim: r for r in
+           power_iteration_pc(df, "embedding", n_iter=5).collect()}
+    v = [out[i].loading for i in range(3)]
+    cos = abs((v[0] + v[1]) / math.sqrt(2))
+    assert cos > 0.99
+    assert out[0].eigenvalue > 1.0
