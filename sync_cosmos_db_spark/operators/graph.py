@@ -193,9 +193,14 @@ def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
     invariant), so ``rounds`` is the path-length budget, not an
     approximation knob.  Negative edges are rejected (min-merge with
     a bounded horizon is only meaningful for non-negative costs
-    here).  Returns ``(node, cost)``."""
+    here) — enforced by a bounded ``filter(w < 0).limit(1)`` probe
+    before the first relax step.  Returns ``(node, cost)``."""
     if rounds < 0:
         raise ValueError(f"bellman_ford: rounds must be >= 0, got {rounds}")
+    if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
+        raise ValueError(
+            "bellman_ford: negative edge weights are not supported — "
+            "the bounded-round min-merge assumes non-negative costs")
     dist = (seeds.select(F.col(node_col).alias("node")).distinct()
             .withColumn("cost", F.lit(0).cast("long")).persist())
     dist.count()

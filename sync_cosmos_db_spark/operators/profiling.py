@@ -426,8 +426,12 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
     Two group-keyed percentile aggregations (median, then MAD of the
     residuals) + one broadcast join back; the aggregate tables are
     group-cardinality-sized.  Exact interpolated percentiles here; at
-    100 TB the identical plan takes ``percentile_approx``.  Returns
-    per-group ``(group, n, med, mad, n_outliers)``."""
+    100 TB the identical plan takes ``percentile_approx``.  Degenerate
+    groups (MAD = 0: a constant majority) fall back to flagging every
+    ``x != median`` — otherwise the z-score is null and gross deviants
+    in exactly the contaminated case this operator exists for would
+    silently count as inliers.  Returns per-group
+    ``(group, n, med, mad, n_outliers)``."""
     p = 10 ** round_digits
     v = F.col(value_col).cast("double")
     med = (df.groupBy(group_col)
@@ -439,11 +443,13 @@ def mad_outliers(df: DataFrame, group_col: str, value_col: str,
                 .alias("mad")))
     joined = with_med.join(F.broadcast(mad), group_col)
     rz = F.lit(0.6745) * (v - F.col("med")) / F.col("mad")
+    flag = F.when(F.col("mad") > 0, F.abs(rz) > F.lit(z_thresh)) \
+        .otherwise(v != F.col("med"))
     return (joined.groupBy(group_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  (F.floor(F.max("med") * p + F.lit(0.5)) / p).alias("med"),
                  (F.floor(F.max("mad") * p + F.lit(0.5)) / p).alias("mad"),
-                 F.sum(F.when(F.abs(rz) > z_thresh, 1).otherwise(0))
+                 F.sum(F.when(flag, 1).otherwise(0))
                  .cast("long").alias("n_outliers")))
 
 
@@ -544,17 +550,17 @@ def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding",
             .select("dim", "n", "mean", "std", "n_outliers"))
 
 
-def _unit_uniform(h: Column) -> Column:
-    """Uniform [0,1) from the first 6 hex chars of a sha256 digest,
-    each mapped through its true 16-value alphabet (``instr`` over
-    '0123456789abcdef') — UNLIKE the translate-digits bucket trick
-    (fine for bucketing, biased as a uniform), this is exactly
-    uniform at 24-bit resolution and the identical expression runs in
-    DuckDB for oracle parity."""
+def _unit_uniform(h_col: str) -> Column:
+    """Uniform [0,1) from the first 6 hex chars of the sha256 digest
+    held in column ``h_col``, each mapped through its true 16-value
+    alphabet (``instr`` over '0123456789abcdef') — UNLIKE the
+    translate-digits bucket trick (fine for bucketing, biased as a
+    uniform), this is exactly uniform at 24-bit resolution and the
+    identical expression runs in DuckDB for oracle parity."""
     total = F.lit(0.0)
     for i in range(1, 7):
         v = F.expr(
-            f"instr('0123456789abcdef', substr(__h, {i}, 1)) - 1")
+            f"instr('0123456789abcdef', substr({h_col}, {i}, 1)) - 1")
         total = total + v.cast("double") * F.lit(16.0 ** -i)
     return total
 
@@ -595,7 +601,7 @@ def poisson_bootstrap_ci(df: DataFrame, key_col: str, value_col: str,
              .select("k", "x", b)
              .withColumn("__h", F.sha2(F.concat_ws(
                  ":", F.col("k"), F.col("b"), F.lit(salt)), 256))
-             .withColumn("u", _unit_uniform(F.col("__h"))))
+             .withColumn("u", _unit_uniform("__h")))
     w = F.lit(7)
     for k in range(6, -1, -1):
         w = F.when(F.col("u") < F.lit(_POISSON1_CDF[k]), F.lit(k)) \
@@ -689,3 +695,76 @@ def power_iteration_pc(df: DataFrame, vec_col: str = "embedding",
         [(i, math.floor(v[i] * 1e6 + 0.5) / 1e6, eig)
          for i in range(n_dim)],
         "dim long, loading double, eigenvalue double")
+
+
+# Hard cap on the conformal calibration sample.  The k-th order
+# statistic of the calibration scores is computed from a
+# TakeOrderedAndProject over the sample — k rows per partition plus a
+# k-sized driver merge — so the sample size must be a CONSTANT, never
+# data-proportional (round-5 verdict item 2).  65 536 doubles is ~0.5 MB
+# of driver state and far beyond any statistical need: coverage error
+# of split conformal is O(1/calib_k).
+MAX_CALIB_K = 65_536
+
+
+def conformal_calibration(df: DataFrame, id_col: str, key_col: str,
+                          value_col: str, alpha: float = 0.1,
+                          calib_k: int = 1024,
+                          salt: str = "conf",
+                          round_digits: int = 4) -> DataFrame:
+    """X118 — split-conformal prediction-interval calibration with a
+    three-way deterministic split and a BOUNDED calibration sample.
+
+    Folds come from a sha2 hash of ``id_col`` (0 = fit, 1 = calibrate,
+    2 = test): the per-key mean "model" is fit on fold 0 ONLY, the
+    nonconformity scores |y − ŷ| are drawn from the DISJOINT fold 1 —
+    in-sample residuals are biased small and would silently
+    under-cover — and coverage is measured on fold 2, untouched by
+    either.  q̂ is the ceil((n+1)·(1−α))-th order statistic of the
+    scores of a fixed-size hash-ranked sample of fold 1 (rank =
+    sha2(id:csel), ``limit(calib_k)``) — exchangeable with the rest of
+    fold 1 by symmetry of the hash, so the finite-sample coverage
+    guarantee holds at sample size calib_k.
+
+    Scale contract: the sample is capped at ``calib_k`` ≤
+    ``MAX_CALIB_K`` (guard raises on oversize), so the
+    TakeOrderedAndProject holds a CONSTANT k per partition no matter
+    the corpus size; everything else is key-keyed joins and one final
+    aggregate.  Driver state is the ≤calib_k score list.  Returns one
+    row ``(n_calib, n_test, q_hat, coverage)``."""
+    import math
+
+    if calib_k <= 0 or calib_k > MAX_CALIB_K:
+        raise ValueError(
+            f"conformal_calibration: calib_k={calib_k} outside "
+            f"(0, {MAX_CALIB_K}] — the calibration sample is collected "
+            "to the driver and its order statistic is a top-k; it must "
+            "be a bounded sample, never the corpus")
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    p = 10 ** round_digits
+    v = F.col(value_col).cast("double")
+    split = df.withColumn("__fold", hash_bucket(id_col, 3, salt))
+    model = (split.filter(F.col("__fold") == 0)
+             .groupBy(key_col).agg(F.avg(v).alias("__pred")))
+    scored = (split.filter(F.col("__fold") == 1)
+              .join(model, key_col)
+              .select((F.abs(v - F.col("__pred"))).alias("score"),
+                      F.sha2(F.concat(F.col(id_col).cast("string"),
+                                      F.lit(":csel")), 256)
+                      .alias("__rk")))
+    sample = [r.score for r in
+              scored.orderBy("__rk").limit(calib_k).collect()]
+    sample.sort()
+    n_calib = len(sample)
+    k = min(math.ceil((n_calib + 1) * (1.0 - alpha)), n_calib)
+    q_hat = sample[k - 1] if n_calib else float("nan")
+    test = (split.filter(F.col("__fold") == 2)
+            .join(model, key_col)
+            .select((F.abs(v - F.col("__pred"))).alias("err")))
+    return test.agg(
+        F.lit(n_calib).cast("long").alias("n_calib"),
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        (F.floor(F.lit(q_hat) * p + F.lit(0.5)) / p).alias("q_hat"),
+        (F.floor(F.avg((F.col("err") <= F.lit(q_hat)).cast("double"))
+                 * p + F.lit(0.5)) / p).alias("coverage"))

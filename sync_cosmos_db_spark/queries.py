@@ -330,62 +330,64 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle-bearing query in the registry has a driver row in some round;
 # tests/test_oracle.py still sweeps ALL oracles locally every run.
 SWEEP_PRIORITY: list[str] = [
-    # --- round-4 backlog: 19 families, never driver-swept (X53-X71)
-    "cdc_apply_orders",
-    "web_extract_links",
-    "web_strip_html",
-    "sentence_chunk_64",
-    "quality_cap_per_source",
-    "setsim_join_docs",
-    "rrf_hybrid_rankings",
-    "stream_interval_left_outer",
-    "heavy_hitter_terms_by_lang",
-    "web_pipeline_stats",
-    "assoc_event_types_by_user",
-    "boilerplate_prefix_by_source",
-    "sim_topk_ivf_persisted",
-    "kfold_split_documents",
-    "ingest_anomaly_daily",
-    "mixed_language_docs",
-    "truncation_recall_16d",
-    "oversample_by_lang",
-    # --- oracle stragglers with no driver row in any round
-    "multimodal_frame_sample",
-    "text_profile_by_lang_source",
-    "decontam_flagged_evals",
-    "markov_event_transitions",
-    "array_set_ops_users",
-    "stringagg_nation_segments",
-    # --- NEW this round: O15/O16/O17 + O18 as driver queries
-    "catalog_properties_roundtrip",
-    "pk_alignment_preflight",
-    # --- NEW this round: X72-X78
-    "ewma_daily_revenue",
-    "chi2_orders_status_priority",
-    "winsorized_price_by_priority",
-    "phrase_search_table_table",
-    "fd_audit_docs_orders",
-    "entropy_profile_categoricals",
-    "zorder_roundtrip_documents",
-    # --- NEW this round: X79-X87
-    "drift_orders_price_halves",
-    "benford_order_prices",
+    # --- round-5 backlog: X95-X118, never driver-swept (round-5
+    # verdict item 1 — the failing sweep-invariant test was the spec)
+    "nation_revenue_share",
+    "session_path_trigrams",
+    "trailing_p95_hourly_value",
+    "embedding_dim_health",
+    "join_cardinality_forecast",
+    "flesch_by_source",
+    "cube_status_priority",
+    "view_purchase_hourly_corr",
+    "rfm_segment_counts",
+    "k_anonymity_customers",
+    "variant_dynamic_documents",
+    "ohlc_4h_by_event_type",
+    "ab_experiment_conversion",
+    "hashed_features_documents",
+    "category_index_documents",
+    "stream_ohlc_hourly",
+    "bootstrap_ci_order_price",
+    "bellman_ford_trade_distance",
+    "running_value_since_signup",
+    "mom_revenue_growth",
+    "negative_samples_embeddings",
+    "purchase_cadence_profile",
+    "embedding_top_pc",
+    "conformal_calibration_events",
+    # --- NEW round 6: O4/O5 + O23 as driver queries (verdict item 6)
+    "catalog_account_listing",
+    "orchestrator_account_summary",
+    # --- re-checks: code paths CHANGED this round (mad degenerate-
+    # group fallback, byte-exact binaryFile oracle) + the two
+    # perf-watch heavies from verdict items 3/5
     "mad_outlier_prices",
-    "revenue_decile_profile",
-    "pivot_priority_by_status",
-    "attribution_last_touch",
-    "rolling_7d_active_users",
-    "vocab_growth_documents",
-    "skew_histogram_events_users",
-    # --- NEW this round: X88-X92 + the O2 pagination projection
     "binaryfile_ingest_documents",
-    "partition_pruned_read_en",
-    "bfs_3hop_nation1",
-    "canonical_doc_election",
-    "pagination_buckets_orders",
-    "theil_sen_monthly_revenue",
-    "dow_seasonality_events",
-    "ttl_expiry_events",
+    "setsim_join_docs",
+    "sim_topk_bruteforce",
+    # --- re-check filler (replaced by new round-6 families as they
+    # land; every name below is already driver-green in r1-r5)
+    "dedup_jaccard_pairs",
+    "dedup_exact_content",
+    "sim_topk_vectorized",
+    "sim_topk_ivf_fullprobe",
+    "pagerank_customer_supplier",
+    "dedup_span_coverage",
+    "rolling_7d_active_users",
+    "bpe_pair_counts",
+    "pack_sequences_64",
+    "decontam_eval_train_overlap",
+    "gopher_quality_flags",
+    "text_stats",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q18_large_orders",
+    "events_tumbling_hourly",
+    "stream_stateful_user_totals",
+    "quarantine_validity_counts",
+    "sanitize_customer_pii",
 ]
 # The never-swept backlog now EXCEEDS the 50-query window
 # (nation_revenue_share and session_path_trigrams queue in

@@ -372,3 +372,138 @@ def pk_alignment_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows.append((name, False))
     return spark.createDataFrame(rows, "pk_case string, aligned boolean") \
         .orderBy("pk_case")
+
+
+# ---------------------------------------------------------------------------
+# O4/O5 — account → database → container catalog listing as a driver
+# query (round-5 verdict item 6: previously pytest-only)
+# ---------------------------------------------------------------------------
+
+@query(
+    "catalog_account_listing",
+    """
+    SELECT * FROM (VALUES
+      ('analytics', 'documents'),
+      ('analytics', 'events'),
+      ('sales', 'orders')
+    ) t(database, container)
+    ORDER BY database, container
+    """,
+)
+def catalog_account_listing(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """O4+O5 as a query: enumerate the database → container hierarchy
+    of a freshly built path-catalog account (reference walks the same
+    tree over the network: databases ``src/clients.py:28-38``,
+    containers ``src/containers.py:78-89``).  The account carries the
+    noise a real filesystem root accumulates — a hidden directory
+    (not a database), a stray non-parquet file, and a properties-only
+    container with no data (provisioned but never written: listed by
+    Cosmos, but not a data container here) — and the oracle's constant
+    expected table pins that exactly the three REAL containers in two
+    databases survive the walk, in deterministic sorted order."""
+    import shutil
+
+    from sync_cosmos_db_spark.sources import catalog as C
+
+    root = tempfile.mkdtemp(prefix="catalog_ls_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").limit(3)
+        for db, cont in [("analytics", "documents"),
+                         ("analytics", "events"), ("sales", "orders")]:
+            C.create_container_if_not_exists(root, db, cont)
+            docs.write.mode("overwrite").parquet(
+                C.container_data_path(root, db, cont))
+        # noise: provisioned-but-empty container, hidden dir, stray file
+        C.create_container_if_not_exists(root, "analytics", "staging")
+        os.makedirs(os.path.join(root, ".tmp_scratch"))
+        with open(os.path.join(root, "README.txt"), "w") as f:
+            f.write("not a database\n")
+
+        rows = [(db, cont)
+                for db in C.list_databases(root)
+                for cont in C.list_containers(root, db)]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return (spark.createDataFrame(rows, "database string, container string")
+            .orderBy("database", "container"))
+
+
+# ---------------------------------------------------------------------------
+# O23 — full-account orchestration loop as a driver query
+# (round-5 verdict item 6: previously pytest-only)
+# ---------------------------------------------------------------------------
+
+@query(
+    "orchestrator_account_summary",
+    """
+    SELECT * FROM (
+      SELECT 'sales' AS database, 'docs_a' AS container,
+             sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)::BIGINT
+               AS inserted,
+             sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 = 0
+                      THEN 1 ELSE 0 END)::BIGINT AS updated,
+             sum(CASE WHEN doc_id % 3 <> 0 AND doc_id % 5 <> 0
+                      THEN 1 ELSE 0 END)::BIGINT AS skipped,
+             true AS verified
+      FROM documents
+      UNION ALL
+      SELECT 'web', 'docs_b', count(*)::BIGINT, 0::BIGINT, 0::BIGINT,
+             true
+      FROM documents WHERE lang = 'en')
+    ORDER BY database
+    """,
+)
+def orchestrator_account_summary(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """O23 end-to-end as a query: ``migrate_account_path`` with NO
+    scope — the reference's full-account dispatch
+    (``src/main.py:107-152``) — over a two-database source account:
+    ``sales/docs_a`` migrates into a PRE-EXISTING target holding the
+    standard stale/missing derivation (doc_id%3 absent → insert,
+    doc_id%5 stale text → update, rest skip — the flagship classifier
+    fixture), and ``web/docs_b`` lands in a fresh target (pure
+    inserts).  The per-container MigrationResult counters and the O21
+    verification flag surface as rows; the oracle recomputes every
+    counter from the ``documents`` table independently, so the hash
+    check pins the whole orchestration loop — catalog walk, DDL,
+    pre-flight, classify, merge write, verify — not just the
+    classifier."""
+    import shutil
+
+    from sync_cosmos_db_spark.orchestrator import migrate_account_path
+    from sync_cosmos_db_spark.sources import catalog as C
+
+    src_root = tempfile.mkdtemp(prefix="orch_src_")
+    tgt_root = tempfile.mkdtemp(prefix="orch_tgt_")
+    try:
+        docs = (load_table(spark, sf_dir, "documents")
+                .select(F.col("doc_id").cast("string").alias("id"),
+                        "doc_id", "text", "lang"))
+        docs.write.mode("overwrite").parquet(
+            C.container_data_path(src_root, "sales", "docs_a"))
+        stale = (docs.filter(F.col("doc_id") % 3 != 0)
+                 .withColumn("text",
+                             F.when(F.col("doc_id") % 5 == 0,
+                                    F.concat(F.col("text"),
+                                             F.lit(" [stale]")))
+                             .otherwise(F.col("text"))))
+        stale.write.mode("overwrite").parquet(
+            C.container_data_path(tgt_root, "sales", "docs_a"))
+        (docs.filter(F.col("lang") == "en")
+         .write.mode("overwrite").parquet(
+             C.container_data_path(src_root, "web", "docs_b")))
+
+        summary = migrate_account_path(spark, src_root, tgt_root)
+        rows = []
+        for db in sorted(summary["results"]):
+            for cont, res in sorted(summary["results"][db].items()):
+                rows.append((db, cont, res.inserted, res.updated,
+                             res.skipped, bool(res.verified)))
+    finally:
+        shutil.rmtree(src_root, ignore_errors=True)
+        shutil.rmtree(tgt_root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "database string, container string, inserted long, "
+        "updated long, skipped long, verified boolean").orderBy("database")

@@ -401,7 +401,9 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT j.g AS o_orderpriority, count(*)::BIGINT AS n,
            floor(max(j.med) * 10000 + 0.5) / 10000 AS med,
            floor(max(mad.mad) * 10000 + 0.5) / 10000 AS mad,
-           sum(CASE WHEN abs(0.6745 * (v - j.med) / mad.mad) > 3.5
+           sum(CASE WHEN CASE WHEN mad.mad > 0
+                         THEN abs(0.6745 * (v - j.med) / mad.mad) > 3.5
+                         ELSE v <> j.med END
                     THEN 1 ELSE 0 END)::BIGINT AS n_outliers
     FROM j JOIN mad ON mad.g = j.g
     GROUP BY 1

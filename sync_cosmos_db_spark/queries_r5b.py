@@ -32,7 +32,7 @@ from sync_cosmos_db_spark.session import load_table
 @query(
     "binaryfile_ingest_documents",
     """
-    SELECT doc_id, (length(text) + 1)::BIGINT AS n_bytes,
+    SELECT doc_id, (octet_length(encode(text)) + 1)::BIGINT AS n_bytes,
            sha256(text || chr(10)) AS content_sha
     FROM documents WHERE doc_id < 100
     """,

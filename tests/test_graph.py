@@ -145,3 +145,14 @@ def test_bellman_ford_prefers_cheap_long_path(spark):
     one = {r.node: r.cost for r in
            bellman_ford(edges, seeds, rounds=1).collect()}
     assert one[2] == 10  # direct edge only after a single round
+
+
+def test_bellman_ford_rejects_negative_weights(spark):
+    import pytest
+
+    from sync_cosmos_db_spark.operators.graph import bellman_ford
+
+    edges = spark.createDataFrame([(1, 2, -5)], "src long, dst long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    with pytest.raises(ValueError, match="negative edge weights"):
+        bellman_ford(edges, seeds, rounds=1)

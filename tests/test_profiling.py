@@ -68,3 +68,48 @@ def test_redact_text_multiple_occurrences(spark):
     df = spark.createDataFrame([("a@b.io then c@d.io",)], "t string")
     out = df.select(redact_text("t").alias("r")).collect()[0].r
     assert out == "<EMAIL> then <EMAIL>"
+
+
+def test_mad_outliers_degenerate_group_flags_deviants(spark):
+    """A group whose majority is constant has MAD = 0 — the modified
+    z-score is undefined, so the operator must fall back to flagging
+    every x != median instead of silently reporting 0 outliers."""
+    from sync_cosmos_db_spark.operators.profiling import mad_outliers
+
+    rows = [("a", 5.0)] * 9 + [("a", 1000.0)] + \
+        [("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 100.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in mad_outliers(df, "g", "v").collect()}
+    assert out["a"].mad == 0.0
+    assert out["a"].n_outliers == 1  # the 1000.0 gross deviant
+    assert out["b"].mad > 0
+
+
+def test_conformal_calibration_rejects_oversized_sample(spark):
+    import pytest
+
+    from sync_cosmos_db_spark.operators.profiling import (
+        MAX_CALIB_K, conformal_calibration)
+
+    df = spark.createDataFrame([(1, 1, 1.0)], "id long, k long, v double")
+    with pytest.raises(ValueError, match="bounded sample"):
+        conformal_calibration(df, "id", "k", "v", calib_k=MAX_CALIB_K + 1)
+    with pytest.raises(ValueError, match="bounded sample"):
+        conformal_calibration(df, "id", "k", "v", calib_k=0)
+
+
+def test_conformal_calibration_covers_held_out_fold(spark):
+    """End-to-end statistical sanity on synthetic data: with enough
+    calibration scores, empirical coverage on the disjoint test fold
+    should land near the nominal 90%."""
+    from sync_cosmos_db_spark.operators.profiling import (
+        conformal_calibration,
+    )
+
+    rows = [(i, i % 7, float(i % 7) + (i * 37 % 100) / 100.0)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    r = conformal_calibration(df, "id", "k", "v", calib_k=512).collect()[0]
+    assert r.n_calib == 512
+    assert r.n_test > 500
+    assert 0.8 <= r.coverage <= 1.0
