@@ -68,6 +68,14 @@ HEADLINE_LLM = [
     "cdc_apply_orders",
     "web_pipeline_stats",
     "sentence_chunk_64",
+    # Round-5 heavies (round-5 verdict item 4): Poisson bootstrap,
+    # bounded-round Bellman-Ford, power-iteration top PC, rolling
+    # distinct actives — the iterative / resample-expansion families a
+    # regression would otherwise hide in.
+    "bootstrap_ci_order_price",
+    "bellman_ford_trade_distance",
+    "embedding_top_pc",
+    "rolling_7d_active_users",
 ]
 
 
@@ -98,10 +106,23 @@ def main() -> int:
         # noop sink = full distributed execution without billing py4j
         # row transfer to the driver (some queries return 500k+ rows;
         # collecting them measures the driver, not the engine).
+        # Per-query warm-up run 0 (untimed, round-5 verdict item 3):
+        # several operators leave corpus-cardinality intermediates
+        # persisted (setsim postings, pagerank edges) and memoize
+        # bounded cap-check verdicts per logical plan; run 0
+        # materializes those once so the 3 timed runs measure the
+        # steady-state plan, not first-touch persist population —
+        # the measured source of the 24.9s-median / 15.8s-best
+        # setsim_join_docs spread in BENCH_r05. The cold first-run
+        # cost stays visible in "queries_cold_run" alongside.
         timings: dict[str, float] = {}
         best_of: dict[str, float] = {}
+        cold: dict[str, float] = {}
         for name in names:
             fn = queries[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cold[name] = round(time.perf_counter() - t0, 3)
             runs = []
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -110,10 +131,10 @@ def main() -> int:
             runs.sort()
             timings[name] = round(runs[1], 3)
             best_of[name] = round(runs[0], 3)
-        return timings, best_of
+        return timings, best_of, cold
 
-    timings, best_of = run_suite(HEADLINE)
-    llm_timings, llm_best_of = run_suite(HEADLINE_LLM)
+    timings, best_of, cold = run_suite(HEADLINE)
+    llm_timings, llm_best_of, llm_cold = run_suite(HEADLINE_LLM)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -123,10 +144,12 @@ def main() -> int:
         "queries": timings,
         "queries_best_of_3": best_of,
         "best_of_3_total": round(sum(best_of.values()), 3),
+        "queries_cold_run": cold,
         "headline_llm_suite_sec": round(sum(llm_timings.values()), 3),
         "llm_queries": llm_timings,
         "llm_queries_best_of_3": llm_best_of,
         "llm_best_of_3_total": round(sum(llm_best_of.values()), 3),
+        "llm_queries_cold_run": llm_cold,
         "sf": sf,
     }))
     return 0
