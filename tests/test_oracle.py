@@ -83,3 +83,18 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 1
+
+
+def test_readme_counts_match_registry():
+    """README's registry line must track the live registry (round-5
+    verdict item 7: the counts drifted twice; this pins them)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "README.md")) as f:
+        m = re.search(r"Registry: (\d+) named queries, (\d+) "
+                      r"hash-checked against DuckDB oracles", f.read())
+    assert m, "README registry line missing"
+    assert int(m.group(1)) == len(entrymod.queries())
+    assert int(m.group(2)) == len(entrymod.oracle_sql())
