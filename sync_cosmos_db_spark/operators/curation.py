@@ -635,3 +635,101 @@ def category_index(df: DataFrame, cols: list[str]) -> DataFrame:
     w = W.partitionBy("column_name").orderBy("value")
     return counts.withColumn(
         "idx", (F.row_number().over(w) - 1).cast("long"))
+
+
+def target_encode(df: DataFrame, cat_col: str, target_col: str,
+                  m: float = 10.0, round_digits: int = 4) -> DataFrame:
+    """X127 — m-estimate (smoothed) target encoding: enc(cat) =
+    (n·mean_cat + m·global_mean) / (n + m) — the leakage-resistant
+    categorical encoder for gradient-boosted / linear models; the
+    smoothing prior keeps rare categories from memorizing their own
+    targets.
+
+    One category-keyed aggregate + a 1-row global aggregate broadcast
+    back on a derived constant equi-key (the non-foldable
+    ``floor(x*0)`` trick — BroadcastHashJoin, never BNLJ).  At 100 TB
+    the encoding table is category-cardinality-sized and broadcasts
+    onto the feature frame.  Returns
+    ``(cat, n, raw_mean, encoded)``."""
+    t = F.col(target_col).cast("double")
+    per = (df.groupBy(F.col(cat_col).alias("cat"))
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(t).alias("__s")))
+    g = (df.agg(F.avg(t).alias("__gm"))
+         .withColumn("__k", F.floor(F.col("__gm") * 0)))
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    return (per.withColumn("__k", F.floor(F.col("__s") * 0))
+            .join(F.broadcast(g), "__k")
+            .select("cat", "n",
+                    fr(F.col("__s") / F.col("n")).alias("raw_mean"),
+                    fr((F.col("__s") + F.lit(m) * F.col("__gm"))
+                       / (F.col("n") + F.lit(m))).alias("encoded")))
+
+
+def group_split_audit(df: DataFrame, id_col: str, group_col: str,
+                      salt_row: str = "rowsplit",
+                      salt_group: str = "groupsplit") -> DataFrame:
+    """X128 — train/eval split LEAKAGE audit: contrast a row-level
+    hash split against a group-aware one.  A row split scatters each
+    group (user, document cluster, session) across both sides, so a
+    model can memorize group identity in train and cash it in at
+    eval — the classic silent leak; a group-keyed split assigns every
+    row of a group to one side by construction.
+
+    Both splits are deterministic sha2 buckets (``hash_bucket``) —
+    rerunnable and oracle-reproducible, never ``rand()``.  One scan
+    per method, one group-keyed aggregate counting groups whose rows
+    span both sides.  Returns one row per method:
+    ``(method, n_train, n_eval, n_groups, n_leaky_groups)`` — the
+    group method's ``n_leaky_groups`` is structurally 0, which is the
+    assertion a pipeline pre-flight makes before training."""
+    out = []
+    for method, col in [("row", id_col), ("group", group_col)]:
+        split = df.withColumn(
+            "__b", hash_bucket(col, 2,
+                               salt_row if method == "row" else salt_group))
+        per_group = (split.groupBy(group_col)
+                     .agg(F.sum((F.col("__b") == 0).cast("long"))
+                          .alias("__tr"),
+                          F.sum((F.col("__b") == 1).cast("long"))
+                          .alias("__ev")))
+        row = (per_group.agg(
+            F.lit(method).alias("method"),
+            F.sum("__tr").cast("long").alias("n_train"),
+            F.sum("__ev").cast("long").alias("n_eval"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(((F.col("__tr") > 0) & (F.col("__ev") > 0))
+                  .cast("long")).cast("long").alias("n_leaky_groups")))
+        out.append(row)
+    return out[0].unionByName(out[1])
+
+
+def stride_chunks(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", window: int = 32,
+                  stride: int = 24) -> DataFrame:
+    """X134 — sliding-window chunking with overlap (window W, stride
+    S < W): the RAG / long-context ingestion cut that keeps W−S
+    tokens of context across chunk boundaries, unlike the disjoint
+    token chunker.  Chunk starts are 0, S, 2S, … < n_tokens, entirely
+    in-row (``sequence`` + ``slice`` over the token array — no
+    explode-then-window, no shuffle at all: the cost is one codegen'd
+    projection per document).  Returns one row per chunk
+    ``(id, chunk_idx, n_chunk_tokens, head_tok)`` — head_tok pins
+    content alignment for the oracle."""
+    if not (0 < stride < window):
+        raise ValueError(
+            f"stride_chunks: need 0 < stride < window, "
+            f"got window={window} stride={stride}")
+    toks = F.split(F.col(text_col), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    chunks = F.transform(
+        starts, lambda st: F.struct(
+            (st / stride).cast("long").alias("idx"),
+            F.slice(toks, st + 1, window).alias("ck")))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("c"))
+            .select(F.col(id_col),
+                    F.col("c.idx").alias("chunk_idx"),
+                    F.size("c.ck").cast("long").alias("n_chunk_tokens"),
+                    F.element_at("c.ck", 1).alias("head_tok")))

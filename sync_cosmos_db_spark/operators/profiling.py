@@ -778,3 +778,42 @@ def conformal_calibration(df: DataFrame, id_col: str, key_col: str,
         (F.floor(F.lit(q_hat) * p + F.lit(0.5)) / p).alias("q_hat"),
         (F.floor(F.avg((F.col("err") <= F.lit(q_hat)).cast("double"))
                  * p + F.lit(0.5)) / p).alias("coverage"))
+
+
+def robust_scale_profile(df: DataFrame, group_col: str, value_col: str,
+                         round_digits: int = 4) -> DataFrame:
+    """X124 — robust (median/IQR) feature scaling with a verification
+    profile: per group, z = (x − median) / IQR, the outlier-immune
+    standardization a feature pipeline applies to scraped numerics
+    where mean/std scaling is dragged by the tails.
+
+    One group-keyed interpolated-percentile aggregate (q1/med/q3)
+    broadcast back onto the rows, then one group-keyed reduce of the
+    scaled values — the raw column shuffles once.  Scale parameters
+    are floor-rounded BEFORE the transform on BOTH engines (the
+    ``iqr_outliers`` discipline) so the scaled values are
+    engine-identical.  Degenerate groups (IQR = 0) are reported with
+    null scaled stats rather than dropped — the caller must see them.
+    Returns ``(group, n, med, iqr, scaled_mean, frac_within_1)``."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    v = F.col(value_col).cast("double")
+    q = df.groupBy(F.col(group_col).alias("grp")).agg(
+        fr(F.expr(f"percentile({value_col}, 0.25)")).alias("q1"),
+        fr(F.expr(f"percentile({value_col}, 0.5)")).alias("med"),
+        fr(F.expr(f"percentile({value_col}, 0.75)")).alias("q3"))
+    j = df.join(F.broadcast(q), F.col(group_col) == F.col("grp"))
+    iqr = F.col("q3") - F.col("q1")
+    # try_divide: ANSI mode evaluates the division even under a
+    # when(iqr > 0) guard (aggregate subexpression elimination), so a
+    # degenerate group would throw DIVIDE_BY_ZERO instead of reporting
+    z = F.try_divide(v - F.col("med"), iqr)
+    return (j.groupBy(group_col)
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.max("med").alias("med"),
+                 F.max(iqr).alias("iqr"),
+                 F.when(F.max(iqr) > 0,
+                        fr(F.avg(F.when(iqr > 0, z)))).alias("scaled_mean"),
+                 F.when(F.max(iqr) > 0,
+                        fr(F.avg((F.abs(z) <= 1.0).cast("double"))))
+                 .alias("frac_within_1")))

@@ -353,3 +353,47 @@ def lsh_topk(
                 (F.floor(F.col("cosine_sim") * 10000 + F.lit(0.5)) / 10000)
                 .alias("cosine_sim"))
     )
+
+
+def centroid_cosine_matrix(df: DataFrame, group_col: str = "label",
+                           vec_col: str = "embedding",
+                           round_digits: int = 4) -> DataFrame:
+    """X130 — pairwise cosine similarity between per-group embedding
+    CENTROIDS: the class/source/cluster confusion matrix at embedding
+    level — which labels an encoder cannot separate, which sources
+    are semantically redundant in a mixture, whether an IVF-style
+    partition has collapsed cells.
+
+    One posexplode feeding a (group, dim)-keyed mean (map-side
+    partials; output is |groups|·dim rows — tiny), then the pairwise
+    products join on ``dim`` with per-token fan-out bounded by
+    |groups|², never by corpus size.  Centroid coordinates are
+    floor-rounded to 10 decimals BEFORE any product on BOTH engines
+    (the ``power_iteration_pc`` discipline) so summation-order ulps
+    cannot flip the rounded output.  Returns
+    ``(group_a, group_b, cos)`` for group_a < group_b."""
+    dv = (df.select(F.col(group_col).alias("g"),
+                    F.posexplode(vec_col).alias("dim", "v"))
+          .withColumn("v", F.col("v").cast("double")))
+    p10 = 10 ** 10
+    cent = (dv.groupBy("g", "dim")
+            .agg((F.floor(F.avg("v") * p10 + F.lit(0.5)) / p10)
+                 .alias("c")))
+    norm = (cent.groupBy("g")
+            .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")))
+    a = cent.select(F.col("g").alias("ga"), "dim", F.col("c").alias("ca"))
+    b = cent.select(F.col("g").alias("gb"), "dim", F.col("c").alias("cb"))
+    dots = (a.join(b, "dim")
+            .filter(F.col("ga") < F.col("gb"))
+            .groupBy("ga", "gb")
+            .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot")))
+    p = 10 ** round_digits
+    return (dots
+            .join(norm.select(F.col("g").alias("ga"),
+                              F.col("nrm").alias("na")), "ga")
+            .join(norm.select(F.col("g").alias("gb"),
+                              F.col("nrm").alias("nb")), "gb")
+            .select(F.col("ga").alias("group_a"),
+                    F.col("gb").alias("group_b"),
+                    (F.floor(F.col("dot") / (F.col("na") * F.col("nb"))
+                             * p + F.lit(0.5)) / p).alias("cos")))

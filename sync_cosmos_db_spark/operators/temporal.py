@@ -240,3 +240,44 @@ def ewma_calendar(df: DataFrame, day_col: str, value_col: str,
             .groupBy("day")
             .agg((F.floor(F.sum("wv") / F.sum("w") * p + F.lit(0.5)) / p)
                  .alias("ewma")))
+
+
+def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
+                      value_col: str, order_col: str | None = None,
+                      round_digits: int = 4) -> DataFrame:
+    """X129 — trapezoidal time-weighted average per series: TWA =
+    Σᵢ (vᵢ + vᵢ₊₁)/2 · Δtᵢ / Σᵢ Δtᵢ over consecutive observations —
+    the correct mean for IRREGULARLY sampled series (sensor reads,
+    account balances, prices), where the arithmetic mean over-weights
+    bursts of closely spaced samples.
+
+    ONE key-partitioned window (lead) builds the consecutive pairs —
+    no self-join — and one key-keyed aggregate reduces; both shuffle
+    on the series key only.  Zero-duration series (a single sample,
+    or all samples at one instant) are dropped — TWA is undefined.
+    Ordering ties on ``ts_col`` break deterministically on
+    ``order_col`` (default: the key itself — pass an event id for
+    multi-row-per-instant series).  Returns ``(key, n_obs, twa)``."""
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + (
+        [F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    t = F.col(ts_col).cast("double")  # epoch seconds
+    paired = (df.withColumn("__v2", F.lead(v).over(w))
+              .withColumn("__t2", F.lead(t).over(w))
+              .filter(F.col("__t2").isNotNull())
+              .select(F.col(key_col),
+                      ((F.col("__v2") + v) / 2
+                       * (F.col("__t2") - t)).alias("__area"),
+                      (F.col("__t2") - t).alias("__dt")))
+    p = 10 ** round_digits
+    return (paired.groupBy(key_col)
+            .agg((F.count("*") + 1).cast("long").alias("n_obs"),
+                 F.sum("__area").alias("__a"),
+                 F.sum("__dt").alias("__d"))
+            .filter(F.col("__d") > 0)
+            .select(F.col(key_col), "n_obs",
+                    (F.floor(F.col("__a") / F.col("__d") * p
+                             + F.lit(0.5)) / p).alias("twa")))

@@ -574,3 +574,101 @@ def flesch_reading_ease(col):
     return (F.lit(206.835)
             - F.lit(1.015) * (words.cast("double") / sentences)
             - F.lit(84.6) * (syllables.cast("double") / words))
+
+
+def bigram_backoff_logprob(df, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           lam: float = 0.8,
+                           round_digits: int = 6):
+    """X120 — per-document average negative log-probability under an
+    interpolated BIGRAM LM fit on the scored corpus: P(w₂|w₁) =
+    λ·c(w₁w₂)/c(w₁) + (1−λ)·c(w₂)/T — the Jelinek–Mercer backoff that
+    upgrades the unigram CCNet scorer (``unigram_logprob_profile``)
+    with local context; fluent-but-rare-word documents score better,
+    word-salad documents with common words score worse, which is
+    exactly the separation a pretraining quality gate wants.
+
+    Scale shape: ONE doc-keyed window (lead) forms the bigram stream;
+    counts are token-/pair-keyed aggregates with map-side partials;
+    the three probability joins key on bigram and unigram tokens; the
+    1-row corpus total broadcasts on a derived constant equi-key (the
+    non-foldable ``floor(x*0)`` trick — a BroadcastHashJoin, never a
+    BNLJ).  Scoring against a FROZEN reference LM at 100 TB is the
+    identical plan with the count tables read from storage.  Returns
+    ``(id, n_bigrams, avg_neg_logprob)``."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    big = (toks.withColumn("w2", F.lead("w").over(w))
+           .filter(F.col("w2").isNotNull())
+           .select(F.col(id_col), F.col("w").alias("w1"), "w2"))
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("double").alias("cb"))
+    uc = toks.groupBy("w").agg(F.count("*").cast("double").alias("cu"))
+    total = (uc.agg(F.sum("cu").alias("t"))
+             .withColumn("__k", F.floor(F.col("t") * 0)))
+    scored = (big.join(bc, ["w1", "w2"])
+              .join(uc.select(F.col("w").alias("w1"),
+                              F.col("cu").alias("cu1")), "w1")
+              .join(uc.select(F.col("w").alias("w2"),
+                              F.col("cu").alias("cu2")), "w2"))
+    # the mixture log cannot be decomposed algebraically like the
+    # unigram scorer; compute ln(λ·cb/cu1 + (1−λ)·cu2/T) per bigram and
+    # average.  T joins in via the broadcast total first.
+    per = (scored.withColumn("__k", F.floor(F.col("cb") * 0))
+           .join(F.broadcast(total), "__k")
+           .withColumn(
+               "__lp",
+               F.log(F.lit(lam) * F.col("cb") / F.col("cu1")
+                     + F.lit(1.0 - lam) * F.col("cu2") / F.col("t")))
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_bigrams"),
+                F.avg("__lp").alias("__alp")))
+    p = 10 ** round_digits
+    return per.select(
+        F.col(id_col), "n_bigrams",
+        (F.floor(-F.col("__alp") * p + F.lit(0.5)) / p)
+        .alias("avg_neg_logprob"))
+
+
+def source_vocab_overlap(df, group_col: str = "source",
+                         text_col: str = "text",
+                         round_digits: int = 6):
+    """X122 — pairwise vocabulary Jaccard between corpus slices (per
+    source/domain/snapshot): the mixture-design diagnostic that says
+    which sources are near-duplicates of each other AT THE VOCABULARY
+    level before any document-level dedup runs, and the drift check
+    between two crawl snapshots.
+
+    One (group, token) distinct (token-keyed shuffle with map-side
+    combine), then a token-keyed self-join whose per-token fan-out is
+    bounded by the number of GROUPS squared (sources/snapshots — a
+    handful), never by token frequency — the classic reason this is
+    computed over the distinct vocabulary, not the token stream.
+    Returns ``(group_a, group_b, n_a, n_b, inter, jaccard)``."""
+    tv = (df.select(F.col(group_col).alias("g"),
+                    F.explode(F.array_distinct(
+                        F.split(F.col(text_col), r"\s+"))).alias("tok"))
+          .distinct())
+    sz = tv.groupBy("g").agg(F.count("*").cast("long").alias("n"))
+    a = tv.select(F.col("g").alias("ga"), "tok")
+    b = tv.select(F.col("g").alias("gb"), "tok")
+    inter = (a.join(b, "tok")
+             .filter(F.col("ga") < F.col("gb"))
+             .groupBy("ga", "gb")
+             .agg(F.count("*").cast("long").alias("inter")))
+    p = 10 ** round_digits
+    return (inter
+            .join(sz.select(F.col("g").alias("ga"),
+                            F.col("n").alias("n_a")), "ga")
+            .join(sz.select(F.col("g").alias("gb"),
+                            F.col("n").alias("n_b")), "gb")
+            .select(F.col("ga").alias("group_a"),
+                    F.col("gb").alias("group_b"),
+                    "n_a", "n_b", "inter",
+                    (F.floor(F.col("inter")
+                             / (F.col("n_a") + F.col("n_b")
+                                - F.col("inter")) * p + F.lit(0.5)) / p)
+                    .alias("jaccard")))

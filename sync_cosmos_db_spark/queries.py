@@ -366,28 +366,29 @@ SWEEP_PRIORITY: list[str] = [
     "binaryfile_ingest_documents",
     "setsim_join_docs",
     "sim_topk_bruteforce",
-    # --- re-check filler (replaced by new round-6 families as they
-    # land; every name below is already driver-green in r1-r5)
+    # --- NEW round 6: families X119-X134 (operators + oracles land
+    # this round; never driver-swept by construction)
+    "editdist_pairs_customers",
+    "bigram_lm_documents",
+    "vocab_overlap_sources",
+    "pii_cooccurrence_docs",
+    "robust_scale_prices",
+    "clustering_coeff_docs",
+    "out_of_order_events",
+    "target_encode_segments",
+    "split_leakage_audit_events",
+    "twa_user_value",
+    "centroid_cosine_labels",
+    "rate_limit_hourly",
+    "ri_orphan_audit",
+    "stride_chunks_documents",
+    # --- re-check filler (already driver-green in r1-r5)
     "dedup_jaccard_pairs",
     "dedup_exact_content",
     "sim_topk_vectorized",
     "sim_topk_ivf_fullprobe",
     "pagerank_customer_supplier",
     "dedup_span_coverage",
-    "rolling_7d_active_users",
-    "bpe_pair_counts",
-    "pack_sequences_64",
-    "decontam_eval_train_overlap",
-    "gopher_quality_flags",
-    "text_stats",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q18_large_orders",
-    "events_tumbling_hourly",
-    "stream_stateful_user_totals",
-    "quarantine_validity_counts",
-    "sanitize_customer_pii",
 ]
 # The never-swept backlog now EXCEEDS the 50-query window
 # (nation_revenue_share and session_path_trigrams queue in
@@ -419,6 +420,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
     from sync_cosmos_db_spark import queries_r5b  # noqa: F401
     from sync_cosmos_db_spark import queries_r5c  # noqa: F401
+    from sync_cosmos_db_spark import queries_r6  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -434,6 +436,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
     from sync_cosmos_db_spark import queries_r5b  # noqa: F401
     from sync_cosmos_db_spark import queries_r5c  # noqa: F401
+    from sync_cosmos_db_spark import queries_r6  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

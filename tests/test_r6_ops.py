@@ -1,0 +1,173 @@
+"""Unit tests for the round-6 operator families (X119-X134): edge
+cases the oracle sweep cannot reach — guard rails, degenerate inputs,
+and planted ground truths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_editdist_join_finds_planted_typos(spark):
+    """Pigeonhole blocking must surface substitutions, insertions, and
+    deletions at d=1, including equal-length pairs in BOTH
+    orientations, and must not emit d>1 pairs."""
+    from sync_cosmos_db_spark.operators.linkage import editdist_join
+
+    rows = [(1, "alphabet"), (2, "alphabex"),   # substitution, d=1
+            (3, "alphabets"),                   # insertion vs 1, d=1
+            (4, "alphabe"),                     # deletion vs 1, d=1
+            (5, "zzzzzzzz"),                    # far from everything
+            (6, "alphabyx")]                    # d=2 from 1 (no pair w/ 1)
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in editdist_join(df, "id", "txt", 1).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 1
+    assert (1, 6) not in got and (6, 1) not in got
+    assert not any(5 in k for k in got)
+    assert (2, 6) in got  # alphabex->alphabyx substitution, d=1
+
+
+def test_editdist_join_rejects_zero_dist(spark):
+    from sync_cosmos_db_spark.operators.linkage import editdist_join
+
+    df = spark.createDataFrame([(1, "a")], "id long, txt string")
+    with pytest.raises(ValueError, match="max_dist"):
+        editdist_join(df, "id", "txt", 0)
+
+
+def test_stride_chunks_overlap_and_tail(spark):
+    """W=4 S=3 over 10 tokens -> starts 0,3,6,9; last chunk is the
+    1-token tail; consecutive chunks share W-S=1 token."""
+    from sync_cosmos_db_spark.operators.curation import stride_chunks
+
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(stride_chunks(df, "doc_id", "text", 4, 3).collect(),
+                  key=lambda r: r.chunk_idx)
+    assert [r.n_chunk_tokens for r in rows] == [4, 4, 4, 1]
+    assert [r.head_tok for r in rows] == ["t0", "t3", "t6", "t9"]
+    with pytest.raises(ValueError, match="stride"):
+        stride_chunks(df, "doc_id", "text", 4, 4)
+
+
+def test_group_split_audit_shapes(spark):
+    """Group split must have zero leaky groups; row split on a fixture
+    where every user has many events must leak nearly every user."""
+    from sync_cosmos_db_spark.operators.curation import group_split_audit
+
+    rows = [(i, i % 7) for i in range(700)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    out = {r.method: r for r in
+           group_split_audit(df, "event_id", "user_id").collect()}
+    assert out["group"].n_leaky_groups == 0
+    assert out["row"].n_leaky_groups == 7  # 100 events/user: all leak
+    for r in out.values():
+        assert r.n_train + r.n_eval == 700
+        assert r.n_groups == 7
+
+
+def test_time_weighted_avg_trapezoid(spark):
+    """v=0 for 10s then v=10 for 30s (trapezoids 0->0@10, 0->10 over
+    0s?  use explicit points): points (t=0,v=0), (t=10,v=0),
+    (t=20,v=10) -> areas: 0 (0..10), 50 (10..20); twa = 50/20 = 2.5."""
+    import datetime
+
+    from sync_cosmos_db_spark.operators.temporal import time_weighted_avg
+
+    base = datetime.datetime(2026, 1, 1)
+    rows = [(1, base, 0.0), (1, base + datetime.timedelta(seconds=10), 0.0),
+            (1, base + datetime.timedelta(seconds=20), 10.0),
+            (2, base, 99.0)]  # single observation: dropped
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {r.k: r for r in
+           time_weighted_avg(df, "k", "ts", "v").collect()}
+    assert out[1].twa == 2.5
+    assert out[1].n_obs == 3
+    assert 2 not in out
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    """Triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1 (deg 2, 1 tri);
+    cc(3)=1/3 (deg 3, 1 tri of 3 possible); node 4 deg 1 excluded."""
+    from sync_cosmos_db_spark.operators.graph import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long")
+    out = {r.node: r for r in clustering_coefficient(edges).collect()}
+    assert out[1].cc == 1.0 and out[2].cc == 1.0
+    assert out[3].degree == 3 and out[3].n_tri == 1
+    assert abs(out[3].cc - 0.333333) < 1e-6
+    assert 4 not in out
+
+
+def test_robust_scale_degenerate_group(spark):
+    """A constant group has IQR=0: reported with null scaled stats,
+    never dropped, never a divide-by-zero."""
+    from sync_cosmos_db_spark.operators.profiling import (
+        robust_scale_profile,
+    )
+
+    rows = [("a", 5.0)] * 10 + [("b", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in robust_scale_profile(df, "g", "v").collect()}
+    assert out["a"].iqr == 0.0
+    assert out["a"].scaled_mean is None
+    assert out["b"].iqr > 0 and out["b"].frac_within_1 is not None
+
+
+def test_target_encode_shrinks_rare_categories(spark):
+    """A 1-row category's encoding must sit near the global mean; a
+    dominant category's near its own mean."""
+    from sync_cosmos_db_spark.operators.curation import target_encode
+
+    rows = [("big", 10.0)] * 100 + [("rare", 1000.0)]
+    df = spark.createDataFrame(rows, "cat string, t double")
+    out = {r.cat: r for r in target_encode(df, "cat", "t", m=10.0).collect()}
+    gm = (100 * 10.0 + 1000.0) / 101
+    assert abs(out["big"].encoded - 10.0) < 1.0
+    assert out["rare"].encoded < 200  # shrunk hard toward ~19.8
+    assert abs(out["rare"].encoded
+               - (1000.0 + 10 * gm) / 11) < 0.01
+
+
+def test_bigram_lm_prefers_frequent_sequences(spark):
+    """A document repeating the corpus-dominant bigram must score
+    better (lower avg_neg_logprob) than a shuffled-word document."""
+    from sync_cosmos_db_spark.operators.text import bigram_backoff_logprob
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(9)] + [(9, "mat the on sat cat the")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_neg_logprob
+           for r in bigram_backoff_logprob(df, "doc_id", "text").collect()}
+    assert out[0] < out[9]
+
+
+def test_vocab_overlap_identical_and_disjoint(spark):
+    from sync_cosmos_db_spark.operators.text import source_vocab_overlap
+
+    rows = [("a", "x y z"), ("b", "x y z"), ("c", "p q")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.group_a, r.group_b): r
+           for r in source_vocab_overlap(df, "source", "text").collect()}
+    assert out[("a", "b")].jaccard == 1.0
+    assert ("a", "c") not in out  # zero intersection -> no row
+    assert out[("a", "b")].inter == 3
+
+
+def test_centroid_cosine_orthogonal_and_parallel(spark):
+    from sync_cosmos_db_spark.operators.similarity import (
+        centroid_cosine_matrix,
+    )
+
+    rows = [(0, [1.0, 0.0]), (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [2.0, 0.0])]
+    df = spark.createDataFrame(rows, "label long, embedding array<double>")
+    out = {(r.group_a, r.group_b): r.cos
+           for r in centroid_cosine_matrix(df, "label").collect()}
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == 1.0
