@@ -231,3 +231,45 @@ def rolling_active_users(
             .groupBy("day")
             .agg(F.count_distinct("u").cast("long")
                  .alias("active_users")))
+
+
+def burstiness(df: DataFrame, key_col: str, ts_col: str,
+               order_col: str, min_gaps: int = 2,
+               round_digits: int = 6) -> DataFrame:
+    """X142 — inter-arrival burstiness per key: B = (σ−μ)/(σ+μ) over
+    the gaps between consecutive events — −1 for a metronome, →0 for
+    Poisson, →1 for bursty sessions; the bot-vs-human / retry-storm
+    signature on ingest streams.
+
+    One key-partitioned lag window (gaps), a key-keyed two-pass
+    moment reduce.  The mean gap is floor-rounded BEFORE the variance
+    pass and σ is computed from the explicit Σ(d−μ̂)² formula on both
+    engines (library stddevs disagree in summation order at ulp
+    scale); σ and μ round at 1e-2 s before B so the ratio is
+    engine-identical.  Returns
+    ``(key, n_gaps, mean_gap, std_gap, b)``."""
+    p = 10 ** round_digits
+    w = W.partitionBy(key_col).orderBy(ts_col, order_col)
+    t = F.col(ts_col).cast("double")  # epoch seconds incl. fraction
+    gaps = (df.withColumn("gap", t - F.lag(t).over(w))
+            .filter(F.col("gap").isNotNull())
+            .select(F.col(key_col), "gap"))
+    gaps = gaps.persist()
+    mu = gaps.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        (F.floor(F.avg("gap") * 100 + F.lit(0.5)) / 100).alias("mu"))
+    d = F.col("gap") - F.col("mu")
+    return (gaps.join(mu, key_col)
+            .filter(F.col("n_gaps") >= min_gaps)
+            .groupBy(key_col)
+            .agg(F.max("n_gaps").alias("n_gaps"),
+                 F.max("mu").alias("mean_gap"),
+                 (F.floor(F.sqrt(F.sum(d * d)
+                                 / (F.max("n_gaps") - 1)) * 100
+                          + F.lit(0.5)) / 100).alias("std_gap"))
+            .withColumn(
+                "b",
+                F.floor(F.try_divide(
+                    F.col("std_gap") - F.col("mean_gap"),
+                    F.col("std_gap") + F.col("mean_gap")) * p
+                    + F.lit(0.5)) / p))

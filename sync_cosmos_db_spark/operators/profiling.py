@@ -817,3 +817,221 @@ def robust_scale_profile(df: DataFrame, group_col: str, value_col: str,
                  F.when(F.max(iqr) > 0,
                         fr(F.avg((F.abs(z) <= 1.0).cast("double"))))
                  .alias("frac_within_1")))
+
+
+def changepoint_scan(series: DataFrame, time_col: str, value_col: str,
+                     top_k: int = 5, round_digits: int = 4) -> DataFrame:
+    """X121 — mean-shift changepoint scan (binary-segmentation step 1):
+    for every candidate split of an ordered series, the absolute gap
+    between the mean before and the mean after the split; the top-k
+    gaps are the candidate regime changes (an ingest-volume cliff, a
+    price re-denomination, a schema rollout).
+
+    Takes an already per-period-aggregated ``series`` (period × value —
+    at 100 TB the per-period reduce has already collapsed the data to
+    one row per period, so this whole scan runs on a tiny table): ONE
+    ordered cumulative-sum window over the period sort, then a rank.
+    Per-period values are floor-rounded BEFORE the cumulative pass on
+    both engines so summation-order ulps cannot move a mean.
+    Returns ``(split_<time>, n_before, n_after, mean_before,
+    mean_after, gap)`` — the split row is the LAST period of the left
+    segment."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    w = (Window.orderBy(time_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = (series
+            .select(F.col(time_col),
+                    fr(F.col(value_col).cast("double")).alias("v"))
+            .withColumn("i", F.row_number().over(Window.orderBy(time_col)))
+            .withColumn("cum", F.sum("v").over(w)))
+    tot = base.agg(F.max("i").alias("n"), F.sum("v").alias("s"))
+    j = base.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("n"))
+    mean_l = F.col("cum") / F.col("i")
+    mean_r = (F.col("s") - F.col("cum")) / (F.col("n") - F.col("i"))
+    scored = j.select(
+        F.col(time_col).alias(f"split_{time_col}"),
+        F.col("i").cast("long").alias("n_before"),
+        (F.col("n") - F.col("i")).cast("long").alias("n_after"),
+        fr(mean_l).alias("mean_before"),
+        fr(mean_r).alias("mean_after"),
+        fr(F.abs(mean_l - mean_r)).alias("gap"))
+    r = F.row_number().over(
+        Window.orderBy(F.col("gap").desc(), F.col(f"split_{time_col}")))
+    return (scored.withColumn("rnk", r).filter(F.col("rnk") <= top_k)
+            .drop("rnk"))
+
+
+def acf(series: DataFrame, time_col: str, value_col: str,
+        max_lag: int = 7, round_digits: int = 6) -> DataFrame:
+    """X135 — autocorrelation function of an ordered series at lags
+    1..max_lag: r_k = Σ(x_i−x̄)(x_{i+k}−x̄) / Σ(x_i−x̄)² — the
+    seasonality / memory diagnostic that decides whether a forecast
+    needs lag features and how far back.
+
+    Like ``changepoint_scan`` the input is an already-aggregated
+    series, so the window sort is over periods, not raw rows.  The
+    mean is floor-rounded BEFORE demeaning on both engines; all
+    max_lag lag columns ride ONE window sort (same spec), then a
+    single unpivot → lag-keyed reduce.  Returns
+    ``(lag, n_pairs, acf_value)``."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    mean = series.agg(
+        fr(F.avg(F.col(value_col).cast("double"))).alias("xbar"))
+    base = (series.crossJoin(F.broadcast(mean))
+            .select(F.col(time_col),
+                    (F.col(value_col).cast("double") - F.col("xbar"))
+                    .alias("d")))
+    w = Window.orderBy(time_col)
+    lagged = base.select(
+        "d", *[F.lag("d", k).over(w).alias(f"d{k}")
+               for k in range(1, max_lag + 1)])
+    denom = lagged.agg(F.sum(F.col("d") * F.col("d")).alias("den"))
+    stacked = lagged.select(
+        F.col("d"),
+        F.expr("stack({}, {}) AS (lag, dk)".format(
+            max_lag,
+            ", ".join(f"{k}, d{k}" for k in range(1, max_lag + 1)))))
+    return (stacked.filter(F.col("dk").isNotNull())
+            .groupBy(F.col("lag").cast("long").alias("lag"))
+            .agg(F.count("*").cast("long").alias("n_pairs"),
+                 F.sum(F.col("d") * F.col("dk")).alias("num"))
+            .crossJoin(F.broadcast(denom))
+            .select("lag", "n_pairs",
+                    fr(F.col("num") / F.col("den")).alias("acf_value")))
+
+
+def rank_sum_test(df: DataFrame, group_col: str, value_col: str,
+                  group_a: str, group_b: str,
+                  round_digits: int = 6) -> DataFrame:
+    """X136 — Mann-Whitney U rank-sum test between two groups: the
+    distribution-free "is A systematically larger than B" check that
+    survives the heavy tails where a t-test lies.  Midranks via a
+    value-keyed count + ONE ordered cumulative window over DISTINCT
+    values (never a per-row global sort), tie-corrected normal
+    approximation.  Returns one row
+    ``(n_a, n_b, u_a, mean_u, z)``."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    two = (df.filter(F.col(group_col).isin([group_a, group_b]))
+           .select(F.col(group_col).alias("g"),
+                   F.col(value_col).cast("double").alias("v")))
+    vc = two.groupBy("v").agg(
+        F.count("*").cast("double").alias("t"),
+        F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
+        .cast("double").alias("ta"))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = vc.withColumn("cum", F.sum("t").over(w)) \
+               .withColumn("midrank",
+                           F.col("cum") - (F.col("t") - 1) / 2)
+    agg = ranked.agg(
+        F.sum("ta").alias("na"),
+        F.sum(F.col("t") - F.col("ta")).alias("nb"),
+        F.sum(F.col("midrank") * F.col("ta")).alias("ra"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .alias("ties"))
+    n = F.col("na") + F.col("nb")
+    u_a = F.col("ra") - F.col("na") * (F.col("na") + 1) / 2
+    mean_u = F.col("na") * F.col("nb") / 2
+    var_u = (F.col("na") * F.col("nb") / 12
+             * ((n + 1) - F.col("ties") / (n * (n - 1))))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        fr(u_a).alias("u_a"),
+        fr(mean_u).alias("mean_u"),
+        fr(F.try_divide(u_a - mean_u, F.sqrt(var_u))).alias("z"))
+
+
+def weighted_median(df: DataFrame, group_col: str, value_col: str,
+                    weight_col: str,
+                    round_digits: int = 4) -> DataFrame:
+    """X137 — weighted median per group: the first value (ascending)
+    whose cumulative weight reaches half the group total — the
+    volume-weighted "typical price" that an unweighted median gets
+    wrong whenever line sizes vary.  ONE group-keyed cumulative
+    window over a value-keyed pre-reduce (ties collapse first, so the
+    window sees one row per distinct value, and intra-tie order
+    cannot matter).  Returns ``(group, n, total_w, wmedian)``."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    g = (df.groupBy(F.col(group_col).alias("grp"),
+                    F.col(value_col).cast("double").alias("v"))
+         .agg(F.count("*").cast("long").alias("c"),
+              F.sum(F.col(weight_col).cast("double")).alias("wv")))
+    w = (Window.partitionBy("grp").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = g.withColumn("cw", F.sum("wv").over(w))
+    tot = g.groupBy("grp").agg(F.sum("c").alias("n"),
+                               F.sum("wv").alias("tw"))
+    return (cum.join(tot, "grp")
+            .filter(F.col("cw") >= F.col("tw") / 2)
+            .groupBy(F.col("grp").alias(group_col))
+            .agg(F.max("n").cast("long").alias("n"),
+                 fr(F.max("tw")).alias("total_w"),
+                 fr(F.min("v")).alias("wmedian")))
+
+
+def quantile_align(df: DataFrame, group_col: str, value_col: str,
+                   probs: list[float] | None = None,
+                   round_digits: int = 4) -> DataFrame:
+    """X138 — per-group vs global quantile alignment report: for each
+    probe quantile, the group's interpolated percentile, the global
+    one, and the shift — the distribution-drift table behind quantile
+    normalization (which source's length distribution is skewed, and
+    by how much at each decile).
+
+    Spark's exact ``percentile`` aggregate holds a per-partition
+    value→count map merged on the reducer — memory is O(distinct
+    values), NOT O(rows), and the probed columns here (lengths,
+    prices) have bounded domains; for unbounded domains swap in the
+    X82 boundary-broadcast deciles.  One group-keyed aggregate + a
+    1-row global broadcast.  Returns
+    ``(group, prob, group_q, global_q, shift)``."""
+    probs = probs or [i / 10 for i in range(1, 10)]
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    arr = "array({})".format(", ".join(f"{q}D" for q in probs))
+    pg = (df.groupBy(F.col(group_col).alias("grp"))
+          .agg(F.expr(f"percentile({value_col}, {arr})").alias("qs")))
+    glob = df.agg(F.expr(f"percentile({value_col}, {arr})").alias("gqs"))
+    probs_col = F.array(*[F.lit(float(q)) for q in probs])
+    return (pg.crossJoin(F.broadcast(glob))
+            .select(F.col("grp").alias(group_col),
+                    F.posexplode(F.arrays_zip("qs", "gqs")))
+            .select(F.col(group_col),
+                    F.element_at(probs_col, F.col("pos") + 1)
+                    .alias("prob"),
+                    fr(F.col("col.qs")).alias("group_q"),
+                    fr(F.col("col.gqs")).alias("global_q"),
+                    fr(F.col("col.qs") - F.col("col.gqs"))
+                    .alias("shift")))
+
+
+def gini(df: DataFrame, group_col: str, value_col: str,
+         round_digits: int = 6) -> DataFrame:
+    """X139 — Gini concentration coefficient per group over a
+    non-negative measure: G = (2·Σ i·x_(i)) / (n·Σx) − (n+1)/n with
+    x sorted ascending — the revenue-concentration / contribution-
+    inequality audit (is one customer 60% of a nation's book?).
+
+    ONE group-keyed sort window (row_number + running position sum is
+    the same sort), one group reduce.  Σ i·x is invariant to how ties
+    are ordered (equal x contribute identically), so no tiebreak
+    column is needed for determinism.  Groups where Σx = 0 report
+    null.  Returns ``(group, n, total, gini)``."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    w = Window.partitionBy("grp").orderBy("v")
+    base = (df.select(F.col(group_col).alias("grp"),
+                      F.col(value_col).cast("double").alias("v"))
+            .withColumn("i", F.row_number().over(w)))
+    n = F.count("*").cast("double")
+    return (base.groupBy(F.col("grp").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n"),
+                 fr(F.sum("v")).alias("total"),
+                 fr(F.try_divide(
+                     2 * F.sum(F.col("i") * F.col("v")),
+                     n * F.sum("v")) - (n + 1) / n).alias("gini")))

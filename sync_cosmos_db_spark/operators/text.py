@@ -672,3 +672,40 @@ def source_vocab_overlap(df, group_col: str = "source",
                              / (F.col("n_a") + F.col("n_b")
                                 - F.col("inter")) * p + F.lit(0.5)) / p)
                     .alias("jaccard")))
+
+
+def source_kl(df, group_col: str, text_col: str,
+              round_digits: int = 6):
+    """X140 — per-group token-distribution KL divergence vs the whole
+    corpus: KL(P_g ‖ P_corpus) = Σ_t p_g(t)·ln(p_g(t)/p(t)) — the
+    mixture-design diagnostic that quantifies HOW different each
+    source's unigram distribution is (vocab Jaccard says whether the
+    words overlap; KL says whether their frequencies do).
+
+    One (group, token)-keyed count, a token-keyed join to the global
+    counts (global = Σ over groups of the same partials — no second
+    scan), a 1-row total broadcast.  Every group's support is a
+    subset of the corpus support by construction, so no zero-division
+    guard is needed.  Returns ``(group, n_tokens, kl)``."""
+    from pyspark.sql import functions as F
+
+    gt = (df.select(F.col(group_col).alias("g"),
+                    F.explode(F.split(F.col(text_col), r"\s+"))
+                    .alias("tok"))
+          .groupBy("g", "tok")
+          .agg(F.count("*").cast("double").alias("cgt")))
+    gt = gt.persist()
+    gtot = gt.groupBy("g").agg(F.sum("cgt").alias("tg"))
+    tok = gt.groupBy("tok").agg(F.sum("cgt").alias("ct"))
+    tot = tok.agg(F.sum("ct").alias("t"))
+    p = 10 ** round_digits
+    pg = F.col("cgt") / F.col("tg")
+    pc = F.col("ct") / F.col("t")
+    out = (gt.join(tok, "tok")
+           .join(F.broadcast(gtot), "g")
+           .crossJoin(F.broadcast(tot))
+           .groupBy(F.col("g").alias(group_col))
+           .agg(F.max("tg").cast("long").alias("n_tokens"),
+                (F.floor(F.sum(pg * F.log(pg / pc)) * p + F.lit(0.5))
+                 / p).alias("kl")))
+    return out

@@ -359,13 +359,6 @@ SWEEP_PRIORITY: list[str] = [
     # --- NEW round 6: O4/O5 + O23 as driver queries (verdict item 6)
     "catalog_account_listing",
     "orchestrator_account_summary",
-    # --- re-checks: code paths CHANGED this round (mad degenerate-
-    # group fallback, byte-exact binaryFile oracle) + the two
-    # perf-watch heavies from verdict items 3/5
-    "mad_outlier_prices",
-    "binaryfile_ingest_documents",
-    "setsim_join_docs",
-    "sim_topk_bruteforce",
     # --- NEW round 6: families X119-X134 (operators + oracles land
     # this round; never driver-swept by construction)
     "editdist_pairs_customers",
@@ -382,21 +375,25 @@ SWEEP_PRIORITY: list[str] = [
     "rate_limit_hourly",
     "ri_orphan_audit",
     "stride_chunks_documents",
-    # --- re-check filler (already driver-green in r1-r5)
-    "dedup_jaccard_pairs",
-    "dedup_exact_content",
-    "sim_topk_vectorized",
-    "sim_topk_ivf_fullprobe",
-    "pagerank_customer_supplier",
-    "dedup_span_coverage",
+    # --- NEW round 6 (second batch): families X121/X133/X135-X142
+    "changepoint_daily_revenue",
+    "binary_sniff_documents",
+    "acf_daily_events",
+    "ranksum_building_machinery",
+    "weighted_median_lineitem",
+    "quantile_align_doc_lengths",
+    "gini_nation_revenue",
+    "source_kl_documents",
+    "recursive_reach_nations",
+    "burstiness_user_events",
 ]
-# The never-swept backlog now EXCEEDS the 50-query window
-# (nation_revenue_share and session_path_trigrams queue in
-# registration order for the round-6 window); every window slot above
-# goes to a never-driver-swept query — re-checks of changed code paths
-# (span-dedup viral gate, brute-force memoization) and of the
-# already-green X2 containment twins are covered by pytest + bench
-# instead.
+# The round-6 never-swept backlog is EXACTLY 50 queries (24 round-5
+# stragglers X95-X118 + 2 new infra queries + 14 X119-X134 + 10
+# X121/X133/X135-X142), so every window slot goes to a
+# never-driver-swept query and no re-check slots exist this round —
+# re-checks of changed code paths (mad degenerate-group fallback,
+# byte-exact binaryFile oracle, setsim/brute-force perf watch) are
+# covered by pytest + the bench suite instead.
 
 
 def _sweep_ordered(mapping: dict) -> dict:
@@ -421,6 +418,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r5b  # noqa: F401
     from sync_cosmos_db_spark import queries_r5c  # noqa: F401
     from sync_cosmos_db_spark import queries_r6  # noqa: F401
+    from sync_cosmos_db_spark import queries_r6b  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -437,6 +435,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r5b  # noqa: F401
     from sync_cosmos_db_spark import queries_r5c  # noqa: F401
     from sync_cosmos_db_spark import queries_r6  # noqa: F401
+    from sync_cosmos_db_spark import queries_r6b  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

@@ -112,6 +112,20 @@ BNLJ_ALLOWED = {
     # aggregate (N×1 scalar-subquery shape); the label lookup itself
     # is an id-keyed equi-join.
     "negative_samples_embeddings",
+    # X132: each FK audit crossJoins two single-row count aggregates
+    # — 1×1 BNLJs (verify_counts shape), four of them unioned.
+    "ri_orphan_audit",
+    # X121/X135: the period-collapsed series (one row per day)
+    # crossJoins its BROADCAST single-row total/mean/denominator
+    # aggregate — N×1 on a period-sized N.
+    "changepoint_daily_revenue",
+    "acf_daily_events",
+    # X138: the per-group decile table (|groups| rows) crossJoins the
+    # BROADCAST single-row global-decile aggregate.
+    "quantile_align_doc_lengths",
+    # X140: (group, token) counts crossJoin the BROADCAST single-row
+    # corpus-total aggregate (N×1 scalar-subquery shape).
+    "source_kl_documents",
 }
 
 
