@@ -1035,3 +1035,88 @@ def gini(df: DataFrame, group_col: str, value_col: str,
                  fr(F.try_divide(
                      2 * F.sum(F.col("i") * F.col("v")),
                      n * F.sum("v")) - (n + 1) / n).alias("gini")))
+
+
+def cusum(series: DataFrame, time_col: str, value_col: str,
+          k_mult: float = 0.5, h_mult: float = 4.0,
+          round_digits: int = 4) -> DataFrame:
+    """X143 — two-sided CUSUM drift detector over an ordered series:
+    S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − K)), S⁻_t symmetric, alarm
+    when either exceeds H — the sequential change detector that
+    catches slow drifts a point-in-time mean-shift scan (X121)
+    misses, because small deviations ACCUMULATE.
+
+    The recursion LOOKS unparallelizable, but it has a prefix-scan
+    closed form: with d_t = x_t − μ − K and prefix sum P_t,
+    S⁺_t = P_t − min(0, min_{j≤t} P_j) — one cumulative sum + one
+    running min over ONE ordered window, fully distributed, no fold
+    and no per-row state.  All arithmetic is INTEGER in units of
+    10^−round_digits (values, μ, K, H quantized to the grid first),
+    so the scan form here and the literal sequential recursion the
+    DuckDB oracle runs are provably bit-equal — no summation-order
+    ulps exist at all.  Input is a period-collapsed series (the
+    ``changepoint_scan`` contract).  Returns
+    ``(time, v, s_pos, s_neg, alarm_pos, alarm_neg)``."""
+    scale = 10 ** round_digits
+    vi = F.floor(F.col(value_col).cast("double") * scale
+                 + F.lit(0.5)).cast("long")
+    base = series.select(F.col(time_col).alias("t"), vi.alias("vi"))
+    vd = F.col("vi").cast("double")
+    mu_d = F.avg(vd)
+    sd_d = F.sqrt((F.sum(vd * vd) - F.count("*") * mu_d * mu_d)
+                  / (F.count("*") - 1))
+    params = base.agg(
+        F.floor(mu_d + F.lit(0.5)).cast("long").alias("mui"),
+        F.floor(sd_d * k_mult + F.lit(0.5)).cast("long").alias("ki"),
+        F.floor(sd_d * h_mult + F.lit(0.5)).cast("long").alias("hi"))
+    w = (Window.orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    d = F.col("vi") - F.col("mui") - F.col("ki")
+    e = F.col("mui") - F.col("vi") - F.col("ki")
+    j = (base.crossJoin(F.broadcast(params))
+         .withColumn("p", F.sum(d).over(w))
+         .withColumn("q", F.sum(e).over(w))
+         .withColumn("sp", F.col("p")
+                     - F.least(F.lit(0), F.min("p").over(w)))
+         .withColumn("sn", F.col("q")
+                     - F.least(F.lit(0), F.min("q").over(w))))
+    return j.select(
+        F.col("t").alias(time_col),
+        (F.col("vi").cast("double") / scale).alias("v"),
+        (F.col("sp").cast("double") / scale).alias("s_pos"),
+        (F.col("sn").cast("double") / scale).alias("s_neg"),
+        (F.col("sp") > F.col("hi")).alias("alarm_pos"),
+        (F.col("sn") > F.col("hi")).alias("alarm_neg"))
+
+
+def mutual_information(df: DataFrame, a_col: str, b_col: str,
+                       round_digits: int = 6) -> DataFrame:
+    """X146 — mutual information between two categorical columns:
+    I(A;B) = Σ p(a,b)·ln(p(a,b)/(p(a)p(b))), with the marginal
+    entropies for reference — the dependence measure that catches
+    nonlinear association χ² (X73) only tests and correlation (X29)
+    cannot see at all for categoricals.
+
+    ONE (a,b)-keyed count; marginals derive from those partials (no
+    second scan); a 1-row total broadcast.  Returns one row
+    ``(n, h_a, h_b, h_ab, mi)`` in nats."""
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    ab = (df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+          .agg(F.count("*").cast("double").alias("cab"))).persist()
+    ma = ab.groupBy("a").agg(F.sum("cab").alias("ca"))
+    mb = ab.groupBy("b").agg(F.sum("cab").alias("cb"))
+    tot = ab.agg(F.sum("cab").alias("n"))
+    j = (ab.join(F.broadcast(ma), "a")
+         .join(F.broadcast(mb), "b")
+         .crossJoin(F.broadcast(tot)))
+    pab = F.col("cab") / F.col("n")
+    pa = F.col("ca") / F.col("n")
+    pb = F.col("cb") / F.col("n")
+    return j.agg(
+        F.max("n").cast("long").alias("n"),
+        fr(-F.sum(pab * F.log(pa))).alias("h_a"),
+        fr(-F.sum(pab * F.log(pb))).alias("h_b"),
+        fr(-F.sum(pab * F.log(pab))).alias("h_ab"),
+        fr(F.sum(pab * F.log(pab / (pa * pb)))).alias("mi"),
+    )

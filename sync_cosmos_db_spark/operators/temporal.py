@@ -281,3 +281,41 @@ def time_weighted_avg(df: DataFrame, key_col: str, ts_col: str,
             .select(F.col(key_col), "n_obs",
                     (F.floor(F.col("__a") / F.col("__d") * p
                              + F.lit(0.5)) / p).alias("twa")))
+
+
+def max_drawdown(series, group_col: str, time_col: str, value_col: str,
+                 round_digits: int = 4):
+    """X144 — maximum drawdown per group over an ordered series: the
+    largest peak-to-trough drop of the cumulative sum — the
+    resilience metric for revenue streams and balances (how deep did
+    the worst slump go, and when).
+
+    Input is a period-collapsed series per group (the
+    ``changepoint_scan`` contract).  ONE group-keyed sort carries
+    both windows (cumulative sum and running max of it); the trough
+    row is elected per group by a max-struct aggregate, so no second
+    sort or self-join.  Per-period values are floor-rounded before
+    the cumulative pass on both engines.  Returns
+    ``(group, n_periods, final_value, max_drawdown, trough_<time>)``
+    — trough is the FIRST period attaining the maximum drawdown."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    w = (Window.partitionBy("g").orderBy("t")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wg = Window.partitionBy("g")
+    base = (series.select(F.col(group_col).alias("g"),
+                          F.col(time_col).alias("t"),
+                          fr(F.col(value_col).cast("double")).alias("v"))
+            .withColumn("cum", F.sum("v").over(w))
+            .withColumn("peak", F.max("cum").over(w))
+            .withColumn("dd", F.col("peak") - F.col("cum"))
+            .withColumn("mdd", F.max("dd").over(wg)))
+    return (base.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_periods"),
+                 fr(F.sum("v")).alias("final_value"),
+                 fr(F.max("mdd")).alias("max_drawdown"),
+                 F.min(F.when(F.col("dd") == F.col("mdd"),
+                              F.col("t"))).alias(f"trough_{time_col}")))

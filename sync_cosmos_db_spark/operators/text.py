@@ -709,3 +709,43 @@ def source_kl(df, group_col: str, text_col: str,
                 (F.floor(F.sum(pg * F.log(pg / pc)) * p + F.lit(0.5))
                  / p).alias("kl")))
     return out
+
+
+def markdown_structure_profile(df, group_col: str, text_col: str,
+                               round_digits: int = 4):
+    """X145 — document structure profile per group: fraction of
+    documents containing markdown headers / list items / tables /
+    fenced code blocks, and the mean count of each structural line
+    kind — the curation signal that separates prose from structured
+    docs (code-heavy sources train differently, tables break
+    chunkers, fence-unbalanced docs are truncation victims).
+
+    Entirely in-row JVM array ops (``split`` on newline + ``filter``
+    + ``size``), zero shuffle before the per-group reduce.  Returns
+    ``(group, n_docs, frac_with_header, frac_with_list,
+    frac_with_table, frac_with_code, avg_header_lines,
+    avg_list_lines, unbalanced_fence_docs)``."""
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    lines = F.split(F.col(text_col), "\n")
+    n_hdr = F.size(F.filter(lines, lambda x: x.startswith("#")))
+    n_list = F.size(F.filter(
+        lines, lambda x: x.startswith("- ") | x.startswith("* ")))
+    n_tbl = F.size(F.filter(lines, lambda x: x.startswith("|")))
+    n_fence = F.size(F.filter(lines, lambda x: x.startswith("```")))
+    d = (df.select(F.col(group_col).alias("g"),
+                   n_hdr.alias("nh"), n_list.alias("nl"),
+                   n_tbl.alias("nt"), n_fence.alias("nf")))
+    has = lambda c: (c > 0).cast("double")  # noqa: E731
+    return (d.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 fr(F.avg(has(F.col("nh")))).alias("frac_with_header"),
+                 fr(F.avg(has(F.col("nl")))).alias("frac_with_list"),
+                 fr(F.avg(has(F.col("nt")))).alias("frac_with_table"),
+                 fr(F.avg(has(F.col("nf")))).alias("frac_with_code"),
+                 fr(F.avg("nh")).alias("avg_header_lines"),
+                 fr(F.avg("nl")).alias("avg_list_lines"),
+                 F.sum((F.col("nf") % 2 != 0).cast("long"))
+                 .alias("unbalanced_fence_docs")))

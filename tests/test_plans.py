@@ -126,6 +126,12 @@ BNLJ_ALLOWED = {
     # X140: (group, token) counts crossJoin the BROADCAST single-row
     # corpus-total aggregate (N×1 scalar-subquery shape).
     "source_kl_documents",
+    # X143: the period-collapsed series crossJoins its BROADCAST
+    # single-row (μ, K, H) aggregate — N×1 on a period-sized N.
+    "cusum_daily_revenue",
+    # X146: the (a, b) contingency cells crossJoin the BROADCAST
+    # single-row total aggregate (the X73 chi² shape).
+    "mutual_info_priority_status",
 }
 
 
