@@ -184,7 +184,16 @@ def editdist_join(df: DataFrame, id_col: str, text_col: str,
     # only guarantees the SEGMENT side's segment appears in the probe
     # side, so an (a,b) pair may surface in either orientation; the
     # canonical least/greatest + distinct below dedups.
-    cand = (segs.join(probes, ["l", "i", "seg"])
+    #
+    # The candidate join is PINNED to sort-merge: on a low-entropy
+    # corpus (shared prefixes, short alphabet) segment buckets are
+    # collectively large and the join output is quadratic in bucket
+    # sizes — a streaming, spillable SMJ handles that; AQE's broadcast
+    # pick builds the exploded probe side in executor heap and OOMs
+    # (measured: 50k same-length shared-prefix SKUs OOM a 1 GiB
+    # executor under broadcast, finish in ~21 s under SMJ).
+    cand = (segs.hint("shuffle_merge")
+            .join(probes.hint("shuffle_merge"), ["l", "i", "seg"])
             .filter(F.col("id") != F.col("pid"))
             .select("id", "pid").distinct())
     sa = s.select(F.col("id"), F.col("txt").alias("ta"))
