@@ -273,3 +273,34 @@ def burstiness(df: DataFrame, key_col: str, ts_col: str,
                     F.col("std_gap") - F.col("mean_gap"),
                     F.col("std_gap") + F.col("mean_gap")) * p
                     + F.lit(0.5)) / p))
+
+
+def transition_dwell(df: DataFrame, key_col: str, ts_col: str,
+                     type_col: str, order_col: str,
+                     round_digits: int = 2) -> DataFrame:
+    """X152 — transition dwell-time profile: for each (from_type,
+    to_type) event transition, how long users dwell before making it
+    (mean / median / p90 of the gap) — the timing companion of the
+    Markov transition counts (X26): the count matrix says WHERE users
+    go, this says HOW LONG they hesitate, which is what funnel SLAs
+    and session-timeout tuning actually need.
+
+    ONE key-partitioned lag window (previous type + timestamp), then
+    one transition-keyed aggregate; the exact interpolated
+    ``percentile`` holds O(distinct gap values) per transition cell
+    (gaps quantize to seconds at 1e-2 — bounded), with
+    ``percentile_approx`` the drop-in at unbounded cardinality.
+    Returns ``(from_type, to_type, n, mean_s, p50_s, p90_s)``."""
+    w = W.partitionBy(key_col).orderBy(ts_col, order_col)
+    t = F.col(ts_col).cast("double")
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    gaps = (df.withColumn("from_type", F.lag(type_col).over(w))
+            .withColumn("gap", fr(t - F.lag(t).over(w)))
+            .filter(F.col("from_type").isNotNull()))
+    return (gaps.groupBy("from_type",
+                         F.col(type_col).alias("to_type"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 fr(F.avg("gap")).alias("mean_s"),
+                 fr(F.expr("percentile(gap, 0.5)")).alias("p50_s"),
+                 fr(F.expr("percentile(gap, 0.9)")).alias("p90_s")))

@@ -733,3 +733,56 @@ def stride_chunks(df: DataFrame, id_col: str = "doc_id",
                     F.col("c.idx").alias("chunk_idx"),
                     F.size("c.ck").cast("long").alias("n_chunk_tokens"),
                     F.element_at("c.ck", 1).alias("head_tok")))
+
+
+def quantile_normalize(df, group_col: str, id_col: str, value_col: str,
+                       round_digits: int = 4):
+    """X151 — quantile normalization: map each group's value
+    distribution onto the GLOBAL distribution by rank — after the
+    transform every group has (approximately) the global shape, the
+    standard cross-source harmonization for length/score features
+    (X138 reports the per-decile shifts; this applies the fix).
+
+    Per row: r = (rank−1)/(n_group−1) within its group, then the
+    global order statistic at position r·(N−1) with linear
+    interpolation — TWO ordered windows (group-keyed rank; ONE
+    global row_number over the value sort) and an equi-join on the
+    floor/ceil global positions.  The global sort is the honest cost
+    of EXACT quantile mapping; at unbounded scale substitute the X82
+    boundary-broadcast deciles for an approximate map.  Ranks
+    tie-break on ``id_col`` so rerun and engine agree.  Returns
+    ``(id, group, value, mapped)``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    v = F.col(value_col).cast("double")
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(group_col).alias("g"), v.alias("v"))
+            .withColumn("rk", F.row_number().over(
+                Window.partitionBy("g").orderBy("v", "id")))
+            .withColumn("gi", F.row_number().over(
+                Window.orderBy("v", "id"))))
+    base = base.persist()
+    sizes = base.groupBy("g").agg(F.count("*").alias("ng"))
+    ntot = base.agg(F.count("*").alias("nt"))
+    glob_lo = base.select(F.col("gi").alias("lo"),
+                          F.col("v").alias("vlo"))
+    glob_hi = base.select(F.col("gi").alias("hi"),
+                          F.col("v").alias("vhi"))
+    pos = (F.col("rk") - 1) / (F.col("ng") - 1) * (F.col("nt") - 1)
+    j = (base.join(F.broadcast(sizes), "g")
+         .crossJoin(F.broadcast(ntot))
+         .withColumn("pos", F.when(F.col("ng") > 1, pos)
+                     .otherwise((F.col("nt") - 1) / 2.0))
+         .withColumn("lo", F.floor("pos").cast("long") + 1)
+         .withColumn("hi", F.least(F.col("lo") + 1, F.col("nt")))
+         .withColumn("frac", F.col("pos") - F.floor("pos")))
+    mapped = (F.col("vlo")
+              + F.col("frac") * (F.col("vhi") - F.col("vlo")))
+    return (j.join(glob_lo, "lo").join(glob_hi, "hi")
+            .select(F.col("id").alias("id"),
+                    F.col("g").alias(group_col),
+                    F.col("v").alias(value_col),
+                    (F.floor(mapped * p + F.lit(0.5)) / p)
+                    .alias("mapped")))

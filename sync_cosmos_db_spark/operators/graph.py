@@ -276,3 +276,73 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
                              / (F.col("degree")
                                 * (F.col("degree") - 1)) * p
                              + F.lit(0.5)) / p).alias("cc")))
+
+
+def min_label_propagation(edges: DataFrame, rounds: int = 3,
+                          src: str = "src",
+                          dst: str = "dst") -> DataFrame:
+    """X148 — bounded-round minimum-label propagation: every node
+    starts labeled with its own id; each round takes the min of its
+    own label and its in-neighbors' labels.  After k rounds a node's
+    label is exactly the minimum node id within k hops — community
+    seeds on a bounded horizon, and the building block of
+    connected-components-by-doubling.
+
+    Per round: ONE src-keyed join (labels onto edges) + ONE dst-keyed
+    min + ONE node-keyed min merge — all equi-joins.  Each round's
+    labels are ``localCheckpoint``-ed (merge references the previous
+    labels twice, the bfs_hops/bellman_ford doubling-lineage lesson).
+    Returns ``(node, label)``."""
+    if rounds < 0:
+        raise ValueError(f"min_label_propagation: rounds must be >= 0, "
+                         f"got {rounds}")
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    labels = (nodes.withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        incoming = (labels.join(edges, labels["node"] == edges[src])
+                    .groupBy(F.col(dst).alias("node"))
+                    .agg(F.min("label").alias("in_label")))
+        labels = (labels.join(incoming, "node", "left")
+                  .select("node",
+                          F.least(F.col("label"),
+                                  F.coalesce("in_label", F.col("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
+def k_core(edges: DataFrame, k: int = 3, rounds: int = 3,
+           src: str = "src", dst: str = "dst") -> DataFrame:
+    """X149 — bounded-round k-core peeling: iteratively drop nodes
+    with degree < k (recomputing degrees in the induced subgraph),
+    ``rounds`` times — the dense-cohesion filter that separates a
+    genuinely interlinked community from a star around one hub
+    (remove the hub's pendants and the star evaporates; a true core
+    survives).  ``edges`` must contain both directions.
+
+    Per round: ONE node-keyed degree count + TWO semi-joins filtering
+    the edge set; the edge set shrinks monotonically and each round's
+    survivor edges are ``localCheckpoint``-ed.  A fixed round budget
+    makes the result exact for "survives r peels", the monotone
+    approximation of the true core from above.  Returns
+    ``(node, degree)`` for surviving nodes with their final induced
+    degree."""
+    if k < 1:
+        raise ValueError(f"k_core: k must be >= 1, got {k}")
+    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+         .filter(F.col("s") != F.col("d")).distinct()
+         .localCheckpoint(eager=True))
+    for _ in range(rounds):
+        deg = e.groupBy(F.col("s").alias("node")) \
+               .agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (e.join(keep.withColumnRenamed("node", "s"), "s",
+                    "left_semi")
+             .join(keep.withColumnRenamed("node", "d"), "d",
+                   "left_semi")
+             .localCheckpoint(eager=True))
+    return (e.groupBy(F.col("s").alias("node"))
+            .agg(F.count("*").cast("long").alias("degree")))

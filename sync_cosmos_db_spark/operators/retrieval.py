@@ -250,3 +250,42 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
     return (out.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_matches"),
                  F.min("start").cast("long").alias("first_pos")))
+
+
+def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3,
+                    round_digits: int = 6):
+    """X150 — top-k TF-IDF keywords per document: score(t, d) =
+    tf(t, d) · ln(N / df(t)), ranked per doc — the cheap extractive
+    keyword / tag generator, and the per-document complement of the
+    corpus-level related-docs TF-IDF (X38).
+
+    One (doc, token) count, a token-keyed df join, a 1-row N
+    broadcast, ONE doc-keyed top-k window (WindowGroupLimit ships
+    only k rows per doc past the sort).  Scores are floor-rounded
+    BEFORE ranking with (score desc, token asc) tie-break so the
+    ranking is engine-deterministic.  Returns
+    ``(doc, rank, token, score)``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    tok = (df.select(F.col(id_col).alias("doc"),
+                     F.explode(F.split(F.col(text_col), r"\s+"))
+                     .alias("token"))
+           .groupBy("doc", "token")
+           .agg(F.count("*").cast("double").alias("tf")))
+    tok = tok.persist()
+    dfreq = (tok.groupBy("token")
+             .agg(F.countDistinct("doc").cast("double").alias("df")))
+    n = tok.agg(F.countDistinct("doc").cast("double").alias("n"))
+    score = (F.floor(F.col("tf") * F.log(F.col("n") / F.col("df")) * p
+                     + F.lit(0.5)) / p)
+    w = Window.partitionBy("doc").orderBy(F.col("score").desc(),
+                                          F.col("token"))
+    return (tok.join(dfreq, "token")
+            .crossJoin(F.broadcast(n))
+            .withColumn("score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_k)
+            .select("doc", F.col("rank").cast("long").alias("rank"),
+                    "token", "score"))

@@ -132,6 +132,12 @@ BNLJ_ALLOWED = {
     # X146: the (a, b) contingency cells crossJoin the BROADCAST
     # single-row total aggregate (the X73 chi² shape).
     "mutual_info_priority_status",
+    # X150: (doc, token) tf rows crossJoin the BROADCAST single-row
+    # corpus-size aggregate (N×1 scalar-subquery shape).
+    "tfidf_keywords_documents",
+    # X151: ranked rows crossJoin the BROADCAST single-row total-count
+    # aggregate before the order-statistic equi-joins.
+    "quantile_normalize_doc_lengths",
 }
 
 
