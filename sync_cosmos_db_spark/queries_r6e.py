@@ -1,0 +1,221 @@
+"""Round-6 operator families (fifth batch) X153-X155: l-diversity
+audit, t-closeness (EMD) audit, and time-constrained funnel
+conversion — the privacy-release pair that completes the
+k-anonymity gate (X104), plus the funnel variant marketing actually
+asks for ("converted WITHIN an hour", not "ever").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.queries import query
+from sync_cosmos_db_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# X153 — l-diversity audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "l_diversity_customers",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*)::BIGINT AS grp,
+             count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+                                 WHEN c_acctbal < 5000 THEN 'mid'
+                                 ELSE 'high' END)::BIGINT AS n_sensitive
+      FROM customer GROUP BY 1, 2)
+    SELECT count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END)::BIGINT
+             AS n_undiverse_groups,
+           sum(CASE WHEN n_sensitive < 3 THEN grp ELSE 0 END)::BIGINT
+             AS n_exposed_rows,
+           min(n_sensitive) AS min_diversity,
+           sum(grp)::BIGINT AS n_rows
+    FROM g
+    """,
+)
+def l_diversity_customers(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X153 — l-diversity audit over the (nationkey, mktsegment)
+    quasi-identifier with a bucketed account-balance sensitive
+    attribute: k-anonymity (X104) counts group SIZES, but a large
+    group whose members all share one sensitive value still leaks it
+    (homogeneity attack) — l-diversity requires ≥ l distinct
+    sensitive values per equivalence class.  One quasi-id-keyed
+    count-distinct plus a constant-size re-aggregate — the same
+    shuffle shape as X104, auditing the orthogonal failure mode."""
+    c = load_table(spark, sf_dir, "customer")
+    sens = (F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "mid")
+            .otherwise("high"))
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.count(F.lit(1)).cast("long").alias("grp"),
+              F.countDistinct(sens).cast("long").alias("n_sensitive")))
+    undiv = F.col("n_sensitive") < 3
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(undiv.cast("long")).cast("long")
+        .alias("n_undiverse_groups"),
+        F.sum(F.when(undiv, F.col("grp")).otherwise(0)).cast("long")
+        .alias("n_exposed_rows"),
+        F.min("n_sensitive").alias("min_diversity"),
+        F.sum("grp").cast("long").alias("n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# X154 — t-closeness (ordered EMD) audit
+# ---------------------------------------------------------------------------
+
+@query(
+    "t_closeness_customers",
+    """
+    WITH b AS (
+      SELECT c_nationkey, c_mktsegment,
+             CASE WHEN c_acctbal < 0 THEN 0
+                  WHEN c_acctbal < 2500 THEN 1
+                  WHEN c_acctbal < 5000 THEN 2
+                  WHEN c_acctbal < 7500 THEN 3
+                  ELSE 4 END AS bucket
+      FROM customer),
+    cell AS (SELECT c_nationkey, c_mktsegment, bucket,
+                    count(*)::DOUBLE AS c
+             FROM b GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, bk.bucket,
+             coalesce(cell.c, 0) AS c, g.n
+      FROM (SELECT c_nationkey, c_mktsegment, sum(c) AS n
+            FROM cell GROUP BY 1, 2) g
+      CROSS JOIN (SELECT DISTINCT bucket FROM b) bk
+      LEFT JOIN cell USING (c_nationkey, c_mktsegment, bucket)),
+    gl AS (SELECT bucket, sum(c) AS gc FROM cell GROUP BY 1),
+    gt AS (SELECT sum(gc) AS t FROM gl),
+    dev AS (
+      SELECT grid.c_nationkey, grid.c_mktsegment, grid.bucket,
+             sum(grid.c / grid.n - gl.gc / (SELECT t FROM gt))
+               OVER (PARTITION BY grid.c_nationkey, grid.c_mktsegment
+                     ORDER BY grid.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS cumdev
+      FROM grid JOIN gl USING (bucket)),
+    emd AS (
+      SELECT c_nationkey, c_mktsegment,
+             floor(avg(abs(cumdev)) * 1000000 + 0.5) / 1000000
+               AS t_dist
+      FROM dev GROUP BY 1, 2)
+    SELECT count(*)::BIGINT AS n_groups,
+           sum(CASE WHEN t_dist > 0.2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_far_groups,
+           floor(max(t_dist) * 1000000 + 0.5) / 1000000 AS max_t,
+           floor(avg(t_dist) * 1000000 + 0.5) / 1000000 AS mean_t
+    FROM emd
+    """,
+)
+def t_closeness_customers(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X154 — t-closeness audit: per quasi-identifier group, the
+    earth-mover's distance between the group's sensitive-attribute
+    distribution and the GLOBAL one (for an ordered attribute, EMD =
+    mean |cumulative difference| over buckets) — the strictest of
+    the release gates: a group can be k-anonymous AND l-diverse yet
+    still skew so far from the corpus that membership leaks
+    information.  Per-group bucket counts → a dense (group × bucket)
+    grid (missing cells zero-filled via a |buckets|-sized cross
+    join) → ONE group-keyed cumulative window over the ordered
+    buckets → constant-size report."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (F.when(F.col("c_acctbal") < 0, 0)
+              .when(F.col("c_acctbal") < 2500, 1)
+              .when(F.col("c_acctbal") < 5000, 2)
+              .when(F.col("c_acctbal") < 7500, 3)
+              .otherwise(4))
+    b = c.select("c_nationkey", "c_mktsegment", bucket.alias("bucket"))
+    cell = (b.groupBy("c_nationkey", "c_mktsegment", "bucket")
+            .agg(F.count("*").cast("double").alias("c")))
+    cell = cell.persist()
+    grp = (cell.groupBy("c_nationkey", "c_mktsegment")
+           .agg(F.sum("c").alias("n")))
+    buckets = b.select("bucket").distinct()
+    gl = cell.groupBy("bucket").agg(F.sum("c").alias("gc"))
+    gt = gl.agg(F.sum("gc").alias("t"))
+    grid = (grp.crossJoin(F.broadcast(buckets))
+            .join(cell, ["c_nationkey", "c_mktsegment", "bucket"],
+                  "left")
+            .withColumn("c", F.coalesce("c", F.lit(0.0)))
+            .join(F.broadcast(gl), "bucket")
+            .crossJoin(F.broadcast(gt)))
+    w = (Window.partitionBy("c_nationkey", "c_mktsegment")
+         .orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cumdev = F.sum(F.col("c") / F.col("n")
+                   - F.col("gc") / F.col("t")).over(w)
+    p = 10 ** 6
+    fr = lambda x: F.floor(x * p + F.lit(0.5)) / p  # noqa: E731
+    emd = (grid.withColumn("cumdev", cumdev)
+           .groupBy("c_nationkey", "c_mktsegment")
+           .agg(fr(F.avg(F.abs(F.col("cumdev")))).alias("t_dist")))
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("t_dist") > 0.2).cast("long")).cast("long")
+        .alias("n_far_groups"),
+        fr(F.max("t_dist")).alias("max_t"),
+        fr(F.avg("t_dist")).alias("mean_t"))
+
+
+# ---------------------------------------------------------------------------
+# X155 — time-constrained funnel conversion
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_within_1h_events",
+    """
+    WITH v AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT v.user_id, v.t0, min(e.ts) AS t1
+          FROM v JOIN events e
+            ON e.user_id = v.user_id
+           AND e.event_type = 'click' AND e.ts > v.t0
+          GROUP BY 1, 2),
+    p AS (SELECT c.user_id, c.t1, min(e.ts) AS t2
+          FROM c JOIN events e
+            ON e.user_id = c.user_id
+           AND e.event_type = 'purchase' AND e.ts > c.t1
+          GROUP BY 1, 2)
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_step0,
+           (SELECT count(*) FROM c)::BIGINT AS n_step1,
+           (SELECT count(*) FROM c
+            WHERE epoch(t1) - epoch(t0) <= 3600)::BIGINT
+             AS n_step1_within,
+           (SELECT count(*) FROM p)::BIGINT AS n_step2,
+           (SELECT count(*) FROM p JOIN c USING (user_id, t1)
+            WHERE epoch(t2) - epoch(t0) <= 3600)::BIGINT
+             AS n_step2_within
+    """,
+)
+def funnel_within_1h_events(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X155 — time-constrained funnel: view → click → purchase where
+    the WHOLE funnel completes within one hour of the first view —
+    the conversion-SLA readout (an unbounded funnel, X26, calls a
+    purchase three weeks later a conversion; campaigns do not).
+    Reuses ``behavioral.funnel_times`` (k user-keyed min-aggregates,
+    state one row per surviving user) and applies the window
+    predicate on the timestamp table — the constraint costs zero
+    extra shuffles."""
+    from sync_cosmos_db_spark.operators.behavioral import funnel_times
+
+    ev = load_table(spark, sf_dir, "events")
+    t = funnel_times(ev, ["view", "click", "purchase"])
+    el1 = F.col("t1").cast("double") - F.col("t0").cast("double")
+    el2 = F.col("t2").cast("double") - F.col("t0").cast("double")
+    return t.agg(
+        F.count("t0").cast("long").alias("n_step0"),
+        F.count("t1").cast("long").alias("n_step1"),
+        F.sum(F.when(el1 <= 3600, 1).otherwise(0)).cast("long")
+        .alias("n_step1_within"),
+        F.count("t2").cast("long").alias("n_step2"),
+        F.sum(F.when(el2 <= 3600, 1).otherwise(0)).cast("long")
+        .alias("n_step2_within"))

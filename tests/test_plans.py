@@ -138,6 +138,9 @@ BNLJ_ALLOWED = {
     # X151: ranked rows crossJoin the BROADCAST single-row total-count
     # aggregate before the order-statistic equi-joins.
     "quantile_normalize_doc_lengths",
+    # X154: the per-group table crossJoins the BROADCAST ≤5-row bucket
+    # domain (dense-grid zero fill) and the 1-row global total.
+    "t_closeness_customers",
 }
 
 
