@@ -76,6 +76,13 @@ HEADLINE_LLM = [
     "bellman_ford_trade_distance",
     "embedding_top_pc",
     "rolling_7d_active_users",
+    # Round-6 heavies: PassJoin edit-distance join (the family whose
+    # adversarial corpus exposed the broadcast OOM — its SMJ pin must
+    # stay), TF-IDF keyword extraction (token-keyed joins + per-doc
+    # top-k window), min-label propagation (iterative graph rounds).
+    "editdist_pairs_customers",
+    "tfidf_keywords_documents",
+    "label_propagation_docs",
 ]
 
 

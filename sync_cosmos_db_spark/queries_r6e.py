@@ -219,3 +219,99 @@ def funnel_within_1h_events(spark: SparkSession,
         F.count("t2").cast("long").alias("n_step2"),
         F.sum(F.when(el2 <= 3600, 1).otherwise(0)).cast("long")
         .alias("n_step2_within"))
+
+
+# ---------------------------------------------------------------------------
+# X156 — streaming CDC compaction + snapshot merge
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+    WITH snap AS (SELECT o_orderkey AS k, o_totalprice AS p,
+                         o_orderstatus AS s FROM orders),
+    ch AS (
+      SELECT k, p * 1.1 AS p, s, 1 AS seq, 'U' AS op
+      FROM snap WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, p + 55.5, s, 3, 'U' FROM snap WHERE k % 7 = 0
+      UNION ALL
+      SELECT k, p, s, 2, 'D' FROM snap WHERE k % 11 = 0
+      UNION ALL
+      SELECT -k, p / 2, 'N', 1, 'U' FROM snap WHERE k % 13 = 0),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY k
+                                   ORDER BY seq DESC, op ASC) AS rn
+      FROM ch),
+    l AS (SELECT * FROM latest WHERE rn = 1)
+    SELECT coalesce(l.k, snap.k) AS o_orderkey,
+           floor((CASE WHEN l.k IS NOT NULL THEN l.p ELSE snap.p END)
+                 * 100 + 0.5) / 100 AS o_totalprice,
+           CASE WHEN l.k IS NOT NULL THEN l.s ELSE snap.s END
+             AS o_orderstatus
+    FROM snap FULL JOIN l ON snap.k = l.k
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """
+
+
+@query("stream_cdc_apply_orders", _CDC_ORACLE)
+def stream_cdc_apply_orders(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """X156 — STREAMING change-feed compaction
+    (``streaming.stateful.changelog_compact_stream``) + snapshot
+    merge: the same deterministic I/U/D log as X53 replayed through a
+    REAL multi-batch availableNow file stream (maxFilesPerTrigger=1
+    over 4 files, so conflicting events for one key genuinely arrive
+    in different micro-batches and the winner must survive in the
+    state store), then merged into the snapshot.  The oracle is
+    X53's batch SQL verbatim — the streaming compaction must leave
+    the table bit-identical to the batch replay.  This is the
+    continuous-consumer architecture for a Cosmos change feed: the
+    stream maintains a keys-sized compacted log; the periodic merge
+    never re-reads the feed."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window
+
+    from sync_cosmos_db_spark.operators.cdc import apply_changelog
+    from sync_cosmos_db_spark.streaming.stateful import (
+        changelog_compact_stream,
+    )
+    from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
+
+    snap = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k, p, s = (F.col("o_orderkey"), F.col("o_totalprice"),
+               F.col("o_orderstatus"))
+
+    def ev(df, key, price, status, seq, op):
+        return df.select(key.alias("o_orderkey"),
+                         price.alias("o_totalprice"),
+                         status.alias("o_orderstatus"),
+                         F.lit(seq).cast("long").alias("seq"),
+                         F.lit(op).alias("op"))
+
+    base7 = snap.filter(k % 7 == 0)
+    changes = (
+        ev(base7, k, p * 1.1, s, 1, "U")
+        .unionAll(ev(base7, k, p + 55.5, s, 3, "U"))
+        .unionAll(ev(snap.filter(k % 11 == 0), k, p, s, 2, "D"))
+        .unionAll(ev(snap.filter(k % 13 == 0), -k, p / 2, F.lit("N"),
+                     1, "U")))
+    tmp = tempfile.mkdtemp(prefix="cdc_stream_")
+    changes.repartition(4).write.mode("overwrite").parquet(tmp)
+    stream = (spark.readStream
+              .schema(changes.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(tmp))
+    compact = changelog_compact_stream(stream)
+    emitted = run_stream_to_memory(
+        spark, compact, f"cdc_mem_{uuid.uuid4().hex[:8]}", mode="update")
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("seq").desc(), F.col("op").asc())
+    latest = (emitted.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    out = apply_changelog(snap, latest, ["o_orderkey"], "seq")
+    return out.select("o_orderkey",
+                      (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                       / 100).alias("o_totalprice"),
+                      "o_orderstatus")

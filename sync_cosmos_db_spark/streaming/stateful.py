@@ -57,3 +57,54 @@ def running_user_totals(events: DataFrame,
     return ev.groupBy("user_id").applyInPandasWithState(
         update, _OUT_SCHEMA, _STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
+
+
+_CDC_OUT_SCHEMA = ("o_orderkey bigint, o_totalprice double, "
+                   "o_orderstatus string, seq bigint, op string")
+_CDC_STATE_SCHEMA = ("seq bigint, op string, price double, "
+                     "status string")
+
+
+def changelog_compact_stream(changes: DataFrame) -> DataFrame:
+    """X156 — streaming changelog compaction: per key, retain the
+    winning event under the X53 collapse order (seq DESC, op ASC —
+    higher sequence wins; at equal sequence a tombstone beats an
+    upsert) across micro-batches — the live form of
+    ``operators/cdc.collapse_changelog``, the compaction a change-feed
+    consumer maintains continuously so the periodic snapshot merge
+    applies a keys-sized compacted log instead of replaying the full
+    feed.
+
+    State per key is ONE event row (O(distinct keys) in the state
+    store, shuffled on the key the feed is already partitioned by).
+    Update mode re-emits a key's current winner whenever a batch
+    touches it; emissions are monotone under the collapse order, so
+    the LAST emission per key is the final winner — the batch
+    consumer takes one more tiny collapse over the emitted table.
+    ``changes`` must carry ``(o_orderkey, o_totalprice,
+    o_orderstatus, seq, op)``."""
+
+    def update(key: Any, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        if state.exists:
+            seq, op, price, status = state.get
+        else:
+            seq, op, price, status = None, None, None, None
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                better = (seq is None or r.seq > seq
+                          or (r.seq == seq and r.op < op))
+                if better:
+                    seq, op = int(r.seq), str(r.op)
+                    price = float(r.o_totalprice)
+                    status = str(r.o_orderstatus)
+        state.update((seq, op, price, status))
+        yield _pd.DataFrame({
+            "o_orderkey": [key[0]], "o_totalprice": [price],
+            "o_orderstatus": [status], "seq": [seq], "op": [op]})
+
+    return changes.groupBy("o_orderkey").applyInPandasWithState(
+        update, _CDC_OUT_SCHEMA, _CDC_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)

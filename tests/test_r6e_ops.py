@@ -60,3 +60,41 @@ def test_l_diversity_flags_homogeneous_group(spark):
               F.countDistinct(sens).alias("n_sensitive")))
     got = {r.qa: r.n_sensitive for r in g.collect()}
     assert got["g1"] == 1 and got["g2"] == 3
+
+
+def test_changelog_compact_stream_across_batches(spark, tmp_path):
+    """Conflicting events for one key arriving in DIFFERENT
+    micro-batches: the state-store winner must follow the X53
+    collapse order (higher seq wins; tombstone beats upsert at equal
+    seq) regardless of arrival batch."""
+
+    from sync_cosmos_db_spark.streaming.stateful import (
+        changelog_compact_stream,
+    )
+    from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    schema = ("o_orderkey long, o_totalprice double, "
+              "o_orderstatus string, seq long, op string")
+    batch1 = [(1, 10.0, "A", 3, "U"),   # later seq, arrives FIRST
+              (2, 20.0, "B", 1, "U")]
+    batch2 = [(1, 99.0, "Z", 1, "U"),   # stale update, must lose
+              (2, 20.0, "B", 1, "D")]   # equal seq tombstone, must win
+    src = tmp_path / "cdc"
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    emitted = run_stream_to_memory(
+        spark, changelog_compact_stream(stream), "cdc_unit_mem",
+        mode="update")
+    w = Window.partitionBy("o_orderkey").orderBy(
+        F.col("seq").desc(), F.col("op").asc())
+    final = {r.o_orderkey: r for r in
+             emitted.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") == 1).collect()}
+    assert final[1].seq == 3 and final[1].o_totalprice == 10.0
+    assert final[2].op == "D"
