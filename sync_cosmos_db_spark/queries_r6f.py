@@ -1,0 +1,126 @@
+"""Round-6 operator families (sixth batch) X157-X158: STL-lite
+seasonal decomposition and an autocomplete prefix index."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.queries import query
+from sync_cosmos_db_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# X157 — STL-lite decomposition (trend / weekly seasonal / residual)
+# ---------------------------------------------------------------------------
+
+@query(
+    "decompose_daily_events",
+    """
+    WITH s AS (SELECT ts::DATE AS day, count(*)::DOUBLE AS v
+               FROM events GROUP BY 1),
+    tr AS (SELECT day, v,
+                  CASE WHEN count(*) OVER w7 = 7
+                       THEN floor(avg(v) OVER w7 * 1000000 + 0.5)
+                            / 1000000
+                  END AS trend
+           FROM s
+           WINDOW w7 AS (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    dt AS (SELECT *, dayofweek(day) AS dow, v - trend AS det
+           FROM tr),
+    se AS (SELECT dow,
+                  floor(avg(det) * 1000000 + 0.5) / 1000000 AS seasonal
+           FROM dt WHERE det IS NOT NULL GROUP BY 1)
+    SELECT dt.day, dt.v, dt.trend, se.seasonal,
+           CASE WHEN dt.trend IS NOT NULL
+                THEN floor((dt.v - dt.trend - se.seasonal) * 1000000
+                           + 0.5) / 1000000
+           END AS residual
+    FROM dt JOIN se USING (dow)
+    """,
+)
+def decompose_daily_events(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """X157 — STL-lite decomposition of the daily event-count series:
+    trend = centered 7-day moving average (full windows only),
+    seasonal = per-day-of-week mean of the detrended series,
+    residual = the rest — the additive decomposition behind every
+    "is this drop seasonal or real?" question, feeding the drift and
+    changepoint detectors (X79, X121, X143) a deseasonalized input.
+    The raw stream collapses to one row per day first; the trend
+    rides ONE ordered window, the seasonal is a 7-row broadcast
+    join.  Trend is rounded BEFORE detrending on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    p = 10 ** 6
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    s = (ev.groupBy(F.to_date("ts").alias("day"))
+         .agg(F.count("*").cast("double").alias("v")))
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = s.withColumn(
+        "trend",
+        F.when(F.count("*").over(w7) == 7, fr(F.avg("v").over(w7))))
+    dt = tr.withColumn("dow", F.dayofweek("day")) \
+           .withColumn("det", F.col("v") - F.col("trend"))
+    se = (dt.filter(F.col("det").isNotNull())
+          .groupBy("dow").agg(fr(F.avg("det")).alias("seasonal")))
+    return (dt.join(F.broadcast(se), "dow")
+            .select("day", "v", "trend", "seasonal",
+                    F.when(F.col("trend").isNotNull(),
+                           fr(F.col("v") - F.col("trend")
+                              - F.col("seasonal"))).alias("residual")))
+
+
+# ---------------------------------------------------------------------------
+# X158 — autocomplete prefix index
+# ---------------------------------------------------------------------------
+
+@query(
+    "prefix_index_documents",
+    """
+    WITH tf AS (
+      SELECT tok, count(*)::BIGINT AS freq
+      FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1),
+    px AS (
+      SELECT substr(tok, 1, pl.l) AS prefix, tok, freq
+      FROM tf CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS l)
+                         pl
+      WHERE length(tok) >= pl.l)
+    SELECT prefix, rank::BIGINT AS rank, tok AS token, freq FROM (
+      SELECT prefix, tok, freq,
+             row_number() OVER (PARTITION BY prefix
+                                ORDER BY freq DESC, tok) AS rank
+      FROM px)
+    WHERE rank <= 3
+    """,
+)
+def prefix_index_documents(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """X158 — autocomplete prefix index: for every 1-4 character
+    token prefix, the top-3 completions by corpus frequency — the
+    precomputed search-suggestion table (type "pro" → see the three
+    most frequent "pro…" tokens).  One token count, a bounded ×4
+    in-row prefix explode, ONE prefix-keyed top-k window
+    (WindowGroupLimit ships 3 rows per prefix past the sort);
+    (freq desc, token asc) makes ranking engine-deterministic with
+    no float involved at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (docs.select(F.explode(F.split(F.col("text"), r"\s+"))
+                      .alias("tok"))
+          .filter(F.col("tok") != "")
+          .groupBy("tok")
+          .agg(F.count("*").cast("long").alias("freq")))
+    px = (tf.select(
+        F.explode(F.sequence(F.lit(1), F.lit(4))).alias("l"),
+        "tok", "freq")
+        .filter(F.length("tok") >= F.col("l"))
+        .select(F.expr("substr(tok, 1, l)").alias("prefix"),
+                "tok", "freq"))
+    w = Window.partitionBy("prefix").orderBy(F.col("freq").desc(),
+                                             F.col("tok"))
+    return (px.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("prefix", F.col("rank").cast("long").alias("rank"),
+                    F.col("tok").alias("token"), "freq"))

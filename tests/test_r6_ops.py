@@ -171,3 +171,48 @@ def test_centroid_cosine_orthogonal_and_parallel(spark):
            for r in centroid_cosine_matrix(df, "label").collect()}
     assert out[(0, 1)] == 0.0
     assert out[(0, 2)] == 1.0
+
+
+def test_editdist_join_passjoin_path_d2(spark):
+    """max_dist >= 2 takes the PassJoin segment path (deletion
+    neighborhoods would be C(len,2)-sized): planted distance-1 and
+    distance-2 typos must surface, distance-3 must not."""
+    from sync_cosmos_db_spark.operators.linkage import editdist_join
+
+    rows = [(1, "alphabetical"), (2, "alphabetixal"),   # d=1
+            (3, "alphabetixyl"),                        # d=2 from 1
+            (4, "alphyzetixyl"),                        # d=4 from 1
+            (5, "zzzzzzzzzzzz")]
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {(r.id_a, r.id_b): r.dist
+           for r in editdist_join(df, "id", "txt", 2).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 2
+    assert got[(2, 3)] == 1
+    assert (1, 4) not in got
+    assert not any(5 in k for k in got)
+
+
+def test_editdist_fastss_equals_passjoin_output(spark):
+    """The d=1 FastSS path and the PassJoin segment path must produce
+    the identical pair set (two complete algorithms, one answer)."""
+    from sync_cosmos_db_spark.operators.linkage import (
+        _editdist_join_fastss,
+        editdist_join,
+    )
+    from pyspark.sql import functions as F
+
+    df = (spark.range(500)
+          .select(F.col("id"),
+                  F.concat(F.lit("item-"),
+                           F.lpad((F.col("id") % 120).cast("string"),
+                                  3, "0")).alias("txt")))
+    fast = set((r.id_a, r.id_b, r.dist) for r in
+               _editdist_join_fastss(df, "id", "txt").collect())
+    assert fast
+    # PassJoin covers d<=2 ⊇ d<=1: filter its output to d<=1 and the
+    # two complete algorithms must agree exactly
+    slow = set((r.id_a, r.id_b, r.dist) for r in
+               editdist_join(df, "id", "txt", 2).collect()
+               if r.dist <= 1)
+    assert fast == slow
