@@ -1,5 +1,6 @@
-"""Round-6 operator families (sixth batch) X157-X158: STL-lite
-seasonal decomposition and an autocomplete prefix index."""
+"""Round-6 operator families (sixth batch) X157-X159: STL-lite
+seasonal decomposition, an autocomplete prefix index, and the 2-D
+Pareto frontier (skyline)."""
 
 from __future__ import annotations
 
@@ -124,3 +125,65 @@ def prefix_index_documents(spark: SparkSession,
             .filter(F.col("rank") <= 3)
             .select("prefix", F.col("rank").cast("long").alias("rank"),
                     F.col("tok").alias("token"), "freq"))
+
+
+# ---------------------------------------------------------------------------
+# X159 — Pareto frontier (2-D skyline)
+# ---------------------------------------------------------------------------
+
+@query(
+    "pareto_frontier_customers",
+    """
+    WITH m AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS spend,
+             count(*)::BIGINT AS n_orders
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2)
+    SELECT m.c_nationkey, m.o_custkey AS c_custkey, m.spend,
+           m.n_orders
+    FROM m
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m d
+      WHERE d.c_nationkey = m.c_nationkey
+        AND d.spend > m.spend AND d.n_orders > m.n_orders)
+    """,
+)
+def pareto_frontier_customers(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """X159 — 2-D Pareto frontier (skyline) per nation: customers not
+    STRICTLY dominated on (total spend, order count) — the
+    "best-tradeoff" query (top-spenders-or-most-frequent, and every
+    efficient mix between) that a naive top-k by either axis gets
+    wrong.  The 2-D skyline needs no dominance join: group rows by
+    the first axis, take the per-value max of the second, ONE ordered
+    window (running max + lag) yields max{y' : x' > x}, and a row is
+    on the frontier iff that strict-prefix max does not exceed its
+    own y.  All shuffles are nation-keyed; the oracle is the literal
+    n² NOT EXISTS dominance predicate (per-nation partitions keep it
+    feasible at test scale).  Spend is rounded BEFORE grouping on
+    both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    p = 10 ** 2
+    m = (orders.join(F.broadcast(cust),
+                     orders["o_custkey"] == cust["c_custkey"])
+         .groupBy("c_nationkey", "o_custkey")
+         .agg((F.floor(F.sum("o_totalprice") * p + F.lit(0.5)) / p)
+              .alias("spend"),
+              F.count("*").cast("long").alias("n_orders")))
+    g = (m.groupBy("c_nationkey", "spend")
+         .agg(F.max("n_orders").alias("gmax")))
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.col("spend").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wl = Window.partitionBy("c_nationkey").orderBy(F.col("spend").desc())
+    strict = (g.withColumn("runmax", F.max("gmax").over(w))
+              .withColumn("prev_strict_max", F.lag("runmax").over(wl))
+              .select("c_nationkey", "spend", "prev_strict_max"))
+    return (m.join(strict, ["c_nationkey", "spend"])
+            .filter(F.col("prev_strict_max").isNull()
+                    | (F.col("prev_strict_max") <= F.col("n_orders")))
+            .select("c_nationkey",
+                    F.col("o_custkey").alias("c_custkey"),
+                    "spend", "n_orders"))

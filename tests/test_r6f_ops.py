@@ -71,3 +71,30 @@ def test_prefix_index_ranks_by_frequency(spark):
     ap = sorted([(r.rank, r.tok) for r in out if r.prefix == "ap"])
     assert ap[0] == (1, "apple") and ap[1] == (2, "apricot")
     assert not any(r.prefix == "axx" for r in out)
+
+
+def test_pareto_frontier_hand_case(spark):
+    """Points (10,1) (8,5) (6,9) form the frontier; (7,4) is strictly
+    dominated by (8,5); ties on both axes are NOT strict dominance so
+    duplicates of a frontier point stay."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [(1, 101, 10.0, 1), (1, 102, 8.0, 5), (1, 103, 6.0, 9),
+            (1, 104, 7.0, 4), (1, 105, 8.0, 5)]
+    m = spark.createDataFrame(
+        rows, "c_nationkey int, o_custkey long, spend double, n_orders long")
+    g = (m.groupBy("c_nationkey", "spend")
+         .agg(F.max("n_orders").alias("gmax")))
+    w = (Window.partitionBy("c_nationkey")
+         .orderBy(F.col("spend").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wl = Window.partitionBy("c_nationkey").orderBy(F.col("spend").desc())
+    strict = (g.withColumn("runmax", F.max("gmax").over(w))
+              .withColumn("prev_strict_max", F.lag("runmax").over(wl))
+              .select("c_nationkey", "spend", "prev_strict_max"))
+    out = (m.join(strict, ["c_nationkey", "spend"])
+           .filter(F.col("prev_strict_max").isNull()
+                   | (F.col("prev_strict_max") <= F.col("n_orders"))))
+    keep = sorted(r.o_custkey for r in out.collect())
+    assert keep == [101, 102, 103, 105]
