@@ -187,3 +187,72 @@ def pareto_frontier_customers(spark: SparkSession,
             .select("c_nationkey",
                     F.col("o_custkey").alias("c_custkey"),
                     "spend", "n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# X160 — streaming per-key rate limiter (X131's live twin)
+# ---------------------------------------------------------------------------
+
+@query(
+    "stream_rate_limit_hourly",
+    """
+    WITH rn AS (
+      SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT
+               AS window_start,
+             row_number() OVER (
+               PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT window_start, count(*)::BIGINT AS n_events,
+           sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_admitted,
+           sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped
+    FROM rn GROUP BY 1
+    """,
+)
+def stream_rate_limit_hourly(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X160 — STREAMING per-key rate limiter
+    (``streaming.stateful.rate_limit_stream``): the live form of the
+    X131 batch replay — admission counters per (user, hour) persist
+    in the state store across micro-batches.  The events table is
+    replayed as a REAL 4-batch availableNow stream in event-time
+    order (ntile slices written sequentially with forced mtimes, so
+    a user-hour spanning a batch boundary genuinely tests the
+    carried counter), and the per-batch admission partials are
+    summed per window.  The oracle is X131's batch SQL verbatim —
+    the streaming limiter must admit exactly the rows the batch
+    row_number form admits."""
+    import os
+    import tempfile
+    import uuid
+
+    from sync_cosmos_db_spark.streaming.stateful import rate_limit_stream
+    from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    tmp = tempfile.mkdtemp(prefix="rl_stream_")
+    for i in range(1, 5):
+        (sliced.filter(F.col("slice") == i).drop("slice")
+         .coalesce(1).write.mode("append").parquet(tmp))
+        # force strictly increasing mtimes so the file source replays
+        # slices in event-time order regardless of write latency
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                full = os.path.join(tmp, f)
+                cur = os.stat(full).st_mtime
+                os.utime(full, (cur, 1_000_000_000 + i * 1000))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(tmp))
+    emitted = run_stream_to_memory(
+        spark, rate_limit_stream(stream, limit=5),
+        f"rl_mem_{uuid.uuid4().hex[:8]}", mode="update")
+    return (emitted.groupBy("window_start")
+            .agg(F.sum("n_batch").cast("long").alias("n_events"),
+                 F.sum("n_admitted_batch").cast("long")
+                 .alias("n_admitted"),
+                 (F.sum("n_batch") - F.sum("n_admitted_batch"))
+                 .cast("long").alias("n_dropped")))

@@ -108,3 +108,54 @@ def changelog_compact_stream(changes: DataFrame) -> DataFrame:
     return changes.groupBy("o_orderkey").applyInPandasWithState(
         update, _CDC_OUT_SCHEMA, _CDC_STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
+
+
+_RL_OUT_SCHEMA = ("user_id bigint, window_start bigint, "
+                  "n_batch bigint, n_admitted_batch bigint")
+_RL_STATE_SCHEMA = "n_seen bigint, n_admitted bigint"
+
+
+def rate_limit_stream(events: DataFrame, limit: int = 5) -> DataFrame:
+    """X160 — streaming per-key rate limiter: admit the first
+    ``limit`` events per (user, hour) in event order, maintained LIVE
+    across micro-batches in the state store — the streaming twin of
+    the batch replay (X131), i.e. an actual API throttle rather than
+    its offline audit.
+
+    Grouping key is (user, hour-bucket), so state is two counters per
+    active key and the shuffle is the keying the feed already has.
+    Within each batch the pandas group is sorted by (ts, event_id);
+    across batches the admission counter persists, so feeding batches
+    in event-time order reproduces the batch semantics exactly —
+    which is what the registered query's oracle (X131's SQL verbatim)
+    asserts.  Emits per-batch partials
+    ``(user, window_start, n_batch, n_admitted_batch)``; the consumer
+    sums them per window."""
+
+    def update(key: Any, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        n_seen, n_adm = state.get if state.exists else (0, 0)
+        n_batch = 0
+        adm_batch = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for _ in range(len(pdf)):
+                n_seen += 1
+                n_batch += 1
+                if n_adm < limit:
+                    n_adm += 1
+                    adm_batch += 1
+        state.update((n_seen, n_adm))
+        yield _pd.DataFrame({
+            "user_id": [key[0]], "window_start": [key[1]],
+            "n_batch": [n_batch], "n_admitted_batch": [adm_batch]})
+
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "__win", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+    return keyed.groupBy("user_id", "__win").applyInPandasWithState(
+        update, _RL_OUT_SCHEMA, _RL_STATE_SCHEMA, "update",
+        GroupStateTimeout.NoTimeout)

@@ -223,3 +223,72 @@ def test_bfs_hops_triangle_inequality(spark, edge_pairs):
         assert 0 <= h <= 3
         if h > 0:
             assert any(out.get(nb) == h - 1 for nb in adj.get(node, ()))
+
+
+# --- round-6 operator properties ------------------------------------------
+
+_word = st.text(alphabet="ab01", min_size=0, max_size=8)
+
+
+@_SETTINGS
+@given(st.lists(_word, min_size=2, max_size=25))
+def test_fastss_editdist_matches_bruteforce(spark, words):
+    """X119 d=1 completeness: the FastSS deletion-neighborhood join
+    must return EXACTLY the pairs a brute-force n² levenshtein scan
+    finds — over adversarially tiny alphabets where variant
+    collisions are maximal."""
+    from sync_cosmos_db_spark.operators.linkage import (
+        _editdist_join_fastss,
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = list(enumerate(words))
+    expected = {(i, j, lev(a, b))
+                for i, a in rows for j, b in rows
+                if i < j and lev(a, b) <= 1}
+    df = spark.createDataFrame(rows, "id long, txt string")
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in _editdist_join_fastss(df, "id", "txt").collect()}
+    assert got == expected
+
+
+@_SETTINGS
+@given(st.lists(st.integers(0, 1000), min_size=3, max_size=40))
+def test_cusum_scan_matches_sequential_recursion(spark, vals):
+    """X143: the distributed prefix-scan closed form must equal the
+    literal sequential recursion bit-for-bit — both run in integer
+    1e-4 units, so equality is exact, not approximate."""
+    import math
+
+    from sync_cosmos_db_spark.operators.profiling import cusum
+
+    df = spark.createDataFrame(
+        [(t, float(v)) for t, v in enumerate(vals)], "t long, v double")
+    out = sorted(cusum(df, "t", "v").collect(), key=lambda r: r.t)
+
+    # pure-python sequential reference in the same integer units
+    scale = 10_000
+    vi = [int(math.floor(v * scale + 0.5)) for v in vals]
+    mu = int(math.floor(sum(vi) / len(vi) + 0.5))
+    n = len(vi)
+    mean = sum(vi) / n
+    var = (sum(x * x for x in vi) - n * mean * mean) / (n - 1)
+    sd = math.sqrt(var) if var > 0 else 0.0
+    k = int(math.floor(sd * 0.5 + 0.5))
+    sp = sn = 0
+    for r, x in zip(out, vi):
+        sp = max(0, sp + x - mu - k)
+        sn = max(0, sn + mu - x - k)
+        assert r.s_pos == sp / scale, (r.t, r.s_pos, sp / scale)
+        assert r.s_neg == sn / scale

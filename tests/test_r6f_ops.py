@@ -98,3 +98,40 @@ def test_pareto_frontier_hand_case(spark):
                    | (F.col("prev_strict_max") <= F.col("n_orders"))))
     keep = sorted(r.o_custkey for r in out.collect())
     assert keep == [101, 102, 103, 105]
+
+
+def test_rate_limit_stream_counter_survives_batches(spark, tmp_path):
+    """8 events for ONE (user, hour) split 4-and-4 across two
+    micro-batches with limit=5: batch 1 admits 4, batch 2 admits only
+    1 — the state-store counter must carry across batches."""
+    import datetime as dt
+    import os
+
+    from sync_cosmos_db_spark.streaming.stateful import rate_limit_stream
+    from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    schema = "user_id long, ts timestamp, event_id long"
+    b1 = [(1, t0 + dt.timedelta(seconds=i), i) for i in range(4)]
+    b2 = [(1, t0 + dt.timedelta(seconds=4 + i), 4 + i) for i in range(4)]
+    src = tmp_path / "rl"
+    for i, batch in enumerate((b1, b2)):
+        spark.createDataFrame(batch, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src))
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                full = os.path.join(str(src), f)
+                cur = os.stat(full).st_mtime
+                os.utime(full, (cur, 1_000_000_000 + i * 1000))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    emitted = run_stream_to_memory(
+        spark, rate_limit_stream(stream, limit=5), "rl_unit_mem",
+        mode="update")
+    rows = sorted(emitted.collect(), key=lambda r: r.n_admitted_batch,
+                  reverse=True)
+    assert [(r.n_batch, r.n_admitted_batch) for r in rows] == \
+        [(4, 4), (4, 1)]
+    total = emitted.agg(F.sum("n_admitted_batch")).collect()[0][0]
+    assert total == 5
