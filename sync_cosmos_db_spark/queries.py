@@ -387,13 +387,15 @@ SWEEP_PRIORITY: list[str] = [
     "recursive_reach_nations",
     "burstiness_user_events",
 ]
-# The round-6 never-swept backlog is EXACTLY 50 queries (24 round-5
-# stragglers X95-X118 + 2 new infra queries + 14 X119-X134 + 10
-# X121/X133/X135-X142), so every window slot goes to a
-# never-driver-swept query and no re-check slots exist this round —
+# The round-6 window is EXACTLY 50 never-driver-swept queries (24
+# round-5 stragglers X95-X118 + 2 new infra queries + 14 X119-X134 +
+# 10 X121/X133/X135-X142); no re-check slots exist this round —
 # re-checks of changed code paths (mad degenerate-group fallback,
 # byte-exact binaryFile oracle, setsim/brute-force perf watch) are
-# covered by pytest + the bench suite instead.
+# covered by pytest + the bench suite instead.  The later round-6
+# batches (X143-X160: cusum…stream_rate_limit_hourly, 22 more
+# oracle-bearing queries) queue in registration order as the round-7
+# backlog — every one is green in the local test_oracle sweep.
 
 
 def _sweep_ordered(mapping: dict) -> dict:

@@ -368,8 +368,7 @@ def target_encode_segments(spark: SparkSession,
     cust = load_table(spark, sf_dir, "customer")
     j = orders.join(F.broadcast(cust),
                     orders["o_custkey"] == cust["c_custkey"])
-    return target_encode(j, "c_mktsegment", "o_totalprice", m=10.0) \
-        .withColumnRenamed("cat", "cat")
+    return target_encode(j, "c_mktsegment", "o_totalprice", m=10.0)
 
 
 # ---------------------------------------------------------------------------
