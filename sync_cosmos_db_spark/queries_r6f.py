@@ -256,3 +256,118 @@ def stream_rate_limit_hourly(spark: SparkSession,
                  .alias("n_admitted"),
                  (F.sum("n_batch") - F.sum("n_admitted_batch"))
                  .cast("long").alias("n_dropped")))
+
+
+# ---------------------------------------------------------------------------
+# X161 — whole-table column profile sweep
+# ---------------------------------------------------------------------------
+
+@query(
+    "column_profile_orders",
+    """
+    WITH tall AS (
+      SELECT 'o_orderstatus' AS col, o_orderstatus AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'o_custkey', o_custkey::VARCHAR FROM orders),
+    agg AS (
+      SELECT col, count(*)::BIGINT AS n,
+             sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_null,
+             count(DISTINCT val)::BIGINT AS n_distinct,
+             min(val) AS min_val, max(val) AS max_val
+      FROM tall GROUP BY 1),
+    top AS (
+      SELECT col, val AS top_val, cnt AS top_n FROM (
+        SELECT col, val, count(*)::BIGINT AS cnt,
+               row_number() OVER (PARTITION BY col
+                                  ORDER BY count(*) DESC, val) AS rn
+        FROM tall WHERE val IS NOT NULL GROUP BY col, val)
+      WHERE rn = 1)
+    SELECT agg.col, agg.n, agg.n_null, agg.n_distinct,
+           agg.min_val, agg.max_val, top.top_val, top.top_n
+    FROM agg JOIN top USING (col)
+    """,
+)
+def column_profile_orders(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """X161 — whole-table column profile in ONE sweep: per column,
+    row/null/distinct counts, min/max, and the modal value with its
+    frequency — the first query anyone runs on an unfamiliar table,
+    and the nightly data-quality snapshot whose diffs (via X28/X79)
+    catch silent upstream changes.  Columns unpivot in-row to a tall
+    (col, val) stream (strings, so one schema fits all), then ONE
+    col-keyed aggregate + ONE (col, val)-keyed mode election with a
+    col-keyed top-1 window (WindowGroupLimit).  Ties on the mode
+    break by value ascending — deterministic on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    tall = orders.selectExpr(
+        "stack(3, 'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority, "
+        "'o_custkey', cast(o_custkey AS string)) AS (col, val)")
+    agg = (tall.groupBy("col")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.sum(F.col("val").isNull().cast("long")).cast("long")
+                .alias("n_null"),
+                F.countDistinct("val").cast("long").alias("n_distinct"),
+                F.min("val").alias("min_val"),
+                F.max("val").alias("max_val")))
+    w = Window.partitionBy("col").orderBy(F.col("cnt").desc(),
+                                          F.col("val"))
+    top = (tall.filter(F.col("val").isNotNull())
+           .groupBy("col", "val")
+           .agg(F.count("*").cast("long").alias("cnt"))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1)
+           .select("col", F.col("val").alias("top_val"),
+                   F.col("cnt").alias("top_n")))
+    return agg.join(top, "col")
+
+
+# ---------------------------------------------------------------------------
+# X162 — ingestion watermark-lag monitor
+# ---------------------------------------------------------------------------
+
+@query(
+    "ingest_lag_by_type",
+    """
+    WITH g AS (SELECT max(ts) AS gmax FROM events),
+    p AS (SELECT event_type, count(*)::BIGINT AS n,
+                 max(ts) AS part_max,
+                 min(ts) AS part_min
+          FROM events GROUP BY 1)
+    SELECT p.event_type, p.n,
+           floor((epoch(g.gmax) - epoch(p.part_max)) * 100 + 0.5)
+             / 100 AS lag_s,
+           floor((epoch(p.part_max) - epoch(p.part_min)) * 100 + 0.5)
+             / 100 AS span_s,
+           p.part_max = g.gmax AS is_freshest
+    FROM p, g
+    """,
+)
+def ingest_lag_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X162 — ingestion watermark-lag monitor: per event type, how
+    far its newest record trails the global high-water mark, plus
+    its time span and a freshest flag — the per-partition lag board
+    that catches a stalled producer (one topic silently three hours
+    behind) before downstream windows close on incomplete data.
+    One type-keyed aggregate + a 1-row global max broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    p100 = 100
+    fr = lambda c: F.floor(c * p100 + F.lit(0.5)) / p100  # noqa: E731
+    p = (ev.groupBy("event_type")
+         .agg(F.count("*").cast("long").alias("n"),
+              F.max("ts").alias("part_max"),
+              F.min("ts").alias("part_min")))
+    return (p.crossJoin(F.broadcast(g))
+            .select("event_type", "n",
+                    fr(F.col("gmax").cast("double")
+                       - F.col("part_max").cast("double"))
+                    .alias("lag_s"),
+                    fr(F.col("part_max").cast("double")
+                       - F.col("part_min").cast("double"))
+                    .alias("span_s"),
+                    (F.col("part_max") == F.col("gmax"))
+                    .alias("is_freshest")))

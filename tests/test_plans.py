@@ -141,6 +141,9 @@ BNLJ_ALLOWED = {
     # X154: the per-group table crossJoins the BROADCAST ≤5-row bucket
     # domain (dense-grid zero fill) and the 1-row global total.
     "t_closeness_customers",
+    # X162: per-type aggregates crossJoin the BROADCAST single-row
+    # global high-water-mark aggregate (the X94 TTL shape).
+    "ingest_lag_by_type",
 }
 
 
