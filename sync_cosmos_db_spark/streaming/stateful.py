@@ -93,13 +93,14 @@ def changelog_compact_stream(changes: DataFrame) -> DataFrame:
         else:
             seq, op, price, status = None, None, None, None
         for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                better = (seq is None or r.seq > seq
-                          or (r.seq == seq and r.op < op))
-                if better:
-                    seq, op = int(r.seq), str(r.op)
-                    price = float(r.o_totalprice)
-                    status = str(r.o_orderstatus)
+            # vectorized winner within the chunk: (seq DESC, op ASC)
+            r = pdf.sort_values(["seq", "op"],
+                                ascending=[False, True]).iloc[0]
+            if (seq is None or r["seq"] > seq
+                    or (r["seq"] == seq and r["op"] < op)):
+                seq, op = int(r["seq"]), str(r["op"])
+                price = float(r["o_totalprice"])
+                status = str(r["o_orderstatus"])
         state.update((seq, op, price, status))
         yield _pd.DataFrame({
             "o_orderkey": [key[0]], "o_totalprice": [price],
@@ -140,13 +141,14 @@ def rate_limit_stream(events: DataFrame, limit: int = 5) -> DataFrame:
         n_batch = 0
         adm_batch = 0
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for _ in range(len(pdf)):
-                n_seen += 1
-                n_batch += 1
-                if n_adm < limit:
-                    n_adm += 1
-                    adm_batch += 1
+            # admission COUNTS depend only on sizes, not row order —
+            # fully vectorized per chunk
+            c = len(pdf)
+            take = min(max(limit - n_adm, 0), c)
+            n_seen += c
+            n_batch += c
+            n_adm += take
+            adm_batch += take
         state.update((n_seen, n_adm))
         yield _pd.DataFrame({
             "user_id": [key[0]], "window_start": [key[1]],
