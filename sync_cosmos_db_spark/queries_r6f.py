@@ -371,3 +371,91 @@ def ingest_lag_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("span_s"),
                     (F.col("part_max") == F.col("gmax"))
                     .alias("is_freshest")))
+
+
+# ---------------------------------------------------------------------------
+# X163 — encoding-quality (mojibake) audit
+# ---------------------------------------------------------------------------
+
+_REPL = "�"
+_BELL = "\x07"
+
+
+@query(
+    "encoding_audit_documents",
+    f"""
+    WITH fix AS (
+      SELECT source,
+             text
+               || CASE WHEN doc_id % 13 = 0 THEN ' café naïve'
+                       ELSE '' END
+               || CASE WHEN doc_id % 17 = 0 THEN ' cafÃ©'
+                       ELSE '' END
+               || CASE WHEN doc_id % 19 = 0 THEN ' {_REPL}ware'
+                       ELSE '' END
+               || CASE WHEN doc_id % 23 = 0 THEN chr(7) || 'ding'
+                       ELSE '' END AS txt
+      FROM documents),
+    m AS (
+      SELECT source,
+             length(txt) - length(replace(txt, '{_REPL}', '')) AS n_repl,
+             length(txt) - length(replace(txt, 'Ã', '')) AS n_moji,
+             length(txt) - length(replace(txt, chr(7), '')) AS n_ctl,
+             length(txt) - length(replace(txt, 'é', ''))
+               + length(txt) - length(replace(txt, 'ï', ''))
+               AS n_acc
+      FROM fix)
+    SELECT source, count(*)::BIGINT AS n_docs,
+           floor(avg(CASE WHEN n_repl > 0 THEN 1.0 ELSE 0.0 END)
+                 * 10000 + 0.5) / 10000 AS frac_replacement_docs,
+           sum(n_moji)::BIGINT AS n_mojibake_marks,
+           sum(n_ctl)::BIGINT AS n_control_chars,
+           floor(avg(CASE WHEN n_acc > 0 THEN 1.0 ELSE 0.0 END)
+                 * 10000 + 0.5) / 10000 AS frac_accented_docs
+    FROM m GROUP BY 1
+    """,
+)
+def encoding_audit_documents(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X163 — encoding-quality audit per source: U+FFFD replacement
+    characters (a decoder already gave up), 'Ã' digraph marks (the
+    UTF-8-read-as-Latin-1 mojibake signature), C0 control characters,
+    and legitimately-accented docs for contrast — the triage that
+    decides whether a source needs re-decoding before it poisons a
+    tokenizer.  Markers are injected deterministically (the harness
+    corpus is clean ASCII; X123/X145 discipline).  Every counter is a
+    replace-diff on a SINGLE code point — no regex, so the two
+    engines cannot disagree on pattern dialects; zero shuffle before
+    the per-source reduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.lit(" café naïve")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0,
+               F.lit(" cafÃ©")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 19 == 0,
+               F.lit(f" {_REPL}ware")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 23 == 0,
+               F.lit(_BELL + "ding")).otherwise(F.lit("")))
+
+    def marks(ch):
+        return F.length(F.col("txt")) - F.length(
+            F.replace(F.col("txt"), F.lit(ch), F.lit("")))
+
+    p = 10 ** 4
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    m = (docs.select("source", txt.alias("txt"))
+         .select("source",
+                 marks(_REPL).alias("n_repl"),
+                 marks("Ã").alias("n_moji"),
+                 marks(_BELL).alias("n_ctl"),
+                 (marks("é") + marks("ï")).alias("n_acc")))
+    return (m.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 fr(F.avg((F.col("n_repl") > 0).cast("double")))
+                 .alias("frac_replacement_docs"),
+                 F.sum("n_moji").cast("long").alias("n_mojibake_marks"),
+                 F.sum("n_ctl").cast("long").alias("n_control_chars"),
+                 fr(F.avg((F.col("n_acc") > 0).cast("double")))
+                 .alias("frac_accented_docs")))
