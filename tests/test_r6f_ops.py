@@ -135,3 +135,75 @@ def test_rate_limit_stream_counter_survives_batches(spark, tmp_path):
         [(4, 4), (4, 1)]
     total = emitted.agg(F.sum("n_admitted_batch")).collect()[0][0]
     assert total == 5
+
+
+def test_column_profile_mode_and_nulls(spark):
+    """Mode election breaks ties by value asc; nulls count but never
+    win the mode."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("x",), ("x",), ("y",), ("y",), (None,), ("z",)]
+    tall = spark.createDataFrame(rows, "val string") \
+        .withColumn("col", F.lit("c"))
+    agg = (tall.groupBy("col")
+           .agg(F.count("*").alias("n"),
+                F.sum(F.col("val").isNull().cast("long")).alias("n_null"),
+                F.countDistinct("val").alias("n_distinct")))
+    a = agg.collect()[0]
+    assert (a.n, a.n_null, a.n_distinct) == (6, 1, 3)
+    w = Window.partitionBy("col").orderBy(F.col("cnt").desc(),
+                                          F.col("val"))
+    top = (tall.filter(F.col("val").isNotNull())
+           .groupBy("col", "val").agg(F.count("*").alias("cnt"))
+           .withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") == 1).collect()[0])
+    assert top.val == "x" and top.cnt == 2   # tie x/y -> value asc
+
+
+def test_encoding_audit_counts_markers(spark):
+    """Replace-diff counters: two U+FFFD, one mojibake digraph, one
+    control char, accents counted per occurrence."""
+    from pyspark.sql import functions as F
+
+    txt = "ok � and � then cafÃ© plus \x07 café"
+    df = spark.createDataFrame([(txt,)], "txt string")
+
+    def marks(ch):
+        return F.length(F.col("txt")) - F.length(
+            F.replace(F.col("txt"), F.lit(ch), F.lit("")))
+
+    r = df.select(marks("�").alias("r"), marks("Ã").alias("m"),
+                  marks("\x07").alias("c"),
+                  (marks("é") + marks("ï")).alias("a")) \
+        .collect()[0]
+    assert (r.r, r.m, r.c) == (2, 1, 1)
+    # the mojibake digraph is 'Ã©' (U+00C3 U+00A9) — it contains NO
+    # real é, so only the genuine café counts
+    assert r.a == 1
+
+
+def test_ingest_lag_freshest_flag(spark):
+    """The type holding the global max has lag 0 and is_freshest."""
+    import datetime as dt
+
+    from sync_cosmos_db_spark.queries_r6f import ingest_lag_by_type  # noqa: F401
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, "a", 1.0, ""), (2, t0 + dt.timedelta(hours=3), "a", 1.0, ""),
+            (3, t0 + dt.timedelta(hours=1), "b", 1.0, "")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double, props string")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    p = (ev.groupBy("event_type")
+         .agg(F.max("ts").alias("part_max")))
+    out = {r.event_type: r for r in
+           p.crossJoin(F.broadcast(g))
+           .select("event_type",
+                   (F.col("gmax").cast("double")
+                    - F.col("part_max").cast("double")).alias("lag_s"),
+                   (F.col("part_max") == F.col("gmax")).alias("fresh"))
+           .collect()}
+    assert out["a"].lag_s == 0.0 and out["a"].fresh
+    assert out["b"].lag_s == 7200.0 and not out["b"].fresh
