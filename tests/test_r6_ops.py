@@ -216,3 +216,67 @@ def test_editdist_fastss_equals_passjoin_output(spark):
                editdist_join(df, "id", "txt", 2).collect()
                if r.dist <= 1)
     assert fast == slow
+
+
+def test_out_of_order_running_max_flags_late_arrival(spark):
+    """An event whose ts precedes the running max of its user's
+    ARRIVAL order (event_id) is late; the first event never is."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0 + dt.timedelta(seconds=10), 1),
+            (1, t0 + dt.timedelta(seconds=30), 2),
+            (1, t0 + dt.timedelta(seconds=20), 3),   # late
+            (2, t0, 4)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    late = F.when(F.col("ts") < F.max("ts").over(w), 1).otherwise(0)
+    got = {r.event_id: r.l
+           for r in ev.withColumn("l", late).collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_rate_limit_admits_first_n_per_window(spark):
+    """7 events for one user in one hour with limit 5 -> 5 admitted,
+    2 dropped; a second hour resets the counter."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [(1, t0 + dt.timedelta(minutes=i), i) for i in range(7)] + \
+           [(1, t0 + dt.timedelta(hours=1, minutes=i), 100 + i)
+            for i in range(2)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = Window.partitionBy("user_id", hour).orderBy("ts", "event_id")
+    adm = (F.row_number().over(w) <= 5).cast("long")
+    out = (ev.withColumn("adm", adm)
+           .groupBy(F.unix_timestamp(hour).alias("ws"))
+           .agg(F.count("*").alias("n"), F.sum("adm").alias("a"))
+           .collect())
+    got = {r.ws: (r.n, r.a) for r in out}
+    assert sorted(got.values()) == [(2, 2), (7, 5)]
+
+
+def test_ri_orphan_audit_counts_planted_orphans(spark):
+    """Children referencing a missing parent key count as orphans via
+    LEFT ANTI; a restricted parent set creates synthetic orphans."""
+    from pyspark.sql import functions as F
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99)], "id long, fk long")
+    parent = spark.createDataFrame(
+        [(10, 5.0), (20, -1.0)], "pk long, score double")
+    orphans = child.join(parent.select("pk"),
+                         child["fk"] == parent["pk"], "left_anti")
+    assert orphans.count() == 1
+    restricted = parent.filter(F.col("score") > 0).select("pk")
+    orphans2 = child.join(restricted, child["fk"] == restricted["pk"],
+                          "left_anti")
+    assert orphans2.count() == 2
