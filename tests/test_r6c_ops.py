@@ -101,3 +101,45 @@ def test_mutual_information_extremes(spark):
     df2 = spark.createDataFrame(copy, "a string, b string")
     r2 = mutual_information(df2, "a", "b").collect()[0]
     assert r2.mi == r2.h_a == r2.h_b == r2.h_ab > 1.0
+
+
+def test_calibration_bins_gap_math(spark):
+    """Binning and the |avg_score - pos_rate| gap on a hand case:
+    bin 0 scores {0.01, 0.05} with outcomes {1, 0} -> avg 0.03,
+    pos rate 0.5, gap 0.47."""
+    from pyspark.sql import functions as F
+
+    rows = [(0.01, 1.0), (0.05, 0.0), (0.95, 1.0)]
+    df = spark.createDataFrame(rows, "score double, y double")
+    out = {r.bin: r for r in
+           (df.groupBy(F.least(F.floor(F.col("score") * 10), F.lit(9))
+                       .cast("long").alias("bin"))
+            .agg(F.avg("score").alias("s"), F.avg("y").alias("p"),
+                 F.abs(F.avg("score") - F.avg("y")).alias("gap"))
+            .collect())}
+    assert abs(out[0].gap - 0.47) < 1e-9
+    assert out[9].p == 1.0
+
+
+def test_pii_cooccurrence_regex_classes(spark):
+    """The three marker regexes classify independently; a doc with
+    all three lands in the (T,T,T) bucket."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.queries_r6 import (
+        _PII_EMAIL,
+        _PII_PHONE,
+        _PII_REF,
+    )
+
+    rows = [("mail u7@ex.com tel 555-1234 ref ID-000042",),
+            ("just text",),
+            ("call 555-9876 now",)]
+    df = spark.createDataFrame(rows, "txt string")
+    out = [(r.e, r.p, r.f) for r in
+           df.select(F.col("txt").rlike(_PII_EMAIL).alias("e"),
+                     F.col("txt").rlike(_PII_PHONE).alias("p"),
+                     F.col("txt").rlike(_PII_REF).alias("f"))
+           .collect()]
+    assert out == [(True, True, True), (False, False, False),
+                   (False, True, False)]
