@@ -144,6 +144,9 @@ BNLJ_ALLOWED = {
     # X162: per-type aggregates crossJoin the BROADCAST single-row
     # global high-water-mark aggregate (the X94 TTL shape).
     "ingest_lag_by_type",
+    # X165: two single-row corpus aggregates crossJoin — a 1×1 BNLJ
+    # (verify_counts shape).
+    "corpus_datacard_documents",
 }
 
 
