@@ -312,95 +312,72 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's correctness sweep covers the FIRST 50 registered queries
 # in dict order.  The surfaced order is explicit (round-1 verdict item
 # 1) and ROTATES each round (round-2 verdict item 3) so green evidence
-# never goes stale.  Round-5 window (round-4 verdict items 1 and 6):
-# every oracle-bearing query with NO driver CORRECTNESS row in
-# r1∪r2∪r3∪r4 — the 24 backlog queries (all 19 round-4 families plus
-# the 5 oracle stragglers from X5/X6/X10/X26/X49) — plus the 9 queries
-# NEW this round (O15-O18 catalog/alignment, X72-X78), plus 17
-# re-check slots for code paths CHANGED this round (span-dedup viral
-# gate, similarity cap memoization, grouped-MG null fix, strip_html
-# regex, load_table fingerprint cache → flagship) and the two
-# hash-checked LSH containment twins standing in for the rows-only
-# approximates (verdict item 6: the `no_oracle` rows leave the window,
-# so the driver report carries zero `err` rows).  The six rows-only
-# queries (sim_topk_lsh, sim_topk_ivf, sketch_profile,
-# multimodal_fake_decode, text_fingerprint64, bpe_encode_documents)
-# stay out by design — their exact twins are green in-window and their
-# approximate behavior is pinned by pytest.  After this round every
-# oracle-bearing query in the registry has a driver row in some round;
-# tests/test_oracle.py still sweeps ALL oracles locally every run.
-SWEEP_PRIORITY: list[str] = [
-    # --- round-5 backlog: X95-X118, never driver-swept (round-5
-    # verdict item 1 — the failing sweep-invariant test was the spec)
-    "nation_revenue_share",
-    "session_path_trigrams",
-    "trailing_p95_hourly_value",
-    "embedding_dim_health",
-    "join_cardinality_forecast",
-    "flesch_by_source",
-    "cube_status_priority",
-    "view_purchase_hourly_corr",
-    "rfm_segment_counts",
-    "k_anonymity_customers",
-    "variant_dynamic_documents",
-    "ohlc_4h_by_event_type",
-    "ab_experiment_conversion",
-    "hashed_features_documents",
-    "category_index_documents",
-    "stream_ohlc_hourly",
-    "bootstrap_ci_order_price",
-    "bellman_ford_trade_distance",
-    "running_value_since_signup",
-    "mom_revenue_growth",
-    "negative_samples_embeddings",
-    "purchase_cadence_profile",
-    "embedding_top_pc",
-    "conformal_calibration_events",
-    # --- NEW round 6: O4/O5 + O23 as driver queries (verdict item 6)
-    "catalog_account_listing",
-    "orchestrator_account_summary",
-    # --- NEW round 6: families X119-X134 (operators + oracles land
-    # this round; never driver-swept by construction)
-    "editdist_pairs_customers",
-    "bigram_lm_documents",
-    "vocab_overlap_sources",
-    "pii_cooccurrence_docs",
-    "robust_scale_prices",
-    "clustering_coeff_docs",
-    "out_of_order_events",
-    "target_encode_segments",
-    "split_leakage_audit_events",
-    "twa_user_value",
-    "centroid_cosine_labels",
-    "rate_limit_hourly",
-    "ri_orphan_audit",
-    "stride_chunks_documents",
-    # --- NEW round 6 (second batch): families X121/X133/X135-X142
-    "changepoint_daily_revenue",
-    "binary_sniff_documents",
-    "acf_daily_events",
-    "ranksum_building_machinery",
-    "weighted_median_lineitem",
-    "quantile_align_doc_lengths",
-    "gini_nation_revenue",
-    "source_kl_documents",
-    "recursive_reach_nations",
-    "burstiness_user_events",
-]
-# The round-6 window is EXACTLY 50 never-driver-swept queries (24
-# round-5 stragglers X95-X118 + 2 new infra queries + 14 X119-X134 +
-# 10 X121/X133/X135-X142); no re-check slots exist this round —
-# re-checks of changed code paths (mad degenerate-group fallback,
-# byte-exact binaryFile oracle, setsim/brute-force perf watch) are
-# covered by pytest + the bench suite instead.  The later round-6
-# batches (X143-X160: cusum…stream_rate_limit_hourly, 22 more
-# oracle-bearing queries) queue in registration order as the round-7
-# backlog — every one is green in the local test_oracle sweep.
+# never goes stale.  Rounds 4-6 each ended with a hand-rolled window
+# that was one round behind the registry (the same invariant test red
+# three rounds running), so the window is now COMPUTED (round-6 verdict
+# item 1) from the on-disk driver reports at registry-build time:
+#
+#   1. every oracle-bearing query with NO row in any CORRECTNESS_r*.json
+#      (the backlog), in registration order — new queries enter the
+#      window the moment they are registered, no manual step;
+#   2. remaining slots are re-checks, STALEST driver evidence first
+#      (lowest last-swept round; registration order breaks ties) — so
+#      green rows age out and get re-verified round-robin.
+#
+# Rows-only queries (no oracle) never enter the window by construction
+# — their exact twins do, and their approximate behavior is pinned by
+# pytest.  tests/test_oracle.py still sweeps ALL oracles locally.
+SWEEP_WINDOW_SIZE = 50
+
+# Refreshed in place by _refresh_sweep_priority() once the registry is
+# fully populated (get_queries / get_oracle_sql call it after the
+# registration imports).  A list object, not a recomputed value, so
+# existing importers keep seeing the live window.
+SWEEP_PRIORITY: list[str] = []
+
+
+def _swept_rounds() -> dict[str, int]:
+    """Map query name -> latest round with a driver CORRECTNESS row,
+    read from the CORRECTNESS_r*.json files at the repo root (the same
+    files the sweep-invariant test reads)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r0*(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _refresh_sweep_priority() -> None:
+    """Recompute the sweep window from the live registry + on-disk
+    driver reports: never-swept oracle-bearing queries first (in
+    registration order), then re-checks stalest-first."""
+    swept = _swept_rounds()
+    eligible = [n for n in QUERIES if n in ORACLE_SQL]
+    backlog = [n for n in eligible if n not in swept]
+    # sorted() is stable: ties on the last-swept round keep
+    # registration order.
+    recheck = sorted((n for n in eligible if n in swept),
+                     key=lambda n: swept[n])
+    SWEEP_PRIORITY[:] = (backlog + recheck)[:SWEEP_WINDOW_SIZE]
 
 
 def _sweep_ordered(mapping: dict) -> dict:
     """Reorder a registry dict: SWEEP_PRIORITY names first (in that
     order), then every remaining name in registration order."""
+    _refresh_sweep_priority()
     out = {n: mapping[n] for n in SWEEP_PRIORITY if n in mapping}
     out.update((n, v) for n, v in mapping.items() if n not in out)
     return out

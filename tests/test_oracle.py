@@ -41,20 +41,22 @@ def test_all_queries_return_rows(spark, sf_dir):
 
 def test_sweep_window_covers_every_family():
     """The driver's correctness sweep covers the FIRST 50 queries in
-    registration order (round-1 verdict item 1). Pin the round-5
-    invariants: SWEEP_PRIORITY IS the window (exactly 50 names, in
-    order), every windowed query has an oracle (zero `no_oracle` rows
-    in the driver report — round-4 verdict item 6), and no window
-    slot is WASTED: while never-driver-swept oracle queries exist,
-    they fill the window before any already-swept re-check does; only
-    when the backlog fits inside 50 may re-check slots exist, and
-    then the whole backlog must be windowed (round-4 verdict
-    item 1)."""
+    registration order (round-1 verdict item 1). The window is now
+    COMPUTED from the on-disk CORRECTNESS_r*.json files (round-6
+    verdict item 1 — the hand-rolled list went stale three rounds
+    running), so these invariants hold at HEAD *by construction*;
+    this test pins them against regressions in the computation:
+    SWEEP_PRIORITY IS the window (exactly 50 names, in order), every
+    windowed query has an oracle (zero `no_oracle` rows in the
+    driver report — round-4 verdict item 6), no window slot is
+    WASTED while never-driver-swept oracle queries exist (round-4
+    verdict item 1), and re-check slots go to the STALEST driver
+    evidence first."""
     import glob
     import json
     import os
 
-    from sync_cosmos_db_spark.queries import SWEEP_PRIORITY
+    from sync_cosmos_db_spark.queries import SWEEP_PRIORITY, _swept_rounds
 
     names = list(entrymod.queries())
     oracles = entrymod.oracle_sql()
@@ -77,6 +79,16 @@ def test_sweep_window_covers_every_family():
         assert not wasted, (
             f"window slots spent on already-swept queries while "
             f"{len(backlog)} never-swept queries wait: {wasted}")
+
+    # Structural rotation: backlog (never-swept) fills the window
+    # front in registration order; re-check slots are ordered by
+    # last-swept round ascending (stalest evidence re-verified first).
+    rounds = _swept_rounds()
+    window_rounds = [rounds[n] for n in names[:50] if n in rounds]
+    assert window_rounds == sorted(window_rounds), (
+        "re-check slots not stalest-first")
+    n_backlog_in_window = sum(1 for n in names[:50] if n not in swept)
+    assert n_backlog_in_window == min(len(backlog), 50)
 
 
 def test_entry_smoke(spark):
