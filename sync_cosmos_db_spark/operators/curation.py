@@ -217,6 +217,53 @@ def global_token_offsets(
         .drop("__bucket"))
 
 
+def global_sort_index(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 64,
+    out_col: str = "__gi",
+) -> DataFrame:
+    """Exact 1-based global ``row_number`` under
+    ``orderBy(value_col, tiebreak_col)`` WITHOUT a single-partition
+    window — the rank twin of :func:`global_token_offsets` (same
+    two-phase scan, counting rows instead of summing tokens).
+
+    Phase 1 range-buckets on approximate quantiles of ``value_col``;
+    the bucket predicate compares ``value_col`` alone, so every tie
+    lands in one bucket and bucket boundaries respect the global
+    (value, tiebreak) order.  Phase 2 ranks within each bucket and
+    adds the broadcast prefix of earlier buckets' row counts.  At
+    100 TB the only shuffle is the per-bucket window; driver state is
+    O(n_buckets).  Returns the input columns plus ``out_col``.
+    """
+    from pyspark.sql import Window as W
+
+    bounds = df.approxQuantile(
+        value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
+    bucket = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        bucket = F.when(F.col(value_col) > b, F.lit(i + 1)) \
+            .otherwise(bucket)
+    tagged = df.withColumn("__bucket", bucket)
+    counts = {r["__bucket"]: r["__c"] for r in
+              tagged.groupBy("__bucket")
+              .agg(F.count("*").alias("__c")).collect()}
+    prefix, acc = {}, 0
+    for b in sorted(counts):
+        prefix[b] = acc
+        acc += counts[b]
+    pref_expr = F.lit(0)
+    for b, off in sorted(prefix.items()):
+        pref_expr = F.when(F.col("__bucket") == b, F.lit(off)) \
+            .otherwise(pref_expr)
+    w = W.partitionBy("__bucket").orderBy(value_col, tiebreak_col)
+    return (tagged.withColumn(
+        out_col,
+        (pref_expr + F.row_number().over(w)).cast("long"))
+        .drop("__bucket"))
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -745,24 +792,23 @@ def quantile_normalize(df, group_col: str, id_col: str, value_col: str,
 
     Per row: r = (rank−1)/(n_group−1) within its group, then the
     global order statistic at position r·(N−1) with linear
-    interpolation — TWO ordered windows (group-keyed rank; ONE
-    global row_number over the value sort) and an equi-join on the
-    floor/ceil global positions.  The global sort is the honest cost
-    of EXACT quantile mapping; at unbounded scale substitute the X82
-    boundary-broadcast deciles for an approximate map.  Ranks
-    tie-break on ``id_col`` so rerun and engine agree.  Returns
-    ``(id, group, value, mapped)``."""
+    interpolation — one group-keyed rank window, one DISTRIBUTED
+    global index (:func:`global_sort_index`: range-bucket on value
+    quantiles, per-bucket row_number, broadcast bucket-prefix counts
+    — the round-6 verdict fix replacing the single-partition
+    ``Window.orderBy`` global sort), and an equi-join on the
+    floor/ceil global positions.  Ranks tie-break on ``id_col`` so
+    rerun and engine agree.  Returns ``(id, group, value, mapped)``."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     p = 10 ** round_digits
     v = F.col(value_col).cast("double")
-    base = (df.select(F.col(id_col).alias("id"),
-                      F.col(group_col).alias("g"), v.alias("v"))
+    base0 = df.select(F.col(id_col).alias("id"),
+                      F.col(group_col).alias("g"), v.alias("v")).persist()
+    base = (global_sort_index(base0, "v", "id", out_col="gi")
             .withColumn("rk", F.row_number().over(
-                Window.partitionBy("g").orderBy("v", "id")))
-            .withColumn("gi", F.row_number().over(
-                Window.orderBy("v", "id"))))
+                Window.partitionBy("g").orderBy("v", "id"))))
     base = base.persist()
     sizes = base.groupBy("g").agg(F.count("*").alias("ng"))
     ntot = base.agg(F.count("*").alias("nt"))

@@ -168,6 +168,25 @@ def test_no_cartesian_product_in_any_query(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_quantile_normalize_no_global_sort(spark, sf_dir):
+    """X151 (round-6 verdict item 2) — the exact global index must come
+    from the two-phase distributed scan, never an unpartitioned
+    ``Window.orderBy`` that moves the whole table through ONE task: no
+    Sort node in the physical plan may feed off an
+    ``Exchange SinglePartition`` (the 1-row global-count aggregates
+    keep theirs — those exchanges feed HashAggregate, not Sort)."""
+    from sync_cosmos_db_spark.queries import get_queries
+
+    df = get_queries()["quantile_normalize_doc_lengths"](spark, sf_dir)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    lines = [ln for ln in plan.splitlines() if ln.strip()]
+    for above, below in zip(lines, lines[1:]):
+        if "Exchange SinglePartition" in below:
+            assert "Sort" not in above, (
+                "single-partition global sort:\n" + above + "\n" + below)
+
+
 def test_dynamic_partition_pruning_on_partitioned_layout(spark, sf_dir,
                                                          tmp_path):
     """A10 — joining the hive-partitioned layout (X89) on its
