@@ -252,6 +252,30 @@ _CDC_ORACLE = """
     """
 
 
+def build_cdc_changes(snap: DataFrame) -> DataFrame:
+    """The deterministic I/U/D change log both X156 forms replay (and
+    X53's oracle describes): mod-7 keys get two competing upserts at
+    seq 1 and 3, mod-11 keys a tombstone at seq 2, mod-13 keys an
+    insert under a fresh negative key."""
+    k, p, s = (F.col("o_orderkey"), F.col("o_totalprice"),
+               F.col("o_orderstatus"))
+
+    def ev(df, key, price, status, seq, op):
+        return df.select(key.alias("o_orderkey"),
+                         price.alias("o_totalprice"),
+                         status.alias("o_orderstatus"),
+                         F.lit(seq).cast("long").alias("seq"),
+                         F.lit(op).alias("op"))
+
+    base7 = snap.filter(k % 7 == 0)
+    return (
+        ev(base7, k, p * 1.1, s, 1, "U")
+        .unionAll(ev(base7, k, p + 55.5, s, 3, "U"))
+        .unionAll(ev(snap.filter(k % 11 == 0), k, p, s, 2, "D"))
+        .unionAll(ev(snap.filter(k % 13 == 0), -k, p / 2, F.lit("N"),
+                     1, "U")))
+
+
 @query("stream_cdc_apply_orders", _CDC_ORACLE)
 def stream_cdc_apply_orders(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -280,23 +304,7 @@ def stream_cdc_apply_orders(spark: SparkSession,
 
     snap = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus")
-    k, p, s = (F.col("o_orderkey"), F.col("o_totalprice"),
-               F.col("o_orderstatus"))
-
-    def ev(df, key, price, status, seq, op):
-        return df.select(key.alias("o_orderkey"),
-                         price.alias("o_totalprice"),
-                         status.alias("o_orderstatus"),
-                         F.lit(seq).cast("long").alias("seq"),
-                         F.lit(op).alias("op"))
-
-    base7 = snap.filter(k % 7 == 0)
-    changes = (
-        ev(base7, k, p * 1.1, s, 1, "U")
-        .unionAll(ev(base7, k, p + 55.5, s, 3, "U"))
-        .unionAll(ev(snap.filter(k % 11 == 0), k, p, s, 2, "D"))
-        .unionAll(ev(snap.filter(k % 13 == 0), -k, p / 2, F.lit("N"),
-                     1, "U")))
+    changes = build_cdc_changes(snap)
     tmp = tempfile.mkdtemp(prefix="cdc_stream_")
     changes.repartition(4).write.mode("overwrite").parquet(tmp)
     stream = (spark.readStream

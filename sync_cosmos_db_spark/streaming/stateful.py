@@ -111,6 +111,57 @@ def changelog_compact_stream(changes: DataFrame) -> DataFrame:
         GroupStateTimeout.NoTimeout)
 
 
+def run_changelog_compaction(changes: DataFrame, state_dir: str,
+                             keys: list[str], seq_col: str,
+                             op_col: str = "op") -> DataFrame:
+    """X156 SCALE form (round-6 verdict item 3) — changelog compaction
+    via ``foreachBatch`` + the batch ``cdc.collapse_changelog``: each
+    micro-batch is collapsed with whole-batch JVM window work, merged
+    against the previous keys-sized compacted log, and written as a new
+    parquet version the next batch reads (the round-trip also truncates
+    lineage, the X90/X112 lesson).  Semantically identical to
+    ``changelog_compact_stream`` — the winner per key under
+    (seq DESC, op ASC) survives across batches — but with ZERO per-key
+    Python dispatch: the ``applyInPandasWithState`` form measured ~20k
+    keys/s/batch because every group crosses the Python boundary
+    individually, while this form's per-batch cost is one batch-keyed
+    window + one keys-sized merge collapse, all JVM-side
+    (measured 9× faster at 2M events / 200k keys; SCALING.md).
+
+    At pipeline cardinality (10⁸–10⁹ keys) this is the architecture a
+    change-feed consumer runs: state is a keys-sized TABLE, not a state
+    store — on a real cluster the version write targets a bucketed
+    table or a Delta/Iceberg MERGE so the per-batch merge co-locates on
+    the key without reshuffling history.  Returns the final compacted
+    log (one row per surviving key).
+    """
+    import os
+
+    from sync_cosmos_db_spark.operators.cdc import collapse_changelog
+
+    latest: dict[str, Any] = {"path": None}
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compact = collapse_changelog(batch_df, keys, seq_col, op_col)
+        if latest["path"] is not None:
+            prev = spark.read.parquet(latest["path"])
+            compact = collapse_changelog(
+                prev.unionByName(compact), keys, seq_col, op_col)
+        out = os.path.join(state_dir, f"v{batch_id:020d}")
+        compact.write.mode("overwrite").parquet(out)
+        latest["path"] = out
+
+    q = (changes.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark = changes.sparkSession
+    assert latest["path"] is not None, "stream produced no batches"
+    return spark.read.parquet(latest["path"])
+
+
 _RL_OUT_SCHEMA = ("user_id bigint, window_start bigint, "
                   "n_batch bigint, n_admitted_batch bigint")
 _RL_STATE_SCHEMA = "n_seen bigint, n_admitted bigint"
