@@ -83,6 +83,16 @@ HEADLINE_LLM = [
     "editdist_pairs_customers",
     "tfidf_keywords_documents",
     "label_propagation_docs",
+    # Round-7 (round-6 verdict item 4): the heaviest measured families
+    # were invisible to BENCH_r{N} — X151 exact quantile normalization
+    # (now the two-phase distributed index), the X156 stateful
+    # streaming compaction AND its foreachBatch batch-merge scale twin
+    # (both run REAL 4-micro-batch streams per invocation), and the
+    # X160 streaming rate limiter.
+    "quantile_normalize_doc_lengths",
+    "stream_cdc_apply_orders",
+    "stream_cdc_apply_orders_batchmerge",
+    "stream_rate_limit_hourly",
 ]
 
 
@@ -144,19 +154,24 @@ def main() -> int:
     llm_timings, llm_best_of, llm_cold = run_suite(HEADLINE_LLM)
 
     total = round(sum(timings.values()), 3)
+    # Key order matters (round-6 verdict item 6): the driver records
+    # the TAIL of stdout, so the per-query medians and suite totals go
+    # LAST in the (insertion-ordered) JSON object and the verbose
+    # best-of/cold diagnostics go first — a truncated prefix then costs
+    # only diagnostics, never the headline per-query numbers.
     print(json.dumps({
+        "queries_cold_run": cold,
+        "queries_best_of_3": best_of,
+        "llm_queries_cold_run": llm_cold,
+        "llm_queries_best_of_3": llm_best_of,
+        "llm_queries": llm_timings,
+        "queries": timings,
+        "llm_best_of_3_total": round(sum(llm_best_of.values()), 3),
+        "headline_llm_suite_sec": round(sum(llm_timings.values()), 3),
+        "best_of_3_total": round(sum(best_of.values()), 3),
         "metric": "headline_suite_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_best_of_3": best_of,
-        "best_of_3_total": round(sum(best_of.values()), 3),
-        "queries_cold_run": cold,
-        "headline_llm_suite_sec": round(sum(llm_timings.values()), 3),
-        "llm_queries": llm_timings,
-        "llm_queries_best_of_3": llm_best_of,
-        "llm_best_of_3_total": round(sum(llm_best_of.values()), 3),
-        "llm_queries_cold_run": llm_cold,
         "sf": sf,
     }))
     return 0
