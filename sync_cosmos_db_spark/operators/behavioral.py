@@ -304,3 +304,134 @@ def transition_dwell(df: DataFrame, key_col: str, ts_col: str,
                  fr(F.avg("gap")).alias("mean_s"),
                  fr(F.expr("percentile(gap, 0.5)")).alias("p50_s"),
                  fr(F.expr("percentile(gap, 0.9)")).alias("p90_s")))
+
+
+def burst_collapse(df: DataFrame, key_cols: list[str], ts_col: str,
+                   id_col: str, tolerance_seconds: int = 5) -> DataFrame:
+    """X171 — burst-collapse event dedup: consecutive events of the
+    same key whose inter-arrival gap stays under ``tolerance_seconds``
+    form one burst; only the FIRST event of each burst survives — the
+    double-click / retry-storm / at-least-once-delivery cleaner that
+    exact dedup (X1) can't express because the duplicates differ in
+    timestamp.
+
+    Same gaps-and-islands construction as :func:`sessionize` with the
+    tolerance as the gap (one key-ordered window pass, integer
+    microsecond arithmetic, ROWS frame), then the first row per island
+    kept on the same sort — one shuffle total, both windows share it.
+    Returns the surviving rows with ``burst_idx`` and ``burst_len``
+    attached.
+    """
+    w = W.partitionBy(*key_cols).orderBy(F.col(ts_col), F.col(id_col))
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_b = F.when(
+        prev.isNull()
+        | ((us - F.unix_micros(prev)) > tolerance_seconds * 1_000_000),
+        F.lit(1)).otherwise(F.lit(0))
+    run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    tagged = (df.withColumn("__new", new_b)
+              .withColumn("burst_idx", F.sum("__new").over(run)
+                          .cast("long")))
+    wb = W.partitionBy(*key_cols, "burst_idx")
+    return (tagged
+            .withColumn("burst_len", F.count("*").over(wb).cast("long"))
+            .filter(F.col("__new") == 1)
+            .drop("__new"))
+
+
+def session_depth_profile(df: DataFrame, gap_seconds: int = 1800,
+                          user_col: str = "user_id", ts_col: str = "ts",
+                          id_col: str = "event_id",
+                          type_col: str = "event_type",
+                          round_digits: int = 4) -> DataFrame:
+    """X172 — session depth / bounce profile by entry event type:
+    sessionize (:func:`sessionize`, 30-min default gap), collapse to
+    one row per session (depth, entry type via the min-(ts,id) event),
+    then per entry type: session count, bounce rate (depth = 1), mean
+    depth, p90 depth — the landing-page quality readout.
+
+    The session collapse rides the SAME (user, ts, id) sort the
+    sessionizer already shuffled; entry-type election orders a struct
+    by (ts, id), and depths round before the per-type reduce.
+    Returns ``(entry_type, n_sessions, n_bounce, bounce_rate,
+    mean_depth, p90_depth)``.
+    """
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    s = sessionize(df, gap_seconds, user_col, ts_col, id_col)
+    per_sess = (s.groupBy(user_col, "session_idx")
+                .agg(F.count("*").cast("long").alias("depth"),
+                     F.min(F.struct(F.col(ts_col), F.col(id_col),
+                                    F.col(type_col)))[type_col]
+                     .alias("entry_type")))
+    return (per_sess.groupBy(F.col("entry_type"))
+            .agg(F.count("*").cast("long").alias("n_sessions"),
+                 F.sum((F.col("depth") == 1).cast("long"))
+                 .alias("n_bounce"),
+                 fr(F.avg((F.col("depth") == 1).cast("double")))
+                 .alias("bounce_rate"),
+                 fr(F.avg("depth")).alias("mean_depth"),
+                 F.expr("percentile_cont(0.9) WITHIN GROUP "
+                        "(ORDER BY depth)").alias("p90_depth")))
+
+
+def transition_validity_audit(df: DataFrame, allowed: list[tuple],
+                              key_col: str = "user_id",
+                              ts_col: str = "ts",
+                              id_col: str = "event_id",
+                              state_col: str = "event_type") -> DataFrame:
+    """X173 — state-machine transition validity audit: per observed
+    (from, to) transition under the per-key (ts, id) order, count
+    occurrences and flag whether the transition is in the ``allowed``
+    whitelist — the referential-integrity analog for event SEQUENCES
+    (an order that ships before it's placed, a session that purchases
+    before it views).
+
+    One key-ordered lag window (the X26 transition-matrix sort
+    reused), one pair-keyed count, and an ``isin`` against the
+    literal whitelist — |states| squared output rows.  Returns
+    ``(from_state, to_state, n, is_allowed)``.
+    """
+    w = W.partitionBy(key_col).orderBy(F.col(ts_col), F.col(id_col))
+    pairs = (df.withColumn("__from", F.lag(F.col(state_col)).over(w))
+             .filter(F.col("__from").isNotNull())
+             .select(F.col("__from").alias("from_state"),
+                     F.col(state_col).alias("to_state")))
+    allowed_lit = [f"{a} {b}" for a, b in allowed]
+    return (pairs.groupBy("from_state", "to_state")
+            .agg(F.count("*").cast("long").alias("n"))
+            .withColumn("is_allowed",
+                        F.concat_ws(" ", "from_state", "to_state")
+                        .isin(allowed_lit)))
+
+
+def inactivity_profile(df: DataFrame, buckets_days: list[int],
+                       key_col: str = "user_id",
+                       ts_col: str = "ts") -> DataFrame:
+    """X174 — churn / inactivity profile: each key's recency (days
+    between its LAST event and the corpus high-water mark) bucketed
+    into ``buckets_days`` bands (e.g. [7, 30] means active within 7d,
+    lapsed within 30d, churned beyond) — the lifecycle segmentation
+    every retention dashboard starts from.
+
+    One key-keyed max aggregate, a crossJoin against the BROADCAST
+    single-row high-water-mark aggregate (the X94 TTL shape), and a
+    band bucketing expression — state is O(keys), one shuffle.
+    Returns ``(bucket, n_keys, min_gap_days, max_gap_days)`` with
+    integer day gaps (floor of the second gap / 86400).
+    """
+    last = df.groupBy(key_col).agg(F.max(F.col(ts_col)).alias("__last"))
+    hwm = df.agg(F.max(F.col(ts_col)).alias("__hwm"))
+    gap_days = F.floor(
+        (F.unix_seconds(F.col("__hwm")) - F.unix_seconds(F.col("__last")))
+        / 86400).cast("long")
+    bucket = F.lit(f">{buckets_days[-1]}d")
+    for b in reversed(sorted(buckets_days)):
+        bucket = F.when(gap_days <= b, F.lit(f"<={b}d")).otherwise(bucket)
+    return (last.crossJoin(F.broadcast(hwm))
+            .withColumn("__gap", gap_days)
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 F.min("__gap").alias("min_gap_days"),
+                 F.max("__gap").alias("max_gap_days")))

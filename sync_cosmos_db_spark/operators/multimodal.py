@@ -468,3 +468,60 @@ def sniff_binary_type(col) -> "F.Column":
             .when(head16.startswith(_MAGIC_RIFF)
                   & (F.substring(head16, 17, 8) == _MAGIC_WAVE), "wav")
             .otherwise("unknown"))
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("asset_id", T.LongType()),
+    T.StructField("dhash", T.LongType()),
+    T.StructField("decode_ok", T.BooleanType()),
+])
+
+
+def dhash64(px) -> int:
+    """64-bit difference hash (dHash) of a decoded image array
+    ((h, w, ch) uint8): grayscale by channel mean, block-average down
+    to a 9x8 grid, then one bit per horizontally-adjacent cell pair
+    (left > right).  Brightness/contrast shifts and small re-encodes
+    preserve the gradient signs, so near-duplicate images collide —
+    the perceptual twin of X2's text MinHash.  Pure numpy, no imaging
+    library; deterministic (block boundaries are integer index
+    splits)."""
+    import numpy as np
+
+    g = np.asarray(px, dtype=np.float64).mean(axis=2)
+    h, w = g.shape
+    rows = [r for r in np.array_split(np.arange(h), 8)]
+    cols = [c for c in np.array_split(np.arange(w), 9)]
+    grid = np.array([[g[np.ix_(r, c)].mean() for c in cols]
+                     for r in rows])
+    bits = (grid[:, :-1] > grid[:, 1:]).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement into signed 64-bit so it fits a LongType
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash_png_assets(assets: DataFrame) -> DataFrame:
+    """X177 — perceptual image fingerprints: REAL stdlib PNG decode +
+    :func:`dhash64` per asset in one Arrow-batched ``mapInPandas``
+    pass (embarrassingly parallel, zero shuffle).  Downstream,
+    ``groupBy(dhash)`` buckets near-duplicate images the way X1
+    buckets exact text — never an all-pairs image comparison.
+    Undecodable payloads yield ``decode_ok=false`` rows."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out = []
+            for asset_id, content in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    _w, _h, _ch, px = png_decode(bytes(content))
+                    out.append((asset_id, dhash64(px), True))
+                except Exception:
+                    out.append((asset_id, None, False))
+            yield _pd.DataFrame(
+                out, columns=[f.name for f in DHASH_SCHEMA.fields])
+
+    return assets.select("asset_id", "content").mapInPandas(
+        run, schema=DHASH_SCHEMA)

@@ -1120,3 +1120,42 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str,
         fr(-F.sum(pab * F.log(pab))).alias("h_ab"),
         fr(F.sum(pab * F.log(pab / (pa * pb)))).alias("mi"),
     )
+
+
+def woe_encoding(df: DataFrame, cat_col: str, target_col,
+                 laplace: float = 0.5,
+                 round_digits: int = 6) -> DataFrame:
+    """X175 — weight-of-evidence encoding + information value: per
+    category, ``WOE = ln((good_c/good_tot)/(bad_c/bad_tot))`` with
+    Laplace smoothing, and the category's IV contribution
+    ``(good_share - bad_share) * WOE`` — the credit-scoring-standard
+    supervised categorical encoding, the log-odds sibling of the X127
+    m-estimate target encoder (WOE is additive in logistic models and
+    its summed IV ranks feature usefulness).
+
+    One category-keyed aggregate + a crossJoin against the BROADCAST
+    single-row (good_tot, bad_tot) aggregate — the X73 chi-square
+    shape; |categories| output rows, one shuffle.  ``target_col``
+    must be a 0/1 integer column (or boolean castable).  Returns
+    ``(category, n, n_good, n_bad, woe, iv_contrib)``.
+    """
+    t = F.col(target_col).cast("long") if isinstance(target_col, str) \
+        else target_col.cast("long")
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    per_cat = (df.select(F.col(cat_col).alias("category"), t.alias("y"))
+               .groupBy("category")
+               .agg(F.count("*").cast("long").alias("n"),
+                    F.sum("y").cast("long").alias("n_good")))
+    per_cat = per_cat.withColumn(
+        "n_bad", (F.col("n") - F.col("n_good")).cast("long"))
+    tot = per_cat.agg(F.sum("n_good").alias("gt"),
+                      F.sum("n_bad").alias("bt"))
+    good_share = (F.col("n_good") + laplace) / (F.col("gt") + 2 * laplace)
+    bad_share = (F.col("n_bad") + laplace) / (F.col("bt") + 2 * laplace)
+    woe = F.log(good_share / bad_share)
+    return (per_cat.crossJoin(F.broadcast(tot))
+            .select("category", "n", "n_good", "n_bad",
+                    fr(woe).alias("woe"),
+                    fr((good_share - bad_share) * woe)
+                    .alias("iv_contrib")))

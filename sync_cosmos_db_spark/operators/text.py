@@ -749,3 +749,213 @@ def markdown_structure_profile(df, group_col: str, text_col: str,
                  fr(F.avg("nl")).alias("avg_list_lines"),
                  F.sum((F.col("nf") % 2 != 0).cast("long"))
                  .alias("unbalanced_fence_docs")))
+
+
+def compression_profile(df, group_col: str, id_col: str,
+                        text_col: str, round_digits: int = 4):
+    """X166 — zlib compression-ratio quality signal per group: the
+    classic cheap redundancy detector (C4/Gopher-adjacent) — highly
+    compressible documents are boilerplate/repetition, ratios near 1
+    are noise/random bytes; both tails are curation candidates.
+
+    Per document: ``len(zlib.compress(utf8, level=6)) / len(utf8)``.
+    One Arrow-batched ``mapInPandas`` pass (zlib is C-speed; no JVM
+    equivalent exists, which is also why this family is rows-only —
+    no SQL engine exposes a deterministic compressor), then one
+    group-keyed aggregate.  Zero shuffle before the reduce.  Returns
+    ``(group, n_docs, mean_ratio, min_ratio, max_ratio,
+    n_high_redundancy, n_incompressible)``.
+    """
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+
+    def run(batches):
+        import zlib
+        from math import floor
+
+        import pandas as pd
+
+        for pdf in batches:
+            ratios = []
+            for text in pdf[text_col]:
+                raw = (text or "").encode("utf-8")
+                if not raw:
+                    ratios.append(1.0)
+                    continue
+                r = len(zlib.compress(raw, 6)) / len(raw)
+                ratios.append(floor(r * p + 0.5) / p)
+            yield pd.DataFrame({"g": pdf[group_col], "ratio": ratios})
+
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    per_doc = df.select(group_col, id_col, text_col).mapInPandas(
+        run, "g string, ratio double")
+    return (per_doc.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 fr(F.avg("ratio")).alias("mean_ratio"),
+                 F.min("ratio").alias("min_ratio"),
+                 F.max("ratio").alias("max_ratio"),
+                 F.sum((F.col("ratio") < 0.35).cast("long"))
+                 .alias("n_high_redundancy"),
+                 F.sum((F.col("ratio") > 0.95).cast("long"))
+                 .alias("n_incompressible")))
+
+
+def nfc_audit(df, group_col: str, text_col: str):
+    """X167 — Unicode NFC normalization audit per group: how many
+    documents change under NFC, and by how many UTF-16 code units —
+    the pre-dedup hygiene check (the same text in composed vs
+    decomposed form defeats exact dedup and splits token statistics).
+
+    Python side is one Arrow-batched ``mapInPandas`` applying
+    ``unicodedata.normalize("NFC", ·)`` per document (embarrassingly
+    parallel, zero shuffle before the group reduce); the DuckDB
+    oracle uses its native ``nfc_normalize`` — a REAL cross-engine
+    check that the Python normalization agrees with a second
+    implementation.  Returns ``(group, n_docs, n_changed,
+    chars_before, chars_after)`` with char counts in CODEPOINTS
+    (DuckDB ``length`` semantics; Python ``len``).
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            changed, before, after = [], [], []
+            for text in pdf[text_col]:
+                t = text or ""
+                n = unicodedata.normalize("NFC", t)
+                changed.append(n != t)
+                before.append(len(t))
+                after.append(len(n))
+            yield pd.DataFrame({"g": pdf[group_col], "changed": changed,
+                                "before": before, "after": after})
+
+    per_doc = df.select(group_col, text_col).mapInPandas(
+        run, "g string, changed boolean, before long, after long")
+    return (per_doc.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("changed").cast("long")).alias("n_changed"),
+                 F.sum("before").alias("chars_before"),
+                 F.sum("after").alias("chars_after")))
+
+
+def zipf_slope(df, group_col: str, text_col: str,
+               top_ranks: int = 100, round_digits: int = 4):
+    """X168 — Zipf rank-frequency slope per group: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` over the top ``top_ranks`` token
+    ranks.  Natural text sits near −1; templated/boilerplate corpora
+    flatten, key-mashing steepens — a one-number distributional
+    health check per source.
+
+    One token-keyed count shuffle, a per-group rank window that
+    ``WindowGroupLimit`` caps at ``top_ranks`` rows per group, then
+    the closed-form OLS on ≤ ``top_ranks`` points per group.  Rank
+    ties break on token ascending so both engines rank identically.
+    Returns ``(group, n_ranks, slope, intercept)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    toks = (df.select(F.col(group_col).alias("g"),
+                      F.explode(F.split(F.col(text_col), r"\s+"))
+                      .alias("tok"))
+            .filter(F.col("tok") != ""))
+    freq = toks.groupBy("g", "tok").agg(F.count("*").alias("f"))
+    w = Window.partitionBy("g").orderBy(F.col("f").desc(),
+                                        F.col("tok").asc())
+    ranked = (freq.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= top_ranks)
+              .select("g", F.log("r").alias("x"), F.log("f").alias("y")))
+    n = F.count("*").cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy = F.sum(F.col("x") * F.col("x")), F.sum(F.col("x") * F.col("y"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (ranked.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_ranks"),
+                 fr(slope).alias("slope"),
+                 fr((sy - slope * sx) / n).alias("intercept")))
+
+
+def script_mix_profile(df, group_col: str, text_col: str,
+                       round_digits: int = 4):
+    """X169 — Unicode script-mix profile per group: per-document
+    counts of Latin letters, Cyrillic letters, Han ideographs, digits,
+    and whitespace, aggregated to per-group character-share fractions
+    plus a mixed-script document count (Latin AND Cyrillic in one
+    document — the homoglyph-spoofing / encoding-bleed signal).
+
+    Pure in-row ``regexp_count`` with Unicode script classes — Java
+    ``\\p{IsLatin}`` == RE2 ``\\p{Latin}``, matched in the oracle —
+    zero shuffle before the group reduce.  Returns ``(group, n_docs,
+    latin_share, cyrillic_share, han_share, digit_share,
+    n_mixed_script)``; shares are of NON-whitespace characters.
+    """
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    t = F.col(text_col)
+    lat = F.regexp_count(t, F.lit(r"\p{IsLatin}"))
+    cyr = F.regexp_count(t, F.lit(r"\p{IsCyrillic}"))
+    han = F.regexp_count(t, F.lit(r"\p{IsHan}"))
+    dig = F.regexp_count(t, F.lit(r"[0-9]"))
+    ws = F.regexp_count(t, F.lit(r"\s"))
+    d = df.select(F.col(group_col).alias("g"),
+                  lat.alias("lat"), cyr.alias("cyr"), han.alias("han"),
+                  dig.alias("dig"),
+                  (F.length(t) - ws).cast("double").alias("nw"))
+    share = lambda c: fr(F.sum(c) / F.sum("nw"))  # noqa: E731
+    return (d.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 share(F.col("lat")).alias("latin_share"),
+                 share(F.col("cyr")).alias("cyrillic_share"),
+                 share(F.col("han")).alias("han_share"),
+                 share(F.col("dig")).alias("digit_share"),
+                 F.sum(((F.col("lat") > 0) & (F.col("cyr") > 0))
+                       .cast("long")).alias("n_mixed_script")))
+
+
+def max_token_run(df, id_col: str, text_col: str):
+    """X170 — longest consecutive identical-token run per document:
+    the degenerate-repetition detector Gopher's fraction rules can
+    miss (one "buy buy buy … buy" burst in a long document keeps
+    every dup-fraction under threshold but still poisons training).
+
+    Gaps-and-islands entirely with in-row higher-order array
+    functions: ``pos − row_number_within_token`` is constant inside a
+    run, so the run lengths are the sizes of (token, island) groups —
+    computed here per document inside ``aggregate`` over the token
+    array (single sequential scan per doc, zero shuffle, no explode).
+    Returns ``(id, n_tokens, max_run_token, max_run_len)``.
+    """
+    from pyspark.sql import functions as F
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda x: x != "")
+    # state: (prev_token, cur_run, best_token, best_run) carried as a
+    # struct through one sequential fold per document
+    init = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("cur"),
+                    F.lit(None).cast("string").alias("btok"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def step(acc, x):
+        cur = F.when(x == acc["prev"], acc["cur"] + 1).otherwise(F.lit(1))
+        better = cur > acc["best"]
+        return F.struct(x.alias("prev"), cur.alias("cur"),
+                        F.when(better, x).otherwise(acc["btok"])
+                        .alias("btok"),
+                        F.when(better, cur).otherwise(acc["best"])
+                        .alias("best"))
+
+    agg = F.aggregate(toks, init, step)
+    return df.select(F.col(id_col).alias("id"),
+                     F.size(toks).cast("long").alias("n_tokens"),
+                     agg["btok"].alias("max_run_token"),
+                     agg["best"].cast("long").alias("max_run_len"))
