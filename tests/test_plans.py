@@ -147,6 +147,12 @@ BNLJ_ALLOWED = {
     # X165: two single-row corpus aggregates crossJoin — a 1×1 BNLJ
     # (verify_counts shape).
     "corpus_datacard_documents",
+    # X174: the per-key last-event table crossJoins the BROADCAST
+    # single-row high-water-mark aggregate (the X94 TTL shape).
+    "inactivity_profile_events",
+    # X175: the per-category table crossJoins the BROADCAST single-row
+    # (good_tot, bad_tot) aggregate (the X73 chi-square shape).
+    "woe_orderpriority_returned",
 }
 
 
