@@ -1159,3 +1159,115 @@ def woe_encoding(df: DataFrame, cat_col: str, target_col,
                     fr(woe).alias("woe"),
                     fr((good_share - bad_share) * woe)
                     .alias("iv_contrib")))
+
+
+def cohens_kappa(df: DataFrame, col_a: str, col_b: str,
+                 round_digits: int = 6) -> DataFrame:
+    """X178 — Cohen's kappa inter-annotator agreement between two
+    label columns: observed agreement p_o, chance agreement p_e from
+    the marginal label distributions, kappa = (p_o − p_e)/(1 − p_e)
+    — the label-QC gate every supervised/RLHF labeling pipeline runs
+    before trusting its annotations (raw percent agreement flatters
+    skewed label sets; kappa corrects for chance).
+
+    One scan for the |labels|² confusion counts, two |labels|-row
+    marginal aggregates joined as broadcasts — nothing grows with row
+    count.  Returns ``(n, p_o, p_e, kappa)`` (one row).
+    """
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    d = df.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    conf = d.groupBy("a", "b").agg(F.count("*").alias("c"))
+    tot = conf.agg(F.sum("c").alias("n"),
+                   F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+                         .otherwise(0)).alias("agree"))
+    ma = conf.groupBy("a").agg(F.sum("c").alias("na"))
+    mb = conf.groupBy(F.col("b").alias("a")).agg(F.sum("c").alias("nb"))
+    pe_tab = (ma.join(mb, "a", "inner")
+              .agg(F.sum(F.col("na").cast("double")
+                         * F.col("nb")).alias("pe_num")))
+    po = F.col("agree") / F.col("n")
+    pe = F.col("pe_num") / (F.col("n").cast("double") * F.col("n"))
+    return (tot.crossJoin(F.broadcast(pe_tab))
+            .select(F.col("n").cast("long").alias("n"),
+                    fr(po).alias("p_o"), fr(pe).alias("p_e"),
+                    fr((po - pe) / (1 - pe)).alias("kappa")))
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col,
+            n_buckets: int = 64, round_digits: int = 6) -> DataFrame:
+    """X179 — exact ROC-AUC via the Mann-Whitney rank formula with
+    midrank tie handling: AUC = (Σ ranks of positives − n₁(n₁+1)/2)
+    / (n₁n₀) — the standard binary-classifier eval beside the X147
+    calibration bins (calibration says probabilities are honest; AUC
+    says the ordering discriminates).
+
+    DISTRIBUTED ranking: scores collapse to a distinct-score count
+    table first (one shuffle), then the global rank offsets come from
+    the X11 two-phase scan (``curation.global_token_offsets``:
+    range-bucket on score quantiles, per-bucket cumsum, broadcast
+    bucket prefixes) — no single-partition window anywhere, the X151
+    lesson applied on day one.  Ties share the midrank
+    ``offset + (n+1)/2`` exactly as the closed form requires.
+    Returns ``(n_pos, n_neg, auc)`` (one row).
+    """
+    from sync_cosmos_db_spark.operators.curation import (
+        global_token_offsets,
+    )
+
+    p = 10 ** round_digits
+    y = F.col(label_col).cast("long") if isinstance(label_col, str) \
+        else label_col.cast("long")
+    sc = df.select(F.col(score_col).cast("double").alias("s"),
+                   y.alias("y"))
+    g = sc.groupBy("s").agg(F.count("*").alias("n"),
+                            F.sum("y").alias("np"))
+    offs = global_token_offsets(g, "s", "n", n_buckets)
+    midrank = F.col("__offset") + (F.col("n") + 1) / 2.0
+    agg = offs.agg(
+        F.sum(F.col("np") * midrank).alias("rank_pos"),
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"))
+    auc = ((F.col("rank_pos")
+            - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+           / (F.col("n_pos").cast("double") * F.col("n_neg")))
+    return agg.select("n_pos", "n_neg",
+                      (F.floor(auc * p + F.lit(0.5)) / p).alias("auc"))
+
+
+def hill_tail_index(df: DataFrame, group_col: str, value_col: str,
+                    k: int = 100, round_digits: int = 4) -> DataFrame:
+    """X180 — Hill estimator of the power-law tail index per group:
+    alpha-hat = 1 / mean(ln(x_(i) / x_(k+1))) over the top-k order
+    statistics — the heavy-tail health check for value distributions
+    (alpha <= 2 means infinite variance: sums, means, and shuffle-size
+    estimates stop behaving; the rank-domain sibling of the X168 Zipf
+    slope).
+
+    One per-group descending-rank window that WindowGroupLimit caps at
+    k+1 rows per group, then a conditional aggregate — O(groups × k)
+    after the window, one shuffle.  Requires positive values (filtered
+    in-operator).  Ranks tie on value only: the estimator depends only
+    on the top-k multiset, so ties cannot change the result.  Returns
+    ``(group, k_used, x_k1, alpha)``.
+    """
+    from pyspark.sql import Window
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    d = (df.select(F.col(group_col).alias("g"),
+                   F.col(value_col).cast("double").alias("v"))
+         .filter(F.col("v") > 0))
+    w = Window.partitionBy("g").orderBy(F.col("v").desc())
+    top = (d.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= k + 1))
+    # groups with fewer than k+1 positive values have no tail cut x_(k+1)
+    # and drop out (inner join) — the estimator is undefined there
+    k1 = (top.filter(F.col("rn") == k + 1)
+          .select("g", F.col("v").alias("x_k1")))
+    joined = top.filter(F.col("rn") <= k).join(F.broadcast(k1), "g")
+    return (joined.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("k_used"),
+                 F.first("x_k1").alias("x_k1"),
+                 fr(1.0 / F.avg(F.log(F.col("v") / F.col("x_k1"))))
+                 .alias("alpha")))

@@ -319,3 +319,43 @@ def max_drawdown(series, group_col: str, time_col: str, value_col: str,
                  fr(F.max("mdd")).alias("max_drawdown"),
                  F.min(F.when(F.col("dd") == F.col("mdd"),
                               F.col("t"))).alias(f"trough_{time_col}")))
+
+
+def mase_profile(df: DataFrame, ts_col: str, value_col,
+                 season: int = 7, round_digits: int = 4) -> DataFrame:
+    """X181 — seasonal-naive forecast error profile (MASE framing):
+    collapse to a daily series, then MAE of the one-step naive
+    forecast (lag 1), MAE of the seasonal naive (lag ``season``), and
+    their ratio — the scale-free baseline every forecasting effort
+    must beat (ratio < 1 means last week predicts better than
+    yesterday: the series is seasonal; a model that can't beat BOTH
+    is decoration).  Companion to X113 MoM growth and X121/X135
+    changepoint/ACF on the same period-collapsed shape.
+
+    One date-keyed aggregate collapses the corpus to O(days) rows;
+    both lag windows and the final 1-row reduce run on that tiny
+    series — the standard period-collapse pattern, nothing scales
+    with row count.  Returns ``(n_days, mae_naive, mae_seasonal,
+    mase_ratio)`` (one row).
+    """
+    from pyspark.sql import Window
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    daily = (df.groupBy(F.to_date(F.col(ts_col)).alias("d"))
+             .agg(F.sum(v).alias("r")))
+    w = Window.orderBy("d")
+    e = (daily
+         .withColumn("e1", F.abs(F.col("r") - F.lag("r", 1).over(w)))
+         .withColumn("es", F.abs(F.col("r")
+                                 - F.lag("r", season).over(w))))
+    # a perfectly flat series has zero naive MAE; the ratio is
+    # undefined there (NULL), not an ANSI divide-by-zero error
+    ratio = F.when(F.col("__m1") != 0, F.col("__ms") / F.col("__m1"))
+    return (e.agg(F.count("*").cast("long").alias("n_days"),
+                  F.avg("e1").alias("__m1"),
+                  F.avg("es").alias("__ms"))
+            .select("n_days", fr(F.col("__m1")).alias("mae_naive"),
+                    fr(F.col("__ms")).alias("mae_seasonal"),
+                    fr(ratio).alias("mase_ratio")))
