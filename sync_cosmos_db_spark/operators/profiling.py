@@ -1271,3 +1271,48 @@ def hill_tail_index(df: DataFrame, group_col: str, value_col: str,
                  F.first("x_k1").alias("x_k1"),
                  fr(1.0 / F.avg(F.log(F.col("v") / F.col("x_k1"))))
                  .alias("alpha")))
+
+
+def brier_decomposition(df: DataFrame, score_col: str, label_col,
+                        n_bins: int = 10,
+                        round_digits: int = 6) -> DataFrame:
+    """X184 — Murphy decomposition of the Brier score:
+    reliability − resolution + uncertainty over ``n_bins`` equal-width
+    forecast bins, plus the exact (unbinned) Brier score — the
+    one-row summary behind the X147 reliability diagram (X147 shows
+    WHERE calibration fails; this prices it: reliability is the
+    calibration penalty, resolution the reward for sharp forecasts,
+    uncertainty the irreducible base-rate floor).
+
+    One scan into a ≤``n_bins``-row bin table + a broadcast 1-row
+    global aggregate (the X73 shape); the binned identity
+    brier_binned = rel − res + unc holds exactly by construction and
+    the exact Brier is reported beside it.  Returns ``(n, brier,
+    reliability, resolution, uncertainty)``.
+    """
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    y = F.col(label_col).cast("double") if isinstance(label_col, str) \
+        else label_col.cast("double")
+    d = df.select(F.col(score_col).cast("double").alias("s"),
+                  y.alias("y"))
+    b = F.least(F.floor(F.col("s") * n_bins),
+                F.lit(n_bins - 1)).cast("long")
+    bins = (d.groupBy(b.alias("b"))
+            .agg(F.count("*").cast("double").alias("nb"),
+                 F.avg("s").alias("pb"), F.avg("y").alias("ob")))
+    glob = d.agg(F.count("*").cast("double").alias("n"),
+                 F.avg("y").alias("obar"),
+                 F.avg((F.col("s") - F.col("y"))
+                       * (F.col("s") - F.col("y"))).alias("brier"))
+    j = bins.crossJoin(F.broadcast(glob))
+    rel = F.sum(F.col("nb") * (F.col("pb") - F.col("ob"))
+                * (F.col("pb") - F.col("ob"))) / F.first("n")
+    res = F.sum(F.col("nb") * (F.col("ob") - F.col("obar"))
+                * (F.col("ob") - F.col("obar"))) / F.first("n")
+    return (j.agg(F.first("n").cast("long").alias("n"),
+                  fr(F.first("brier")).alias("brier"),
+                  fr(rel).alias("reliability"),
+                  fr(res).alias("resolution"),
+                  fr(F.first("obar") * (1 - F.first("obar")))
+                  .alias("uncertainty")))

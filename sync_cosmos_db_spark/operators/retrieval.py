@@ -289,3 +289,90 @@ def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3,
             .filter(F.col("rank") <= top_k)
             .select("doc", F.col("rank").cast("long").alias("rank"),
                     "token", "score"))
+
+
+def ndcg_mrr(df, group_col: str, score_col: str, rel_col, id_col: str,
+             k: int = 10, round_digits: int = 6):
+    """X182 — NDCG@k + MRR per ranked group: rank items within each
+    group by (score desc, id asc), DCG@k with the standard
+    1/log2(rank+1) discount, ideal DCG from the relevance-sorted
+    order, and reciprocal rank of the first relevant item — the
+    ranking-eval pair every retrieval stack reports (the X? BM25 /
+    RRF operators produce rankings; this grades them).
+
+    Two per-group rank windows SHARING one shuffle (score order and
+    ideal order), then one group aggregate.  Groups with zero
+    relevant items get ndcg = 0 and rr = 0 (not a divide-by-zero).
+    Returns ``(group, n_items, n_rel, ndcg_k, rr)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    r = F.col(rel_col).cast("double") if isinstance(rel_col, str) \
+        else rel_col.cast("double")
+    d = df.select(F.col(group_col).alias("g"),
+                  F.col(score_col).alias("s"), r.alias("r"),
+                  F.col(id_col).alias("i"))
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), F.col("i"))
+    wi = Window.partitionBy("g").orderBy(F.col("r").desc(), F.col("i"))
+    ranked = (d.withColumn("rn", F.row_number().over(w))
+              .withColumn("ri", F.row_number().over(wi)))
+    disc = lambda c: F.col("r") / F.log2(c + 1)  # noqa: E731
+    dcg = F.sum(F.when(F.col("rn") <= k, disc(F.col("rn")))
+                .otherwise(0.0))
+    idcg = F.sum(F.when(F.col("ri") <= k, disc(F.col("ri")))
+                 .otherwise(0.0))
+    first_rel = F.min(F.when(F.col("r") > 0, F.col("rn")))
+    agg = (ranked.groupBy(F.col("g").alias(group_col))
+           .agg(F.count("*").cast("long").alias("n_items"),
+                F.sum((F.col("r") > 0).cast("long")).alias("n_rel"),
+                dcg.alias("__dcg"), idcg.alias("__idcg"),
+                first_rel.alias("__fr")))
+    ndcg = F.when(F.col("__idcg") > 0,
+                  F.col("__dcg") / F.col("__idcg")).otherwise(0.0)
+    rr = F.coalesce(1.0 / F.col("__fr"), F.lit(0.0))
+    return agg.select(group_col, "n_items",
+                      F.col("n_rel").cast("long").alias("n_rel"),
+                      fr(ndcg).alias("ndcg_k"), fr(rr).alias("rr"))
+
+
+def average_precision(df, group_col: str, score_col: str, rel_col,
+                      id_col: str, round_digits: int = 6):
+    """X183 — average precision (the area under the PR curve at the
+    observed operating points) per ranked group:
+    AP = mean over relevant items of precision@(its rank), rank by
+    (score desc, id asc) — the order-sensitive companion of ROC-AUC
+    (X179): AUC is prevalence-blind, AP collapses when positives are
+    rare, which is exactly the retrieval regime.
+
+    One per-group rank window + a cumulative positives window ON THE
+    SAME SORT (one shuffle total), then a group aggregate.  Groups
+    with zero relevant items report ap = 0.  Returns
+    ``(group, n_items, n_rel, ap)``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    r = F.col(rel_col).cast("long") if isinstance(rel_col, str) \
+        else rel_col.cast("long")
+    d = df.select(F.col(group_col).alias("g"),
+                  F.col(score_col).alias("s"), r.alias("r"),
+                  F.col(id_col).alias("i"))
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), F.col("i"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (d.withColumn("rn", F.row_number().over(w))
+              .withColumn("cp", F.sum("r").over(cum)))
+    prec_at_rel = F.sum(F.when(F.col("r") > 0,
+                               F.col("cp") / F.col("rn")))
+    agg = (ranked.groupBy(F.col("g").alias(group_col))
+           .agg(F.count("*").cast("long").alias("n_items"),
+                F.sum("r").cast("long").alias("n_rel"),
+                prec_at_rel.alias("__psum")))
+    ap = F.when(F.col("n_rel") > 0,
+                F.col("__psum") / F.col("n_rel")).otherwise(0.0)
+    return agg.select(group_col, "n_items", "n_rel",
+                      fr(ap).alias("ap"))
