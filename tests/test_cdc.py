@@ -75,5 +75,38 @@ def test_apply_no_cartesian_and_single_key_shuffle(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_foreachbatch_compaction_cross_batch_winner(spark, tmp_path):
+    """X156 scale form (run_changelog_compaction): conflicting events
+    for one key arriving in DIFFERENT micro-batches must resolve to
+    the same winner the batch collapse picks — including a stale
+    update arriving in a LATER batch (must lose) and an equal-seq
+    tombstone (must win)."""
+    from sync_cosmos_db_spark.streaming.stateful import (
+        run_changelog_compaction,
+    )
+
+    # batch files written separately so maxFilesPerTrigger=1 delivers
+    # them as genuinely separate micro-batches, in name order
+    feed = str(tmp_path / "feed")
+    b1 = [(1, "v1", 5, "U"), (2, "x1", 1, "U"), (3, "t0", 2, "U")]
+    b2 = [(1, "stale", 2, "U"),          # older seq arrives later: loses
+          (2, "x2", 7, "U"),             # newer seq arrives later: wins
+          (3, None, 2, "D")]             # equal seq tombstone: wins
+    spark.createDataFrame(b1, CH).coalesce(1).write.mode(
+        "overwrite").parquet(feed + "/part=0")
+    spark.createDataFrame(b2, CH).coalesce(1).write.mode(
+        "overwrite").parquet(feed + "/part=1")
+    stream = (spark.readStream
+              .schema(CH + ", part int")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(feed))
+    out = run_changelog_compaction(
+        stream.drop("part"), str(tmp_path / "state"), ["k"], "seq")
+    rows = {r.k: (r.v, r.seq, r.op) for r in out.collect()}
+    assert rows[1] == ("v1", 5, "U")
+    assert rows[2] == ("x2", 7, "U")
+    assert rows[3] == (None, 2, "D")
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
