@@ -435,3 +435,47 @@ def inactivity_profile(df: DataFrame, buckets_days: list[int],
             .agg(F.count("*").cast("long").alias("n_keys"),
                  F.min("__gap").alias("min_gap_days"),
                  F.max("__gap").alias("max_gap_days")))
+
+
+def position_attribution(df: DataFrame, conversion_type: str,
+                         user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         ts_col: str = "ts",
+                         id_col: str = "event_id",
+                         round_digits: int = 4) -> DataFrame:
+    """X186 — position-based (U-shaped 40/20/40) multi-touch
+    attribution: for every converter, the first touch before the
+    first conversion gets 0.4 credit, the last touch 0.4, and the
+    middle touches split 0.2 — the multi-touch companion of X84's
+    last-touch model (one touch gets 1.0, two split 0.5/0.5, so
+    per-user credit always sums to exactly 1).
+
+    Same two shrinking user-keyed hops as X84 (first-conversion
+    aggregate, prior-touch join) plus ONE user-keyed rank window over
+    the touch table (already tiny relative to raw events) — no
+    collect_list, no window over the raw stream.  Returns
+    ``(channel, n_touches, credit)`` with credit floor-rounded.
+    """
+    first_conv = (df.filter(F.col(type_col) == conversion_type)
+                  .groupBy(user_col)
+                  .agg(F.min(ts_col).alias("conv_ts")))
+    touches = (df.filter(F.col(type_col) != conversion_type)
+               .join(first_conv, user_col)
+               .filter(F.col(ts_col) < F.col("conv_ts")))
+    w = W.partitionBy(user_col).orderBy(F.col(ts_col), F.col(id_col))
+    wn = W.partitionBy(user_col)
+    t = (touches
+         .withColumn("__rn", F.row_number().over(w))
+         .withColumn("__n", F.count("*").over(wn)))
+    n, rn = F.col("__n"), F.col("__rn")
+    credit = (F.when(n == 1, 1.0)
+              .when(n == 2, 0.5)
+              .when(rn == 1, 0.4)
+              .when(rn == n, 0.4)
+              .otherwise(0.2 / (n - 2)))
+    p = 10 ** round_digits
+    return (t.withColumn("__c", credit)
+            .groupBy(F.col(type_col).alias("channel"))
+            .agg(F.count("*").cast("long").alias("n_touches"),
+                 (F.floor(F.sum("__c") * p + F.lit(0.5)) / p)
+                 .alias("credit")))

@@ -959,3 +959,50 @@ def max_token_run(df, id_col: str, text_col: str):
                      F.size(toks).cast("long").alias("n_tokens"),
                      agg["btok"].alias("max_run_token"),
                      agg["best"].cast("long").alias("max_run_len"))
+
+
+def accent_fold_audit(df, group_col: str, text_col: str):
+    """X185 — accent-fold (diacritic-strip) audit per group: how many
+    documents change when combining marks are removed (NFD + drop
+    Mn), and the codepoint delta — the normalization applied to
+    linkage blocking keys and search indexes so 'café' and 'cafe'
+    collide (the blocking companion of the X167 NFC audit: NFC
+    canonicalizes equivalent spellings, accent-folding merges
+    DIFFERENT spellings on purpose).
+
+    One Arrow-batched ``mapInPandas`` pass (Python ``unicodedata``)
+    + group reduce, zero shuffle before it; the DuckDB oracle uses
+    its native ``strip_accents`` — verified equal on a differential
+    corpus (precomposed, combining, non-decomposable ø/đ, ligature,
+    Cyrillic breve cases).  Returns ``(group, n_docs, n_changed,
+    chars_before, chars_after)``.
+    """
+    from pyspark.sql import functions as F
+
+    def run(batches):
+        import unicodedata
+
+        import pandas as pd
+
+        def fold(s: str) -> str:
+            return "".join(c for c in unicodedata.normalize("NFD", s)
+                           if not unicodedata.combining(c))
+
+        for pdf in batches:
+            changed, before, after = [], [], []
+            for text in pdf[text_col]:
+                t = text or ""
+                f2 = fold(t)
+                changed.append(f2 != t)
+                before.append(len(t))
+                after.append(len(f2))
+            yield pd.DataFrame({"g": pdf[group_col], "changed": changed,
+                                "before": before, "after": after})
+
+    per_doc = df.select(group_col, text_col).mapInPandas(
+        run, "g string, changed boolean, before long, after long")
+    return (per_doc.groupBy(F.col("g").alias(group_col))
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(F.col("changed").cast("long")).alias("n_changed"),
+                 F.sum("before").alias("chars_before"),
+                 F.sum("after").alias("chars_after")))
