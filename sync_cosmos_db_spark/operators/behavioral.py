@@ -479,3 +479,55 @@ def position_attribution(df: DataFrame, conversion_type: str,
             .agg(F.count("*").cast("long").alias("n_touches"),
                  (F.floor(F.sum("__c") * p + F.lit(0.5)) / p)
                  .alias("credit")))
+
+
+def cohort_retention(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     round_digits: int = 4) -> DataFrame:
+    """X187 — cohort retention triangle: users are cohorted by the
+    month of their FIRST event, then for every (cohort month, month
+    offset) cell the triangle reports how many distinct cohort members
+    were active that month and what share of the cohort that is — the
+    canonical product-analytics retention matrix (the reference has no
+    time axis at all; Amplitude/Mixpanel expose this as 'retention').
+
+    Scale shape — every step keys on ``user_col`` or collapses:
+
+    * first-touch: one user-keyed aggregate (map-side partials).
+    * activity: fact ⋈ first-touch on the user key (both sides
+      hash-partitioned the same), collapsed to DISTINCT
+      (user, cohort, activity-month) — the distinct reuses the user
+      partitioning, so one exchange feeds join + dedup.
+    * triangle: aggregate on (cohort, offset) — at most
+      months × months rows — and a window over that TINY table to
+      pin each cohort's size (its offset-0 cell; every user is by
+      construction active in their own cohort month).
+
+    Month offsets are ``months_between`` on month-TRUNCATED stamps, so
+    they are exact integers (no day-of-month fractions).  Returns
+    ``(cohort_month, month_offset, n_active, cohort_size,
+    retention)`` with retention floor-rounded.
+    """
+    first = (df.groupBy(user_col)
+             .agg(F.min(ts_col).alias("__first_ts")))
+    cohort = first.select(
+        user_col,
+        F.date_trunc("month", "__first_ts").alias("__cohort"))
+    act = (df.join(cohort, user_col)
+           .select(user_col, "__cohort",
+                   F.date_trunc("month", ts_col).alias("__act"))
+           .distinct())
+    tri = (act.groupBy(
+        F.col("__cohort"),
+        F.months_between("__act", "__cohort").cast("long")
+        .alias("month_offset"))
+        .agg(F.count("*").cast("long").alias("n_active")))
+    wc = W.partitionBy("__cohort")
+    p = 10 ** round_digits
+    size = F.max(F.when(F.col("month_offset") == 0,
+                        F.col("n_active"))).over(wc)
+    return (tri.withColumn("cohort_size", size)
+            .select(F.col("__cohort").cast("date").alias("cohort_month"),
+                    "month_offset", "n_active", "cohort_size",
+                    (F.floor(F.col("n_active") / F.col("cohort_size")
+                             * p + F.lit(0.5)) / p).alias("retention")))

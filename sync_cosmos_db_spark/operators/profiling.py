@@ -1316,3 +1316,102 @@ def brier_decomposition(df: DataFrame, score_col: str, label_col,
                   fr(res).alias("resolution"),
                   fr(F.first("obar") * (1 - F.first("obar")))
                   .alias("uncertainty")))
+
+
+def spearman_corr(df: DataFrame, group_col: str, x_col: str,
+                  y_col: str, round_digits: int = 4) -> DataFrame:
+    """X188 — per-group Spearman rank correlation with midrank tie
+    handling: both columns are ranked within the group (ties get the
+    average of the positions they span — ``rank() + (ties-1)/2``),
+    then the Pearson closed form runs on the midranks.  The
+    rank-domain sibling of X29's Pearson ``corr_pairs``: monotone but
+    non-linear association scores 1.0 here and <1 there, and single
+    extreme outliers move it by at most 1/n ranks.
+
+    Scale shape: two group-keyed sort windows (rank per column) plus
+    one (group, value)-keyed count window for the tie widths — the
+    group is the parallelism grain, the same contract as every other
+    per-group window family (X92 Theil–Sen states it the same way) —
+    then ONE aggregate over the closed-form sums.  Midranks are
+    integers-or-halves, so the sufficient statistics stay exact in
+    doubles far past driver-sweep scale; the final ratio is
+    floor-rounded.  Returns ``(group, n, rho)``.
+    """
+    rx = (F.rank().over(Window.partitionBy(group_col).orderBy(x_col))
+          + (F.count("*").over(Window.partitionBy(group_col, x_col))
+             - 1) / 2.0)
+    ry = (F.rank().over(Window.partitionBy(group_col).orderBy(y_col))
+          + (F.count("*").over(Window.partitionBy(group_col, y_col))
+             - 1) / 2.0)
+    d = df.select(F.col(group_col), rx.alias("__rx"), ry.alias("__ry"))
+    agg = d.groupBy(group_col).agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("__rx").alias("sx"), F.sum("__ry").alias("sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("sxy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (F.col("n") * F.col("syy")
+                    - F.col("sy") * F.col("sy")))
+    p = 10 ** round_digits
+    return agg.select(
+        F.col(group_col), F.col("n").cast("long").alias("n"),
+        F.when(den > 0, F.floor(num / den * p + F.lit(0.5)) / p)
+        .alias("rho"))
+
+
+def pr_threshold_sweep(df: DataFrame, score_col: str, label_col: str,
+                       n_bins: int = 100, step_pct: int = 5,
+                       round_digits: int = 6) -> DataFrame:
+    """X189 — precision/recall/F1 threshold sweep: the operating-curve
+    TABLE that turns X179's single AUC number and X183's single AP
+    number into a deployable cut-off choice — for every candidate
+    threshold t, the confusion counts and derived metrics of the rule
+    ``predict positive iff score ≥ t``.
+
+    Scale shape — the fact table is touched ONCE: scores are bucketed
+    onto a ``1/n_bins`` grid and aggregated to at most ``n_bins+1``
+    (bin × label) count rows; the threshold grid (multiples of
+    ``step_pct``%) joins that tiny table on a derived constant equi-key
+    (BroadcastHashJoin, the repo's non-foldable ``floor(x*0)`` trick),
+    and the per-threshold conditional aggregate runs over ≤ a few
+    thousand rows.  Because thresholds are multiples of 1/n_bins,
+    ``score ≥ t  ⟺  floor(score·n_bins) ≥ t·n_bins`` EXACTLY — the
+    bucketing loses nothing at the grid points, so this is the exact
+    sweep, not an approximation.  Zero-denominator cells (no predicted
+    positives / no F1 support) report NULL, never a division error.
+    Returns ``(threshold_pct, tp, fp, fn, precision, recall, f1)``.
+    """
+    b = F.floor(F.col(score_col) * n_bins).cast("long")
+    y = F.col(label_col).cast("double")
+    bins = (df.select(b.alias("__b"), y.alias("__y"))
+            .groupBy("__b")
+            .agg(F.sum("__y").cast("long").alias("npos"),
+                 F.sum(1 - F.col("__y")).cast("long").alias("nneg"))
+            .withColumn("__k", F.floor(F.col("__b") * 0)))
+    grid = (df.sparkSession.range(1)
+            .select(F.explode(F.sequence(
+                F.lit(step_pct), F.lit(100 - step_pct),
+                F.lit(step_pct))).alias("__t"))
+            .select(F.col("__t").cast("long").alias("threshold_pct"))
+            .withColumn("__k", F.floor(F.col("threshold_pct") * 0)))
+    j = bins.join(F.broadcast(grid), "__k")
+    hit = F.col("__b") >= F.col("threshold_pct") * n_bins / 100
+    agg = (j.groupBy("threshold_pct")
+           .agg(F.sum(F.when(hit, F.col("npos")).otherwise(0))
+                .cast("long").alias("tp"),
+                F.sum(F.when(hit, F.col("nneg")).otherwise(0))
+                .cast("long").alias("fp"),
+                F.sum(F.when(~hit, F.col("npos")).otherwise(0))
+                .cast("long").alias("fn")))
+    p = 10 ** round_digits
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    prec = F.when(tp + fp > 0, tp / (tp + fp))
+    rec = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when((2 * tp + fp + fn) > 0, 2.0 * tp / (2 * tp + fp + fn))
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    return agg.select("threshold_pct", "tp", "fp", "fn",
+                      fr(prec).alias("precision"),
+                      fr(rec).alias("recall"),
+                      fr(f1).alias("f1"))

@@ -359,3 +359,61 @@ def mase_profile(df: DataFrame, ts_col: str, value_col,
             .select("n_days", fr(F.col("__m1")).alias("mae_naive"),
                     fr(F.col("__ms")).alias("mae_seasonal"),
                     fr(ratio).alias("mase_ratio")))
+
+
+def gap_fill_interpolate(df: DataFrame, keys: list[str], ts_col: str,
+                         value_col: str, step: str = "1 day",
+                         round_digits: int = 4) -> DataFrame:
+    """X190 — gap-fill with LINEAR interpolation: like ``gap_fill``
+    (X37) the sparse per-key series is regularized onto a dense
+    ``step`` spine, but interior gaps are filled by interpolating
+    between the bracketing observations instead of holding the last
+    one — the right fill for continuously-varying measures (prices,
+    gauges, balances-as-of) where LOCF draws staircases.  The spine
+    spans each key's own [min, max] so every gap is interior by
+    construction: every filled row has both a previous and a next
+    observation.
+
+    Scale shape — identical to X37's, one extra window direction:
+    per-key bounds aggregate → ``sequence``/``explode`` spine off the
+    1-row-per-key bounds → left join on (keys, ts) → TWO key-keyed
+    windows over the SAME partitioning (backward
+    ``last(ignorenulls)`` for the previous observation and its stamp,
+    forward ``first(ignorenulls)`` for the next) — one exchange feeds
+    the join and both windows.  The interpolation weight is a ratio
+    of integer day offsets (``datediff``), computed identically in
+    the oracle, and the result is floor-rounded.
+
+    Returns ``(keys…, ts, <value>, <value>_interp)`` where observed
+    rows carry their own value and gap rows the interpolated one.
+    """
+    from pyspark.sql import Window as W
+
+    lo, hi = "__lo__", "__hi__"
+    bounds = df.groupBy(*keys).agg(F.min(ts_col).alias(lo),
+                                   F.max(ts_col).alias(hi))
+    spine = bounds.select(
+        *keys,
+        F.explode(F.expr(f"sequence({lo}, {hi}, interval {step})"))
+        .alias(ts_col))
+    filled = spine.join(df, [*keys, ts_col], "left")
+    back = (W.partitionBy(*keys).orderBy(ts_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fwd = (W.partitionBy(*keys).orderBy(ts_col)
+           .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_ts = F.when(F.col(value_col).isNotNull(), F.col(ts_col))
+    filled = (filled
+              .withColumn("__pv", F.last(value_col, True).over(back))
+              .withColumn("__pt", F.last(obs_ts, True).over(back))
+              .withColumn("__nv", F.first(value_col, True).over(fwd))
+              .withColumn("__nt", F.first(obs_ts, True).over(fwd)))
+    span = F.datediff(F.col("__nt"), F.col("__pt"))
+    frac = F.datediff(F.col(ts_col), F.col("__pt")) / span
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col)) \
+        .otherwise(F.col("__pv")
+                   + (F.col("__nv") - F.col("__pv")) * frac)
+    p = 10 ** round_digits
+    return filled.select(
+        *keys, ts_col, value_col,
+        (F.floor(interp * p + F.lit(0.5)) / p)
+        .alias(f"{value_col}_interp"))
