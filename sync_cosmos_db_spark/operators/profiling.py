@@ -1373,10 +1373,9 @@ def pr_threshold_sweep(df: DataFrame, score_col: str, label_col: str,
     Scale shape — the fact table is touched ONCE: scores are bucketed
     onto a ``1/n_bins`` grid and aggregated to at most ``n_bins+1``
     (bin × label) count rows; the threshold grid (multiples of
-    ``step_pct``%) joins that tiny table on a derived constant equi-key
-    (BroadcastHashJoin, the repo's non-foldable ``floor(x*0)`` trick),
-    and the per-threshold conditional aggregate runs over ≤ a few
-    thousand rows.  Because thresholds are multiples of 1/n_bins,
+    ``step_pct``%) is then EXPLODED per bin row (a generator, not a
+    join — no broadcast, no BNLJ), and the per-threshold conditional
+    aggregate runs over ≤ a few thousand rows.  Because thresholds are multiples of 1/n_bins,
     ``score ≥ t  ⟺  floor(score·n_bins) ≥ t·n_bins`` EXACTLY — the
     bucketing loses nothing at the grid points, so this is the exact
     sweep, not an approximation.  Zero-denominator cells (no predicted
@@ -1388,15 +1387,13 @@ def pr_threshold_sweep(df: DataFrame, score_col: str, label_col: str,
     bins = (df.select(b.alias("__b"), y.alias("__y"))
             .groupBy("__b")
             .agg(F.sum("__y").cast("long").alias("npos"),
-                 F.sum(1 - F.col("__y")).cast("long").alias("nneg"))
-            .withColumn("__k", F.floor(F.col("__b") * 0)))
-    grid = (df.sparkSession.range(1)
-            .select(F.explode(F.sequence(
-                F.lit(step_pct), F.lit(100 - step_pct),
-                F.lit(step_pct))).alias("__t"))
-            .select(F.col("__t").cast("long").alias("threshold_pct"))
-            .withColumn("__k", F.floor(F.col("threshold_pct") * 0)))
-    j = bins.join(F.broadcast(grid), "__k")
+                 F.sum(1 - F.col("__y")).cast("long").alias("nneg")))
+    j = (bins.select(
+        "__b", "npos", "nneg",
+        F.explode(F.sequence(
+            F.lit(step_pct), F.lit(100 - step_pct),
+            F.lit(step_pct))).alias("__t"))
+        .withColumn("threshold_pct", F.col("__t").cast("long")))
     hit = F.col("__b") >= F.col("threshold_pct") * n_bins / 100
     agg = (j.groupBy("threshold_pct")
            .agg(F.sum(F.when(hit, F.col("npos")).otherwise(0))

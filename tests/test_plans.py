@@ -153,6 +153,12 @@ BNLJ_ALLOWED = {
     # X175: the per-category table crossJoins the BROADCAST single-row
     # (good_tot, bad_tot) aggregate (the X73 chi-square shape).
     "woe_orderpriority_returned",
+    # X184: the ≤10-row bin table crossJoins the BROADCAST single-row
+    # (n, obar, brier) global aggregate (the X73 shape).
+    "brier_decomposition_events",
+    # X178: the |labels|²-row confusion table crossJoins the BROADCAST
+    # single-row grand-total aggregate (the X73 shape).
+    "cohens_kappa_events",
 }
 
 
