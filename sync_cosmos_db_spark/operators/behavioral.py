@@ -531,3 +531,68 @@ def cohort_retention(df: DataFrame, user_col: str = "user_id",
                     "month_offset", "n_active", "cohort_size",
                     (F.floor(F.col("n_active") / F.col("cohort_size")
                              * p + F.lit(0.5)) / p).alias("retention")))
+
+
+def km_survival(df: DataFrame, user_col: str = "user_id",
+                ts_col: str = "ts", censor_days: int = 30,
+                round_digits: int = 6) -> DataFrame:
+    """X191 — Kaplan–Meier survival curve over user lifetimes with
+    right-censoring: a user's lifetime is the day span from first to
+    last event; a user whose last event falls within ``censor_days``
+    of the corpus high-water mark is CENSORED (still alive as far as
+    the data can tell), everyone else is an observed churn event.
+    S(t) = Π_{u≤t} (1 − d_u/n_u) — the estimator that plain
+    "avg lifetime" gets wrong by treating censored users as churned
+    (X174's lifecycle bands are the band-level view; this is the
+    full curve with censoring done properly).
+
+    Scale shape: one user-keyed aggregate (first/last event), a
+    broadcast 1-row high-water mark on a derived constant key (the
+    X94 shape), then a collapse to one row per distinct lifetime-day
+    — the survival table is O(days), and the two cumulative windows
+    run over that TINY table (the X121/X135/X157 period-collapse
+    contract: the ordered window never touches the fact table).
+    d_u/n_u are ratios of small integers and the cumulative log-sum
+    runs in lifetime order in BOTH engines, so the oracle agrees to
+    the rounding grid.  A day where every remaining user dies sends
+    the survivor function to EXACTLY 0 (tracked as a zero-factor
+    count, not ln(0)).  Returns
+    ``(t_days, at_risk, deaths, censored, survival)``.
+    """
+    per_user = (df.groupBy(user_col)
+                .agg(F.to_date(F.min(ts_col)).alias("__first"),
+                     F.to_date(F.max(ts_col)).alias("__last")))
+    hwm = (df.agg(F.to_date(F.max(ts_col)).alias("__hwm"))
+           .withColumn("__k", F.floor(F.month("__hwm") * 0)))
+    pu = (per_user.withColumn("__k", F.floor(F.month("__first") * 0))
+          .join(F.broadcast(hwm), "__k")
+          .select(
+              F.datediff("__last", "__first").cast("long")
+              .alias("t_days"),
+              (F.datediff("__hwm", "__last") < censor_days)
+              .cast("int").alias("__cens")))
+    day = (pu.groupBy("t_days")
+           .agg(F.sum(1 - F.col("__cens")).cast("long")
+                .alias("deaths"),
+                F.sum("__cens").cast("long").alias("censored")))
+    wo = W.orderBy("t_days")
+    before = (F.coalesce(
+        F.sum(F.col("deaths") + F.col("censored"))
+        .over(wo.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)))
+    total = F.sum(F.col("deaths") + F.col("censored")) \
+        .over(wo.rowsBetween(W.unboundedPreceding,
+                             W.unboundedFollowing))
+    d = (day.withColumn("at_risk", (total - before).cast("long")))
+    factor = 1.0 - F.col("deaths") / F.col("at_risk")
+    run = wo.rowsBetween(W.unboundedPreceding, 0)
+    d = (d.withColumn("__lnsum",
+                      F.sum(F.when(factor > 0, F.log(factor))
+                            .otherwise(F.lit(0.0))).over(run))
+         .withColumn("__zeros",
+                     F.sum(F.when(factor <= 0, 1).otherwise(0))
+                     .over(run)))
+    p = 10 ** round_digits
+    surv = F.when(F.col("__zeros") > 0, F.lit(0.0)) \
+        .otherwise(F.floor(F.exp("__lnsum") * p + F.lit(0.5)) / p)
+    return d.select("t_days", "at_risk", "deaths", "censored",
+                    surv.alias("survival"))

@@ -346,3 +346,57 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 3,
              .localCheckpoint(eager=True))
     return (e.groupBy(F.col("s").alias("node"))
             .agg(F.count("*").cast("long").alias("degree")))
+
+
+def hits_scores(edges: DataFrame, src_col: str = "src",
+                dst_col: str = "dst", weight_col: str = "w",
+                iters: int = 3,
+                round_digits: int = 9) -> DataFrame:
+    """X194 — HITS hubs & authorities on a weighted DIRECTED edge
+    list: hubs point at good authorities, authorities are pointed at
+    by good hubs — the mutually-reinforcing fixpoint Kleinberg
+    defined, and a genuinely different ranking from X33's PageRank
+    (no teleport, no out-degree division; a node's hub score and
+    authority score are separate numbers).
+
+    Scale shape — per iteration exactly TWO edge-keyed join+aggregate
+    passes (edges ⋈ authority on dst → sum per src; edges ⋈ hub on
+    src → sum per dst), the X33 discipline.  Normalization is
+    deferred to the END: unnormalized power iteration is a scalar
+    multiple of the normalized one, so dividing once by the final L1
+    mass gives the same scores while avoiding two per-iteration
+    global reductions; over ``iters`` rounds the raw values grow only
+    like (weighted degree)^iters, far inside double range.  The final
+    1-row totals join on a derived constant key (BroadcastHashJoin).
+    Returns ``(kind 'hub'|'authority', node, score)``.
+    """
+    e = edges.select(F.col(src_col).alias("s"),
+                     F.col(dst_col).alias("d"),
+                     F.col(weight_col).cast("double").alias("w"))
+    # a_0 = 1 for every authority (distinct dst)
+    a = e.select(F.col("d").alias("node")).distinct() \
+         .withColumn("a", F.lit(1.0))
+    h = None
+    for _ in range(iters):
+        h = (e.join(a.withColumnRenamed("node", "d"), "d")
+             .groupBy(F.col("s").alias("node"))
+             .agg(F.sum(F.col("w") * F.col("a")).alias("h")))
+        a = (e.join(h.withColumnRenamed("node", "s"), "s")
+             .groupBy(F.col("d").alias("node"))
+             .agg(F.sum(F.col("w") * F.col("h")).alias("a")))
+    p = 10 ** round_digits
+    ht = (h.agg(F.sum("h").alias("t"))
+          .withColumn("__k", F.floor(F.col("t") * 0)))
+    at = (a.agg(F.sum("a").alias("t"))
+          .withColumn("__k", F.floor(F.col("t") * 0)))
+    hn = (h.withColumn("__k", F.floor(F.col("h") * 0))
+          .join(F.broadcast(ht), "__k")
+          .select(F.lit("hub").alias("kind"), "node",
+                  (F.floor(F.col("h") / F.col("t") * p + F.lit(0.5))
+                   / p).alias("score")))
+    an = (a.withColumn("__k", F.floor(F.col("a") * 0))
+          .join(F.broadcast(at), "__k")
+          .select(F.lit("authority").alias("kind"), "node",
+                  (F.floor(F.col("a") / F.col("t") * p + F.lit(0.5))
+                   / p).alias("score")))
+    return hn.unionByName(an)

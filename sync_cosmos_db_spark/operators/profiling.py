@@ -1412,3 +1412,67 @@ def pr_threshold_sweep(df: DataFrame, score_col: str, label_col: str,
                       fr(prec).alias("precision"),
                       fr(rec).alias("recall"),
                       fr(f1).alias("f1"))
+
+
+def abc_classification(df: DataFrame, key_col: str, value_col: str,
+                       a_pct: int = 80, b_pct: int = 95,
+                       round_digits: int = 6) -> DataFrame:
+    """X192 — ABC (Pareto) classification: keys sorted by value
+    descending, classed by INCLUSIVE cumulative share — A while
+    cum ≤ ``a_pct``%, B while cum ≤ ``b_pct``%, C after — the
+    inventory-control 80/15/5 cut that X159's skyline and X139's
+    Gini don't give you (which keys, exactly, carry 80% of the
+    mass).
+
+    Scale shape — the X151 lesson applied at birth: the global
+    DESCENDING cumulative sum uses the two-phase distributed scan
+    (range-bucket on value via ``approxQuantile``, per-bucket
+    window cumsum, broadcast per-bucket prefix offsets — driver
+    state O(buckets)), NEVER an unpartitioned ``Window.orderBy``
+    over the key table.  ``value_col`` must already be on an exact
+    cent grid (round it upstream): internally everything becomes
+    integer cents, so the cumsum, the total, and the class-boundary
+    comparisons ``100·cum ≤ pct·total`` are EXACT in both engines —
+    no float boundary can flip a key's class.  Returns the 3-row
+    summary ``(abc_class, n_keys, value_sum, value_share)``.
+    """
+    from pyspark.sql import Window as W
+
+    cents = (df.select(F.col(key_col).alias("__key"),
+                       F.col(value_col).alias("__v"))
+             .withColumn("__c", F.floor(F.col("__v") * 100 + F.lit(0.5))
+                         .cast("long")))
+    n_buckets = 64
+    bounds = cents.approxQuantile(
+        "__c", [i / n_buckets for i in range(1, n_buckets)], 0.001)
+    # descending order: bucket 0 holds the LARGEST values
+    bucket = F.lit(len(set(bounds)))
+    for i, b in enumerate(sorted(set(bounds), reverse=True)):
+        bucket = F.when(F.col("__c") > b, F.lit(i)).otherwise(bucket)
+    tagged = cents.withColumn("__bucket", bucket)
+    sums = {r["__bucket"]: r["__s"] for r in
+            tagged.groupBy("__bucket")
+            .agg(F.sum("__c").alias("__s")).collect()}
+    prefix, acc = {}, 0
+    for b in sorted(sums):
+        prefix[b] = acc
+        acc += sums[b]
+    total = acc
+    pref_expr = F.lit(0)
+    for b, off in sorted(prefix.items()):
+        pref_expr = F.when(F.col("__bucket") == b, F.lit(off)) \
+            .otherwise(pref_expr)
+    w = (W.partitionBy("__bucket")
+         .orderBy(F.col("__c").desc(), "__key")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = (pref_expr + F.sum("__c").over(w)).cast("long")
+    cls = (F.when(cum * 100 <= F.lit(a_pct) * total, "A")
+           .when(cum * 100 <= F.lit(b_pct) * total, "B")
+           .otherwise("C"))
+    p = 10 ** round_digits
+    return (tagged.withColumn("abc_class", cls)
+            .groupBy("abc_class")
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 (F.sum("__c") / 100.0).alias("value_sum"),
+                 (F.floor(F.sum("__c") / F.lit(float(total))
+                          * p + F.lit(0.5)) / p).alias("value_share")))

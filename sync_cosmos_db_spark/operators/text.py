@@ -1006,3 +1006,42 @@ def accent_fold_audit(df, group_col: str, text_col: str):
                  F.sum(F.col("changed").cast("long")).alias("n_changed"),
                  F.sum("before").alias("chars_before"),
                  F.sum("after").alias("chars_after")))
+
+
+def lexical_profile(df, group_col: str = "source",
+                    text_col: str = "text",
+                    round_digits: int = 6):
+    """X193 — lexical-diversity profile per corpus slice from the
+    token frequency spectrum: type-token ratio V/N, hapax share
+    V₁/V, and Yule's K = 10⁴·(Σc² − N)/N² — the repetitiveness
+    characteristic that is (unlike TTR) insensitive to corpus size,
+    which is what makes it comparable ACROSS slices of different
+    sizes.  X86's vocab-growth curve shows V(N) over time; this is
+    the point-in-time spectrum summary a datacard (X165) quotes.
+
+    Scale shape: one (group, token)-keyed count aggregate with
+    map-side partials, then one group-keyed reduce over the count
+    table — Σc, V, V₁ and Σc² are all integer-valued, so both
+    engines' sums are exact and only the final ratios round.
+    Returns ``(group, n_tokens, vocab, ttr, hapax_share, yule_k)``.
+    """
+    toks = df.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"))
+    counts = (toks.filter(F.col("tok") != "")
+              .groupBy("g", "tok")
+              .agg(F.count("*").cast("long").alias("c")))
+    agg = counts.groupBy("g").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+        .alias("__v1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("__c2"))
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    return agg.select(
+        F.col("g").alias(group_col), "n_tokens", "vocab",
+        fr(F.col("vocab") / F.col("n_tokens")).alias("ttr"),
+        fr(F.col("__v1") / F.col("vocab")).alias("hapax_share"),
+        fr(F.lit(10000.0) * (F.col("__c2") - F.col("n_tokens"))
+           / F.col("n_tokens") / F.col("n_tokens")).alias("yule_k"))
