@@ -1466,8 +1466,14 @@ def abc_classification(df: DataFrame, key_col: str, value_col: str,
          .orderBy(F.col("__c").desc(), "__key")
          .rowsBetween(W.unboundedPreceding, 0))
     cum = (pref_expr + F.sum("__c").over(w)).cast("long")
-    cls = (F.when(cum * 100 <= F.lit(a_pct) * total, "A")
-           .when(cum * 100 <= F.lit(b_pct) * total, "B")
+    # boundary products are driver-side Python ints (arbitrary
+    # precision) so the runtime comparison is a plain long-vs-long —
+    # a 32-bit `lit(pct) * lit(total)` overflows once total cents
+    # pass ~21M currency units (measured at the 10M-key run)
+    a_bound = F.lit(int(a_pct) * int(total)).cast("long")
+    b_bound = F.lit(int(b_pct) * int(total)).cast("long")
+    cls = (F.when(cum * 100 <= a_bound, "A")
+           .when(cum * 100 <= b_bound, "B")
            .otherwise("C"))
     p = 10 ** round_digits
     return (tagged.withColumn("abc_class", cls)
