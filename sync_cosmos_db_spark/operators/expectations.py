@@ -92,3 +92,36 @@ def fd_violations(df: DataFrame, fds: list[tuple[str, str]]) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def missingness_patterns(df: DataFrame,
+                         cols: list[str],
+                         round_digits: int = 6) -> DataFrame:
+    """X197 — missingness-pattern audit: one row per observed NULL
+    PATTERN across ``cols`` (a '1'/'0' string, '1' = missing), with
+    count and share — the co-missingness view that per-column null
+    rates hide (two fields each 10% null is a different dataset
+    depending on whether they go missing TOGETHER, and imputation /
+    quarantine policy depends on which).  The pattern table is at
+    most 2^|cols| rows.
+
+    Scale shape: the pattern string is built in-row, one aggregate
+    with map-side partials produces the ≤2^k-row table, and the
+    share denominator is a window total over that tiny table —
+    integer counts throughout, only the final share rounds.
+    Returns ``(pattern, n_rows, share)``.
+    """
+    from pyspark.sql import Window as W
+
+    pat = F.concat(*[F.when(F.col(c).isNull(), F.lit("1"))
+                     .otherwise(F.lit("0")) for c in cols])
+    agg = (df.select(pat.alias("pattern"))
+           .groupBy("pattern")
+           .agg(F.count("*").cast("long").alias("n_rows")))
+    total = F.sum("n_rows").over(
+        W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    p = 10 ** round_digits
+    return agg.select(
+        "pattern", "n_rows",
+        (F.floor(F.col("n_rows") / total * p + F.lit(0.5)) / p)
+        .alias("share"))

@@ -82,3 +82,50 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
         "__salt",
         F.explode(F.array(*[F.lit(i).cast("long") for i in range(buckets)])))
     return big_s.join(small_s, [*keys, "__salt"], how).drop("__salt")
+
+
+def rendezvous_route(df: DataFrame, id_col: str,
+                     n_shards: int,
+                     round_digits: int = 6) -> DataFrame:
+    """X198 — rendezvous (highest-random-weight) shard routing audit:
+    each row is assigned to the shard whose sha2-derived
+    (score, shard) pair is largest — the stateless router whose
+    selling point over mod-N hashing is MINIMAL RESHUFFLE: when a
+    shard is added, only the rows the NEW shard wins move, ~1/(N+1)
+    of the corpus, instead of mod-N's (N-1)/N.  The audit reports,
+    per current shard, the row count and how many of its rows would
+    move to a hypothetical shard ``n_shards`` — movers can land
+    NOWHERE ELSE by construction, which the tests pin.
+
+    Scale shape: both assignments (N and N+1 shards) are computed
+    IN-ROW from an array of (score, shard) structs — ``array_max``
+    is the argmax, ties (≈2⁻⁴⁰ per row at 12-digit scores) break to
+    the higher shard index deterministically — followed by ONE
+    shard-keyed aggregate.  Zero joins, zero driver state; scores
+    are integers so both engines agree exactly.  Returns
+    ``(shard, n_rows, n_moving, move_share)``.
+    """
+    def score(i: int):
+        return F.translate(
+            F.substring(F.sha2(F.concat(
+                F.col(id_col).cast("string"),
+                F.lit(f":{i}")), 256), 1, 12),
+            "abcdef", "012345").cast("bigint")
+
+    def argmax(n: int):
+        return F.array_max(F.array(*[
+            F.struct(score(i).alias("s"),
+                     F.lit(i).cast("long").alias("i"))
+            for i in range(n)]))["i"]
+
+    d = df.select(argmax(n_shards).alias("shard"),
+                  argmax(n_shards + 1).alias("__next"))
+    p = 10 ** round_digits
+    return (d.groupBy("shard")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("__next") == n_shards, 1)
+                       .otherwise(0)).cast("long").alias("n_moving"))
+            .withColumn(
+                "move_share",
+                F.floor(F.col("n_moving") / F.col("n_rows")
+                        * p + F.lit(0.5)) / p))

@@ -424,3 +424,98 @@ def gap_fill_interpolate(df: DataFrame, keys: list[str], ts_col: str,
         *keys, ts_col, value_col,
         (F.floor(interp * p + F.lit(0.5)) / p)
         .alias(f"{value_col}_interp"))
+
+
+def nearest_asof_join(left: DataFrame, right: DataFrame, key: str,
+                      left_time: str, right_time: str,
+                      value_col: str, tolerance: int) -> DataFrame:
+    """X195 — NEAREST-match as-of join (pandas ``merge_asof
+    direction='nearest'``): each left row gets the right row whose
+    time is closest in EITHER direction, if within ``tolerance`` —
+    the enrichment ``asof_join`` (backward-only) can't express when
+    the reference series brackets the probe (sensor readings around
+    an event, quotes around a trade).  Equidistant candidates break
+    toward the BACKWARD (earlier) one, deterministically.
+
+    Time columns must be NUMERIC (convert timestamps to epoch
+    micros/days upstream); ``tolerance`` is in the same units.
+    Right (key, time) pairs are collapsed with ``max`` first so
+    "the nearest row" is well-defined.
+
+    Scale shape: exactly two ``asof_join`` passes — the proven
+    union + running-``last(ignorenulls)`` sort-window shape, the
+    forward pass running on NEGATED times (a descending running
+    frame, NEVER an UnboundedFollowing frame — the X190 lesson) —
+    so the cost is two key-partitioned sort windows, no pairwise
+    candidate join.  Returns the left columns plus
+    ``(matched_time, matched_value, gap)``.
+    """
+    r = (right.groupBy(key, right_time)
+         .agg(F.max(value_col).alias("__rv")))
+    rb = r.select(key, right_time, "__rv",
+                  F.col(right_time).alias("__bt"))
+    b = asof_join(left, rb, key, left_time, right_time,
+                  ["__rv", "__bt"]).withColumnRenamed("__rv", "__bv")
+    lneg = b.withColumn("__nlt", -F.col(left_time))
+    rneg = r.select(key, (-F.col(right_time)).alias("__nrt"),
+                    F.col("__rv"),
+                    F.col(right_time).alias("__ft"))
+    f = asof_join(lneg, rneg, key, "__nlt", "__nrt",
+                  ["__rv", "__ft"]).withColumnRenamed("__rv", "__fv")
+    lt = F.col(left_time)
+    bg, fg = lt - F.col("__bt"), F.col("__ft") - lt
+    b_ok = F.col("__bt").isNotNull() & (bg <= tolerance)
+    f_ok = F.col("__ft").isNotNull() & (fg <= tolerance)
+    use_b = b_ok & (~f_ok | (bg <= fg))
+    out = (f.withColumn(
+        "matched_time",
+        F.when(use_b, F.col("__bt")).when(f_ok, F.col("__ft")))
+        .withColumn(
+            "matched_value",
+            F.when(use_b, F.col("__bv")).when(f_ok, F.col("__fv")))
+        .withColumn(
+            "gap", F.when(use_b, bg).when(f_ok, fg)))
+    return out.drop("__bv", "__bt", "__fv", "__ft", "__nlt")
+
+
+def rolling_ols_slope(daily: DataFrame, group_col: str, day_col: str,
+                      value_col: str, window_days: int = 28,
+                      round_digits: int = 4) -> DataFrame:
+    """X196 — trailing-window OLS slope per group: for every
+    observed day, the least-squares slope of ``value`` on the day
+    index over the last ``window_days`` calendar days — the local
+    trend X29's whole-series OLS and X92's whole-series Theil–Sen
+    can't give (is revenue accelerating NOW).  A RANGE frame on the
+    integer day index makes the window calendar-correct across
+    missing days (the X50 RANGE-frame discipline).
+
+    Scale shape: runs on a per-(group, day) PRE-AGGREGATED series —
+    the period-collapse contract — so the five windowed sums scan
+    O(days) rows per group in one group-keyed sort.  The day index
+    is rebased to 1992-01-01 to keep ``n·Σxy`` inside the
+    integer-exact double range at bench scale; ``value_col`` should
+    be on an exact grid (round upstream) for the same reason.
+    Slope is NULL where the frame holds fewer than two points.
+    Returns ``(group, day, n_days, slope)``.
+    """
+    x = F.datediff(F.col(day_col),
+                   F.to_date(F.lit("1992-01-01"))).cast("long")
+    d = daily.select(F.col(group_col), F.col(day_col),
+                     x.alias("__x"), F.col(value_col).alias("__y"))
+    w = (W.partitionBy(group_col).orderBy("__x")
+         .rangeBetween(-(window_days - 1), 0))
+    d = (d.withColumn("__n", F.count("*").over(w))
+         .withColumn("__sx", F.sum("__x").over(w))
+         .withColumn("__sy", F.sum("__y").over(w))
+         .withColumn("__sxy",
+                     F.sum(F.col("__x") * F.col("__y")).over(w))
+         .withColumn("__sxx",
+                     F.sum(F.col("__x") * F.col("__x")).over(w)))
+    den = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    p = 10 ** round_digits
+    return d.select(
+        F.col(group_col), F.col(day_col),
+        F.col("__n").cast("long").alias("n_days"),
+        F.when(den > 0,
+               F.floor(num / den * p + F.lit(0.5)) / p).alias("slope"))
