@@ -596,3 +596,37 @@ def km_survival(df: DataFrame, user_col: str = "user_id",
         .otherwise(F.floor(F.exp("__lnsum") * p + F.lit(0.5)) / p)
     return d.select("t_days", "at_risk", "deaths", "censored",
                     surv.alias("survival"))
+
+
+def new_vs_returning(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts",
+                     round_digits: int = 4) -> DataFrame:
+    """X202 — daily active users split into NEW (first-ever event
+    that day) vs RETURNING — the growth-accounting decomposition
+    behind every DAU chart (X85's rolling actives count the level;
+    this explains it: is the level new acquisition or retention?).
+    Cohort retention (X187) is the same first-touch join viewed
+    month-by-cohort; this is the day-by-day marginal view.
+
+    Scale shape: one user-keyed first-touch aggregate, one
+    user-keyed join + (user, day) distinct on the same
+    partitioning, then a day-keyed count — integer counts
+    throughout, only the final share rounds.  Returns
+    ``(day, dau, new_users, returning_users, pct_new)``.
+    """
+    first = (df.groupBy(user_col)
+             .agg(F.to_date(F.min(ts_col)).alias("__first_day")))
+    act = (df.join(first, user_col)
+           .select(user_col, "__first_day",
+                   F.to_date(ts_col).alias("day"))
+           .distinct())
+    p = 10 ** round_digits
+    return (act.groupBy("day")
+            .agg(F.count("*").cast("long").alias("dau"),
+                 F.sum(F.when(F.col("day") == F.col("__first_day"), 1)
+                       .otherwise(0)).cast("long").alias("new_users"))
+            .withColumn("returning_users",
+                        F.col("dau") - F.col("new_users"))
+            .withColumn("pct_new",
+                        F.floor(F.col("new_users") / F.col("dau")
+                                * p + F.lit(0.5)) / p))

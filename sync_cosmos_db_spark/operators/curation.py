@@ -832,3 +832,35 @@ def quantile_normalize(df, group_col: str, id_col: str, value_col: str,
                     F.col("v").alias(value_col),
                     (F.floor(mapped * p + F.lit(0.5)) / p)
                     .alias("mapped")))
+
+
+def build_dimension(df: DataFrame, natural_cols: list[str],
+                    sk_col: str = "sk") -> DataFrame:
+    """X200 — star-schema dimension build: distinct natural-key
+    tuples get a DENSE, DETERMINISTIC surrogate key (1-based) — the
+    warehouse op every fact-table load needs and hash keys don't
+    give (hash keys collide and don't compress; identity columns
+    aren't reproducible across reruns).  Keys are assigned in
+    sha2-of-natural-key order with the concatenated natural key as
+    tiebreak, so a re-run over the same corpus yields the SAME keys
+    — surrogate stability without a lookup table — and the rank's
+    range-bucketing phase gets a numeric, near-uniform column to
+    quantile on regardless of the natural key's types or skew.
+
+    Scale shape: one distinct on the natural key (map-side
+    partials), then the X11 two-phase distributed rank
+    (``global_sort_index``) over the distinct tuples — no
+    unpartitioned window even for a billion-row dimension (URLs,
+    session ids).  Natural-key columns must be non-null (dimension
+    hygiene; quarantine nulls upstream).  Returns the distinct
+    tuples plus ``sk_col``; join it back to facts on the natural
+    key (broadcast when small, hash otherwise).
+    """
+    dim = df.select(*natural_cols).distinct()
+    nat = F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                for c in natural_cols])
+    hv = F.translate(F.substring(F.sha2(nat, 256), 1, 12),
+                     "abcdef", "012345").cast("bigint")
+    dim = dim.withColumn("__h", hv).withColumn("__nat", nat)
+    out = global_sort_index(dim, "__h", "__nat", out_col=sk_col)
+    return out.drop("__h", "__nat")

@@ -1482,3 +1482,73 @@ def abc_classification(df: DataFrame, key_col: str, value_col: str,
                  (F.sum("__c") / 100.0).alias("value_sum"),
                  (F.floor(F.sum("__c") / F.lit(float(total))
                           * p + F.lit(0.5)) / p).alias("value_share")))
+
+
+def equi_depth_histogram(df: DataFrame, value_col: str,
+                         tiebreak_col: str, k: int = 10) -> DataFrame:
+    """X199 — EXACT equi-depth histogram: ``k`` buckets of (near-)
+    equal ROW COUNT with exact boundaries — the complement of X87's
+    equi-width histogram (which answers "where is the mass on the
+    axis"; this answers "where are the order statistics") and the
+    exact twin of ``approx_percentile``-based profiles: when the
+    histogram feeds a range-partitioner or a quantile SLA, the
+    boundary must be an order statistic, not an estimate.
+
+    Scale shape — the X151 lesson: the global rank comes from the
+    two-phase distributed scan (``curation.global_sort_index``),
+    never an unpartitioned window; the bucket id is then INTEGER
+    math on that rank (``(gi−1)·k div n``), so both engines place
+    every row identically, and the reduce to ``(bucket, count, lo,
+    hi)`` is one aggregate.  Ties in ``value_col`` may split across
+    adjacent buckets (depth is exact; the tiebreak column decides) —
+    stated here because merge-the-ties variants trade exact depth
+    for clean boundaries.  Returns ``(bucket, n_rows, lo, hi)``.
+    """
+    from sync_cosmos_db_spark.operators.curation import (
+        global_sort_index,
+    )
+
+    n = df.count()
+    idx = global_sort_index(df, value_col, tiebreak_col,
+                            out_col="__gi")
+    bucket = F.expr(f"(__gi - 1) * {int(k)} div {int(n)}")
+    return (idx.groupBy(bucket.alias("bucket"))
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.min(value_col).alias("lo"),
+                 F.max(value_col).alias("hi")))
+
+
+def group_medoid(df: DataFrame, group_col: str, value_col: str,
+                 id_col: str, round_digits: int = 2) -> DataFrame:
+    """X201 — group representative election: the row whose value is
+    nearest the group mean (ties → lowest id) — the "show me a
+    TYPICAL member" query behind example-based data docs and
+    debugging samples, where a random row can be wildly atypical
+    and the mean itself is not a real row.
+
+    Scale shape: one group aggregate for the mean, a group-keyed
+    join back (both sides partitioned the same), one min-struct
+    election — the (diff, id, …) struct-min pattern X91/X172 use.
+    The mean is ROUNDED to the value grid before the distance so
+    both engines compute the identical |v − mean| (an unrounded
+    mean's last-ulp drift could flip an election between two
+    near-equidistant rows).  Returns
+    ``(group, n, mean_value, rep_id, rep_value)``.
+    """
+    p = 10 ** round_digits
+    means = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n"),
+        (F.floor(F.avg(value_col) * p + F.lit(0.5)) / p)
+        .alias("mean_value"))
+    j = df.join(means, group_col)
+    diff = F.abs(F.col(value_col) - F.col("mean_value"))
+    pick = F.min(F.struct(diff.alias("d"),
+                          F.col(id_col).alias("i"),
+                          F.col(value_col).alias("v")))
+    return (j.groupBy(group_col)
+            .agg(F.first("n").alias("n"),
+                 F.first("mean_value").alias("mean_value"),
+                 pick.alias("__p"))
+            .select(group_col, "n", "mean_value",
+                    F.col("__p.i").alias("rep_id"),
+                    F.col("__p.v").alias("rep_value")))
