@@ -864,3 +864,46 @@ def build_dimension(df: DataFrame, natural_cols: list[str],
     dim = dim.withColumn("__h", hv).withColumn("__nat", nat)
     out = global_sort_index(dim, "__h", "__nat", out_col=sk_col)
     return out.drop("__h", "__nat")
+
+
+def mixture_solver(df: DataFrame, source_col: str, text_col: str,
+                   targets: dict[str, float],
+                   round_digits: int = 6) -> DataFrame:
+    """X203 — training-mixture solver: given the corpus's NATURAL
+    per-source token mass and a TARGET mixture, the largest
+    downsample-only sampling rates that realize the target ratios —
+    the knob every pretraining run turns (upweight code, cap web)
+    without upsampling (repeating data is a separate, deliberate
+    decision).  rate_i ∝ target_i / natural_i, normalized so the
+    binding source keeps rate 1.0; sources absent from ``targets``
+    get target 0 → rate 0 (dropped), stated.
+
+    Scale shape: ONE scan for per-source token counts (in-row
+    ``size(split())``, map-side partials), then all arithmetic on
+    the |sources|-row table with a window max for the normalizer.
+    Returns ``(source, tokens, natural_share, target_share,
+    sample_rate, tokens_after)``.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (df.groupBy(F.col(source_col).alias("source"))
+              .agg(F.sum(F.size(F.split(F.col(text_col), r"\s+")))
+                   .cast("long").alias("tokens")))
+    tgt = F.lit(0.0)
+    for k in sorted(targets):
+        tgt = F.when(F.col("source") == k,
+                     F.lit(float(targets[k]))).otherwise(tgt)
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    d = (counts.withColumn("__tot", F.sum("tokens").over(full))
+         .withColumn("target_share", tgt)
+         .withColumn("__nat", F.col("tokens") / F.col("__tot"))
+         .withColumn("__r", F.col("target_share") / F.col("__nat"))
+         .withColumn("__rmax", F.max("__r").over(full)))
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    rate = F.col("__r") / F.col("__rmax")
+    return d.select(
+        "source", "tokens", fr(F.col("__nat")).alias("natural_share"),
+        "target_share", fr(rate).alias("sample_rate"),
+        F.floor(rate * F.col("tokens")).cast("long")
+        .alias("tokens_after"))

@@ -125,3 +125,82 @@ def missingness_patterns(df: DataFrame,
         "pattern", "n_rows",
         (F.floor(F.col("n_rows") / total * p + F.lit(0.5)) / p)
         .alias("share"))
+
+
+def drift_gate(baseline: DataFrame, current: DataFrame,
+               value_col: str, cat_col: str,
+               bucket_edges: list[float],
+               count_warn: float = 0.5, psi_warn: float = 0.2,
+               round_digits: int = 6) -> DataFrame:
+    """X204 — nightly drift-gate verdict: ONE table that answers
+    "may this snapshot ship?" by combining the three checks a data
+    contract actually needs — row-count delta, PSI of a numeric
+    distribution over FIXED bucket edges, and categorical-domain
+    membership (new or vanished categories) — each with a
+    PASS/WARN verdict against declared thresholds.  X28 (snapshot
+    diff), X79 (PSI) and X51 (schema evolution) are the parts; this
+    is the gate that pipelines page on.
+
+    Scale shape: each side is scanned ONCE per check (count, fixed-
+    edge bucket histogram, category distinct) — all map-side
+    partial aggregates joined as tiny broadcast tables on derived
+    constant keys.  Fixed edges make PSI deterministic (no
+    quantiles); empty buckets get a floor count of 0.5 on BOTH
+    sides of the log ratio, stated.  Returns
+    ``(check, metric, verdict)``.
+    """
+    from pyspark.sql import Window as W
+
+    def bucket(c):
+        b = F.lit(0)
+        for i, e in enumerate(bucket_edges):
+            b = F.when(F.col(c) > e, F.lit(i + 1)).otherwise(b)
+        return b
+
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+
+    nb = baseline.count()
+    nc = current.count()
+    # an empty baseline reports a NULL metric (and WARN), never an
+    # inf that floor-rounding would mangle
+    delta = abs(nc - nb) / nb if nb else None
+
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    hb = (baseline.groupBy(bucket(value_col).alias("b"))
+          .agg(F.count("*").cast("double").alias("cb")))
+    hc = (current.groupBy(bucket(value_col).alias("b"))
+          .agg(F.count("*").cast("double").alias("cc")))
+    h = (hb.join(hc, "b", "full")
+         .select(F.coalesce("cb", F.lit(0.5)).alias("cb"),
+                 F.coalesce("cc", F.lit(0.5)).alias("cc")))
+    h = (h.withColumn("pb", F.col("cb") / F.sum("cb").over(full))
+         .withColumn("pc", F.col("cc") / F.sum("cc").over(full)))
+    psi_row = h.agg(F.sum(
+        (F.col("pc") - F.col("pb"))
+        * F.log(F.col("pc") / F.col("pb"))).alias("psi"))
+    psi = psi_row.collect()[0]["psi"]
+
+    cats_b = {r["c"] for r in
+              baseline.select(F.col(cat_col).alias("c"))
+              .distinct().collect()}
+    cats_c = {r["c"] for r in
+              current.select(F.col(cat_col).alias("c"))
+              .distinct().collect()}
+    n_changed = len(cats_b ^ cats_c)
+
+    spark = baseline.sparkSession
+    rows = [
+        ("row_count_delta",
+         float(delta) if delta is not None else None,
+         "PASS" if delta is not None and delta <= count_warn
+         else "WARN"),
+        ("psi_" + value_col, float(psi),
+         "PASS" if psi <= psi_warn else "WARN"),
+        ("category_domain_" + cat_col, float(n_changed),
+         "PASS" if n_changed == 0 else "WARN"),
+    ]
+    out = spark.createDataFrame(
+        rows, "check string, metric double, verdict string")
+    return out.select("check", fr(F.col("metric")).alias("metric"),
+                      "verdict")

@@ -1552,3 +1552,44 @@ def group_medoid(df: DataFrame, group_col: str, value_col: str,
             .select(group_col, "n", "mean_value",
                     F.col("__p.i").alias("rep_id"),
                     F.col("__p.v").alias("rep_value")))
+
+
+def dispersion_profile(df: DataFrame, group_col: str, day_col,
+                       round_digits: int = 6) -> DataFrame:
+    """X206 — count-data dispersion profile: per group, the
+    variance-to-mean ratio (index of dispersion) of the DAILY event
+    counts, with the under/over-dispersion classification — the
+    one-number check that says whether a count series is
+    Poisson-like (VMR ≈ 1), bursty/clumped (VMR > 1, the X142
+    burstiness story at the aggregate level) or suspiciously
+    regular (VMR < 1, often a synthetic or rate-limited feed).
+
+    Scale shape: one (group, day) count aggregate, then one group
+    reduce over the O(groups × days) table using the closed-form
+    sample variance on integer sufficient statistics — both engines
+    exact until the final ratios.  Groups with a single day report
+    NULL (variance undefined).  Returns
+    ``(group, n_days, mean_daily, vmr, dispersion_class)``.
+    """
+    daily = (df.groupBy(F.col(group_col).alias("g"),
+                        day_col.alias("d") if not isinstance(day_col, str)
+                        else F.col(day_col).alias("d"))
+             .agg(F.count("*").cast("long").alias("c")))
+    agg = daily.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("__s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("__s2"))
+    n, s, s2 = F.col("n_days"), F.col("__s"), F.col("__s2")
+    mean = s / n
+    var = (n * s2 - s * s) / (n * (n - 1))
+    vmr = var / mean
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    cls = (F.when(vmr > 1.2, "overdispersed")
+           .when(vmr < 0.8, "underdispersed")
+           .otherwise("poisson-like"))
+    return agg.select(
+        F.col("g").alias(group_col), "n_days",
+        fr(mean).alias("mean_daily"),
+        F.when(n > 1, fr(vmr)).alias("vmr"),
+        F.when(n > 1, cls).alias("dispersion_class"))

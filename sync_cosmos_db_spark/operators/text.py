@@ -1045,3 +1045,47 @@ def lexical_profile(df, group_col: str = "source",
         fr(F.col("__v1") / F.col("vocab")).alias("hapax_share"),
         fr(F.lit(10000.0) * (F.col("__c2") - F.col("n_tokens"))
            / F.col("n_tokens") / F.col("n_tokens")).alias("yule_k"))
+
+
+def word_dropout(df, id_col: str = "doc_id", text_col: str = "text",
+                 drop_pct: int = 15, salt: str = "aug"):
+    """X205 — deterministic word-dropout augmentation: each token is
+    dropped with probability ``drop_pct``% by a sha2 draw keyed on
+    (doc, position, salt) — the cheap text-augmentation move (noise
+    robustness, contrastive-pair generation) made REPRODUCIBLE:
+    re-runs produce byte-identical augmented text, distinct salts
+    produce independent views of the same doc, and an oracle can
+    recompute the exact output.  Position 0 always survives so no
+    document collapses to empty.
+
+    Scale shape: posexplode → in-row keep decision → one doc-keyed
+    ``collect_list`` of (pos, token) structs re-sorted in-row —
+    fan-out is the token count, the only shuffle keys on the doc id,
+    and per-doc state is the kept-token list (bounded by doc
+    length).  Returns ``(id, n_tokens, n_kept, aug_text)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\s+"))
+        .alias("pos", "tok"))
+    u = F.pmod(
+        F.translate(F.substring(F.sha2(F.concat(
+            F.col(id_col).cast("string"), F.lit(":"),
+            F.col("pos").cast("string"), F.lit(":" + salt)), 256),
+            1, 3), "abcdef", "012345").cast("bigint"),
+        F.lit(100))
+    keep = (F.col("pos") == 0) | (u >= drop_pct)
+    agg = (toks.withColumn("__keep", keep)
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_tokens"),
+                F.sum(F.col("__keep").cast("long")).cast("long")
+                .alias("n_kept"),
+                F.array_sort(F.collect_list(F.when(
+                    F.col("__keep"),
+                    F.struct(F.col("pos"), F.col("tok")))))
+                .alias("__kept")))
+    return agg.select(
+        F.col(id_col), "n_tokens", "n_kept",
+        F.array_join(F.transform(F.col("__kept"),
+                                 lambda s: s["tok"]), " ")
+        .alias("aug_text"))

@@ -412,6 +412,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r7g  # noqa: F401
     from sync_cosmos_db_spark import queries_r7h  # noqa: F401
     from sync_cosmos_db_spark import queries_r7i  # noqa: F401
+    from sync_cosmos_db_spark import queries_r7j  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -443,6 +444,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r7g  # noqa: F401
     from sync_cosmos_db_spark import queries_r7h  # noqa: F401
     from sync_cosmos_db_spark import queries_r7i  # noqa: F401
+    from sync_cosmos_db_spark import queries_r7j  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 
