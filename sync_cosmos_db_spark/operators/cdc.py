@@ -74,3 +74,55 @@ def apply_changelog(snapshot: DataFrame, changes: DataFrame,
         *keys,
         *[F.when(has_change, F.col(f"__c_{c}")).otherwise(F.col(c))
           .alias(c) for c in val_cols])
+
+
+def ivm_apply_agg(snapshot: DataFrame, changelog: DataFrame,
+                  key_col: str = "key", op_col: str = "op",
+                  new_col: str = "v_new", old_col: str = "v_old",
+                  round_digits: int = 2) -> DataFrame:
+    """X207 — incremental view maintenance for a count/sum GROUP BY
+    view: given the view's current state ``(key, n, s)`` and a
+    changelog of I/D/U rows, produce the updated state WITHOUT
+    rescanning the base table — the delta algebra every
+    materialized-view engine runs (count and sum are self-
+    maintainable; min/max are not, which is why they're excluded
+    from this contract).
+
+    Per key the changelog collapses to one delta row:
+    ``dn = ΣI − ΣD`` and ``ds = Σv_new(I) − Σv_old(D) +
+    Σ(v_new − v_old)(U)``; the merge is a FULL OUTER join of two
+    key-partitioned aggregates, and keys whose count reaches 0
+    drop out of the view.
+
+    Scale shape: one key-keyed aggregate over the changelog (which
+    is the DELTA's size, not the base's — the whole point), one
+    key-keyed full-outer merge with the snapshot; at 100 TB the
+    snapshot is a bucketed table and the merge is shuffle-free on
+    its bucket key.  Returns ``(key, n, s)`` with ``s``
+    floor-rounded.
+    """
+    op = F.col(op_col)
+    delta = (changelog.groupBy(F.col(key_col))
+             .agg((F.sum(F.when(op == "I", 1).otherwise(0))
+                   - F.sum(F.when(op == "D", 1).otherwise(0)))
+                  .cast("long").alias("__dn"),
+                  F.sum(
+                      F.when(op == "I", F.col(new_col))
+                      .when(op == "D", -F.col(old_col))
+                      .when(op == "U",
+                            F.col(new_col) - F.col(old_col))
+                      .otherwise(0.0)).alias("__ds")))
+    merged = (snapshot.join(delta, key_col, "full")
+              .select(
+                  F.col(key_col),
+                  (F.coalesce(F.col("n"), F.lit(0))
+                   + F.coalesce(F.col("__dn"), F.lit(0)))
+                  .cast("long").alias("n"),
+                  (F.coalesce(F.col("s"), F.lit(0.0))
+                   + F.coalesce(F.col("__ds"), F.lit(0.0)))
+                  .alias("__s")))
+    p = 10 ** round_digits
+    return (merged.filter(F.col("n") > 0)
+            .select(key_col, "n",
+                    (F.floor(F.col("__s") * p + F.lit(0.5)) / p)
+                    .alias("s")))

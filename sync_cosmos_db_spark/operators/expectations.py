@@ -204,3 +204,37 @@ def drift_gate(baseline: DataFrame, current: DataFrame,
         rows, "check string, metric double, verdict string")
     return out.select("check", fr(F.col("metric")).alias("metric"),
                       "verdict")
+
+
+def candidate_key_audit(df: DataFrame,
+                        combos: list[list[str]],
+                        round_digits: int = 6) -> DataFrame:
+    """X209 — candidate-key discovery audit: for each declared
+    column combination, the exact distinct-tuple count, uniqueness
+    ratio and is-key verdict — the profiling step that finds (or
+    refutes) a merge key before anyone writes a join, and the
+    uniqueness side of what X76's FD audit checks for dependencies.
+
+    Scale shape: one two-level aggregate per combo (distinct is a
+    keyed aggregate with map-side partials, never a global sort);
+    the per-combo results are single rows unioned together, so the
+    output is |combos| rows.  NULLs count as ordinary values
+    (SQL-distinct semantics), stated.  Returns
+    ``(candidate, n_rows, n_distinct, uniqueness, is_key)``.
+    """
+    p = 10 ** round_digits
+    outs = []
+    for combo in combos:
+        name = "+".join(combo)
+        agg = (df.groupBy(*combo).agg(F.count("*").alias("__c"))
+               .agg(F.sum("__c").cast("long").alias("n_rows"),
+                    F.count("*").cast("long").alias("n_distinct")))
+        outs.append(agg.select(
+            F.lit(name).alias("candidate"), "n_rows", "n_distinct",
+            (F.floor(F.col("n_distinct") / F.col("n_rows")
+                     * p + F.lit(0.5)) / p).alias("uniqueness"),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_key")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -519,3 +519,69 @@ def rolling_ols_slope(daily: DataFrame, group_col: str, day_col: str,
         F.col("__n").cast("long").alias("n_days"),
         F.when(den > 0,
                F.floor(num / den * p + F.lit(0.5)) / p).alias("slope"))
+
+
+def semi_additive_balance(df: DataFrame, key_col: str, ts_col: str,
+                          value_col: str, id_col: str,
+                          round_digits: int = 4) -> DataFrame:
+    """X208 — semi-additive measure aggregation: per period, the sum
+    over keys of each key's LAST observed value in that period — the
+    balance/inventory/level pattern where summing every row
+    double-counts (balances are additive across ACCOUNTS, not across
+    TIME; naive SUM over a month of balance snapshots is
+    meaningless).  The classic warehouse trap this operator encodes
+    once.
+
+    Scale shape: one (key, month)-keyed struct-max election (the
+    X91/X172 pattern — ``max(struct(ts, id, value))`` picks the
+    latest row deterministically, the unique id breaking timestamp
+    ties) followed by one month-keyed reduce.  Returns
+    ``(month, n_keys, total_balance)``.
+    """
+    month = F.date_trunc("month", F.col(ts_col))
+    last = (df.groupBy(F.col(key_col).alias("k"),
+                       month.alias("__m"))
+            .agg(F.max(F.struct(F.col(ts_col).alias("t"),
+                                F.col(id_col).alias("i"),
+                                F.col(value_col).alias("v")))
+                 .alias("__last")))
+    p = 10 ** round_digits
+    return (last.groupBy(F.col("__m").cast("date").alias("month"))
+            .agg(F.count("*").cast("long").alias("n_keys"),
+                 (F.floor(F.sum(F.col("__last.v")) * p + F.lit(0.5))
+                  / p).alias("total_balance")))
+
+
+def negative_balance_episodes(df: DataFrame, key_col: str,
+                              ts_col: str, amount_col: str,
+                              round_digits: int = 4) -> DataFrame:
+    """X210 — negative-balance episode extraction: running balance
+    per key (signed amounts in (ts, amount) order), then
+    gaps-and-islands over the SIGN — one row per key that ever goes
+    negative, with the episode count and the deepest point — the
+    overdraft/stock-out detector X113's running balance feeds (the
+    balance says *what*; the episodes say *how often and how
+    deep*).
+
+    Scale shape: one key-partitioned sort window computes the
+    running balance AND the lagged below-zero flag (same exchange);
+    episode starts are ``below & !lag(below)`` — a cumulative-free
+    count per key — then one key reduce.  The running sum is
+    sequential in the same (ts, amount) order in both engines, so
+    the balances are bit-identical and the <0 comparisons cannot
+    disagree.  Returns ``(key, n_episodes, min_balance)``.
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, amount_col)
+    run = w.rowsBetween(W.unboundedPreceding, 0)
+    d = (df.withColumn("__bal", F.sum(amount_col).over(run))
+         .withColumn("__neg", (F.col("__bal") < 0).cast("int"))
+         .withColumn("__prev",
+                     F.coalesce(F.lag("__neg").over(w), F.lit(0))))
+    start = ((F.col("__neg") == 1) & (F.col("__prev") == 0)) \
+        .cast("long")
+    p = 10 ** round_digits
+    return (d.groupBy(F.col(key_col))
+            .agg(F.sum(start).cast("long").alias("n_episodes"),
+                 (F.floor(F.min("__bal") * p + F.lit(0.5)) / p)
+                 .alias("min_balance"))
+            .filter(F.col("n_episodes") > 0))
