@@ -630,3 +630,36 @@ def new_vs_returning(df: DataFrame, user_col: str = "user_id",
             .withColumn("pct_new",
                         F.floor(F.col("new_users") / F.col("dau")
                                 * p + F.lit(0.5)) / p))
+
+
+def decayed_engagement(df: DataFrame, group_col: str, ts_col: str,
+                       half_life_days: float = 7.0,
+                       round_digits: int = 4) -> DataFrame:
+    """X214 — exponential-decay-weighted activity mass per group:
+    each event contributes ``2^(−age_days / half_life)`` measured
+    from the corpus high-water mark — the continuous
+    recency×frequency score that replaces RFM's (X103) discrete
+    recency bucket, and the freshness weighting a crawl-mixture
+    decision uses (yesterday's million events outweigh last
+    quarter's).
+
+    Scale shape: broadcast 1-row high-water mark on a derived
+    constant key (X94 shape), then ONE group aggregate — the decay
+    weight is in-row arithmetic on integer day ages, and the same
+    ``exp(ln2·…)``-free form ``pow(2, −age/h)`` keeps both engines
+    on the identical expression.  Returns
+    ``(group, n_events, decayed_mass, mass_share_of_count)``.
+    """
+    hwm = (df.agg(F.to_date(F.max(ts_col)).alias("__hwm"))
+           .withColumn("__k", F.floor(F.month("__hwm") * 0)))
+    d = (df.withColumn("__k", F.floor(F.month(ts_col) * 0))
+         .join(F.broadcast(hwm), "__k"))
+    age = F.datediff("__hwm", F.to_date(F.col(ts_col)))
+    w = F.pow(F.lit(2.0), -age / F.lit(float(half_life_days)))
+    p = 10 ** round_digits
+    return (d.groupBy(F.col(group_col))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 (F.floor(F.sum(w) * p + F.lit(0.5)) / p)
+                 .alias("decayed_mass"),
+                 (F.floor(F.sum(w) / F.count("*") * p + F.lit(0.5))
+                  / p).alias("mass_share_of_count")))

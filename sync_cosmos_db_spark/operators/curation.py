@@ -907,3 +907,88 @@ def mixture_solver(df: DataFrame, source_col: str, text_col: str,
         "target_share", fr(rate).alias("sample_rate"),
         F.floor(rate * F.col("tokens")).cast("long")
         .alias("tokens_after"))
+
+
+def denylist_filter(df: DataFrame, col: str,
+                    exact_rules: list[str],
+                    prefix_rules: list[str]) -> DataFrame:
+    """X211 — deny-list application with per-rule attribution: every
+    row is attributed to the FIRST matching rule (exact rules beat
+    prefixes; longer prefixes beat shorter; lexicographic breaks
+    remaining ties) or to the KEPT bucket — the blocklist step of a
+    crawl/corpus pipeline, shipped with the hit-count audit that
+    tells you which rules actually fire (dead rules are tech debt,
+    over-firing rules are data loss).
+
+    Scale shape: the rule sets join as BROADCAST tables — exact on
+    the value, prefixes on ``(len, substr(col, 1, len))`` so each
+    distinct prefix LENGTH costs one narrow equi-join, never a
+    LIKE-scan per rule — and the winning rule is a deterministic
+    in-row coalesce over the join results in priority order.
+    Returns ``(rule_kind, rule, n_rows)`` covering every input row
+    exactly once (kind 'kept', rule '-' for survivors).
+    """
+    spark = df.sparkSession
+    d = df.select(F.col(col).alias("__v"))
+    ex = spark.createDataFrame([(r,) for r in sorted(exact_rules)],
+                               "__v string") \
+        .withColumn("__ex", F.col("__v"))
+    d = d.join(F.broadcast(ex), "__v", "left")
+    lens = sorted({len(r) for r in prefix_rules}, reverse=True)
+    pref_cols = []
+    for ln in lens:
+        rules = sorted(r for r in prefix_rules if len(r) == ln)
+        pr = spark.createDataFrame([(r,) for r in rules],
+                                   "__p string") \
+            .withColumn(f"__pm{ln}", F.col("__p"))
+        d = (d.withColumn("__p", F.substring("__v", 1, ln))
+             .join(F.broadcast(pr), "__p", "left").drop("__p"))
+        pref_cols.append(f"__pm{ln}")
+    rule = F.coalesce(F.col("__ex"),
+                      *[F.col(c) for c in pref_cols],
+                      F.lit("-"))
+    kind = (F.when(F.col("__ex").isNotNull(), "exact")
+            .otherwise(F.coalesce(
+                *[F.when(F.col(c).isNotNull(), F.lit("prefix"))
+                  for c in pref_cols],
+                F.lit("kept"))) if pref_cols
+            else F.when(F.col("__ex").isNotNull(), "exact")
+            .otherwise("kept"))
+    return (d.groupBy(kind.alias("rule_kind"), rule.alias("rule"))
+            .agg(F.count("*").cast("long").alias("n_rows")))
+
+
+def build_labels(df: DataFrame, user_col: str, ts_col: str,
+                 type_col: str, cutoff: str,
+                 obs_days: int = 14, out_days: int = 7,
+                 positive_type: str = "purchase") -> DataFrame:
+    """X213 — leakage-safe label construction: per user active in
+    the OBSERVATION window [cutoff − obs_days, cutoff), behavioral
+    features computed ONLY from that window, and a binary label from
+    the disjoint OUTCOME window [cutoff, cutoff + out_days) — the
+    temporal train-set builder whose whole point is that no feature
+    can see past the cutoff (the leakage X128's audit detects, made
+    impossible by construction here).
+
+    Scale shape: ONE scan with conditional aggregates per user
+    (map-side partials); the window predicates are literal date
+    arithmetic.  Returns ``(user, n_events_obs, n_positive_obs,
+    days_active_obs, recency_days, label)``.
+    """
+    cut = F.to_date(F.lit(cutoff))
+    ts_d = F.to_date(F.col(ts_col))
+    in_obs = (ts_d >= F.date_sub(cut, obs_days)) & (ts_d < cut)
+    in_out = (ts_d >= cut) & (ts_d < F.date_add(cut, out_days))
+    pos = F.col(type_col) == positive_type
+    agg = (df.groupBy(F.col(user_col))
+           .agg(F.sum(in_obs.cast("long")).cast("long")
+                .alias("n_events_obs"),
+                F.sum((in_obs & pos).cast("long")).cast("long")
+                .alias("n_positive_obs"),
+                F.count_distinct(F.when(in_obs, ts_d))
+                .cast("long").alias("days_active_obs"),
+                F.min(F.when(in_obs, F.datediff(cut, ts_d)))
+                .cast("long").alias("recency_days"),
+                F.max(in_out.cast("long")).cast("long")
+                .alias("label")))
+    return agg.filter(F.col("n_events_obs") > 0)

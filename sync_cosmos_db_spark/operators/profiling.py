@@ -1593,3 +1593,48 @@ def dispersion_profile(df: DataFrame, group_col: str, day_col,
         fr(mean).alias("mean_daily"),
         F.when(n > 1, fr(vmr)).alias("vmr"),
         F.when(n > 1, cls).alias("dispersion_class"))
+
+
+def price_volume_decomposition(df: DataFrame, group_col: str,
+                               period_col, qty_col: str,
+                               rev_col: str,
+                               round_digits: int = 2) -> DataFrame:
+    """X212 — exact price/volume bridge between two periods: per
+    group, ``rev₂ − rev₁ = (q₂ − q₁)·p₁  +  (p₂ − p₁)·q₂`` with
+    ``p = rev/q`` — the algebraically-exact two-factor
+    decomposition (volume effect at OLD prices, price effect at NEW
+    volume) every revenue-delta review asks for; the two effects
+    sum to the delta by identity, which the tests pin.
+
+    ``period_col`` must evaluate to exactly two values (0 = base,
+    1 = comparison).  Scale shape: one (group, period) aggregate
+    with revenue snapped to cents BEFORE the ratios, then a pivot
+    to one row per group — all downstream arithmetic runs on
+    identical exact inputs in both engines.  Returns
+    ``(group, rev_base, rev_curr, delta, volume_effect,
+    price_effect)``.
+    """
+    per = (df.groupBy(F.col(group_col).alias("g"),
+                      period_col.alias("per"))
+           .agg((F.floor(F.sum(rev_col) * 100 + F.lit(0.5)) / 100)
+                .alias("rev"),
+                F.sum(qty_col).alias("q")))
+    piv = (per.groupBy("g")
+           .agg(F.max(F.when(F.col("per") == 0, F.col("rev")))
+                .alias("r1"),
+                F.max(F.when(F.col("per") == 0, F.col("q")))
+                .alias("q1"),
+                F.max(F.when(F.col("per") == 1, F.col("rev")))
+                .alias("r2"),
+                F.max(F.when(F.col("per") == 1, F.col("q")))
+                .alias("q2")))
+    p1 = F.col("r1") / F.col("q1")
+    p2 = F.col("r2") / F.col("q2")
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    return piv.select(
+        F.col("g").alias(group_col),
+        F.col("r1").alias("rev_base"), F.col("r2").alias("rev_curr"),
+        fr(F.col("r2") - F.col("r1")).alias("delta"),
+        fr((F.col("q2") - F.col("q1")) * p1).alias("volume_effect"),
+        fr((p2 - p1) * F.col("q2")).alias("price_effect"))
