@@ -663,3 +663,45 @@ def decayed_engagement(df: DataFrame, group_col: str, ts_col: str,
                  .alias("decayed_mass"),
                  (F.floor(F.sum(w) / F.count("*") * p + F.lit(0.5))
                   / p).alias("mass_share_of_count")))
+
+
+def conversion_latency(df: DataFrame, user_col: str = "user_id",
+                       ts_col: str = "ts",
+                       type_col: str = "event_type",
+                       from_type: str = "click",
+                       to_type: str = "purchase",
+                       round_digits: int = 4) -> DataFrame:
+    """X215 — conversion latency profile: among users whose first
+    ``from_type`` event is eventually followed by a ``to_type``
+    event, the distribution of that first-touch→first-conversion
+    delay — X155's funnel counts WHO converts within a window; this
+    profiles HOW LONG conversion takes (the number an SLA or a
+    retargeting-delay decision needs).
+
+    Scale shape: two user-keyed aggregates on the same partitioning
+    (first ``from_type`` stamp; first ``to_type`` stamp at-or-after
+    it via a conditional min over the user-keyed join) and one
+    global reduce; percentiles run on the converters-only delay
+    column with Spark's exact ``percentile`` (the interpolation
+    twin of the oracle's ``percentile_cont``).  Returns one row:
+    ``(n_users, n_converters, conv_rate, p50_s, p90_s)``.
+    """
+    first = (df.filter(F.col(type_col) == from_type)
+             .groupBy(user_col)
+             .agg(F.min(F.unix_micros(ts_col)).alias("__c")))
+    conv = (df.filter(F.col(type_col) == to_type)
+            .select(user_col, F.unix_micros(ts_col).alias("__p"))
+            .join(first, user_col)
+            .filter(F.col("__p") >= F.col("__c"))
+            .groupBy(user_col)
+            .agg(F.min(F.col("__p") - F.col("__c")).alias("__gap")))
+    base = first.join(conv, user_col, "left")
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    gap_s = F.col("__gap") / 1e6
+    return base.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("__gap").cast("long").alias("n_converters"),
+        fr(F.count("__gap") / F.count("*")).alias("conv_rate"),
+        fr(F.expr("percentile(__gap, 0.5)") / 1e6).alias("p50_s"),
+        fr(F.expr("percentile(__gap, 0.9)") / 1e6).alias("p90_s"))

@@ -1638,3 +1638,49 @@ def price_volume_decomposition(df: DataFrame, group_col: str,
         fr(F.col("r2") - F.col("r1")).alias("delta"),
         fr((F.col("q2") - F.col("q1")) * p1).alias("volume_effect"),
         fr((p2 - p1) * F.col("q2")).alias("price_effect"))
+
+
+def exp_fit_ks(df: DataFrame, group_col: str, ts_col: str,
+               round_digits: int = 6) -> DataFrame:
+    """X217 — one-sample Kolmogorov–Smirnov distance against a
+    FITTED exponential: per group, inter-arrival gaps, rate
+    λ = 1/mean(gap), and D = max over sorted gaps of
+    max(|i/n − F(xᵢ)|, |(i−1)/n − F(xᵢ)|) with F(x) = 1 − e^(−λx)
+    — "is this arrival process actually Poisson" as a distance, the
+    distributional companion of X206's variance-ratio test and the
+    one-sample sibling of X79's two-sample KS.
+
+    Scale shape: gaps come from one ``lag`` on a group-keyed sort
+    window, the empirical CDF from a ``row_number`` on the SAME
+    partitioning (one exchange feeds both), and D is one group max.
+    The group is the parallelism grain (the X92/X188 contract).
+    Tied gaps are order-independent: the candidate set {i-1, i}/n
+    over a tie block is the same whatever the internal order.
+    Returns ``(group, n_gaps, mean_gap_s, ks_d)``.
+    """
+    gaps = (df.select(F.col(group_col),
+                      F.unix_micros(ts_col).alias("__t"))
+            .withColumn("__gap", F.col("__t")
+                        - F.lag("__t").over(
+                            Window.partitionBy(group_col)
+                            .orderBy("__t")))
+            .filter(F.col("__gap").isNotNull()))
+    stats = gaps.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("__n"),
+        F.avg("__gap").alias("__mean"))
+    j = gaps.join(stats, group_col)
+    r = F.row_number().over(
+        Window.partitionBy(group_col).orderBy("__gap", "__t"))
+    lam = 1.0 / F.col("__mean")
+    cdf = 1.0 - F.exp(-lam * F.col("__gap"))
+    d = (j.withColumn("__r", r)
+         .withColumn("__d", F.greatest(
+             F.abs(F.col("__r") / F.col("__n") - cdf),
+             F.abs((F.col("__r") - 1) / F.col("__n") - cdf))))
+    p = 10 ** round_digits
+    return (d.groupBy(F.col(group_col))
+            .agg(F.first("__n").alias("n_gaps"),
+                 (F.floor(F.first("__mean") / 1e6 * p + F.lit(0.5))
+                  / p).alias("mean_gap_s"),
+                 (F.floor(F.max("__d") * p + F.lit(0.5)) / p)
+                 .alias("ks_d")))

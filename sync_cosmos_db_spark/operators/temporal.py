@@ -585,3 +585,43 @@ def negative_balance_episodes(df: DataFrame, key_col: str,
                  (F.floor(F.min("__bal") * p + F.lit(0.5)) / p)
                  .alias("min_balance"))
             .filter(F.col("n_episodes") > 0))
+
+
+def seasonal_index_monthly(df: DataFrame, ts_col: str,
+                           value_col: str,
+                           round_digits: int = 4) -> DataFrame:
+    """X216 — classical multiplicative seasonal index by
+    ratio-to-moving-average: monthly totals (cents-snapped), a
+    CENTERED 12-month MA (full windows only), per-month ratios, and
+    the month-of-year average ratio normalized to mean 1.0 — the
+    decades-old decomposition X157's dow-period STL doesn't cover
+    (annual seasonality over a multi-year series).
+
+    Scale shape: the series collapses to O(months) rows before the
+    ordered window (the period-collapse contract), so the single
+    ordered frame and the 12-row index table are trivial; the MA is
+    rounded BEFORE the ratio so both engines divide identical
+    numbers.  Returns ``(month_of_year, n_obs, seasonal_index)``.
+    """
+    monthly = (df.groupBy(
+        F.date_trunc("month", F.col(ts_col)).alias("__m"))
+        .agg((F.floor(F.sum(value_col) * 100 + F.lit(0.5)) / 100)
+             .alias("__v")))
+    w = W.orderBy("__m").rowsBetween(-6, 5)
+    ma = (monthly
+          .withColumn("__n", F.count("*").over(w))
+          .withColumn("__ma",
+                      F.floor(F.avg("__v").over(w) * 100
+                              + F.lit(0.5)) / 100)
+          .filter(F.col("__n") == 12))
+    ratios = ma.select(F.month("__m").alias("month_of_year"),
+                       (F.col("__v") / F.col("__ma")).alias("__r"))
+    idx = ratios.groupBy("month_of_year").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.avg("__r").alias("__idx"))
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    p = 10 ** round_digits
+    return idx.select(
+        "month_of_year", "n_obs",
+        (F.floor(F.col("__idx") / F.avg("__idx").over(full) * p
+                 + F.lit(0.5)) / p).alias("seasonal_index"))
