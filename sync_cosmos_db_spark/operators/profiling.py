@@ -1684,3 +1684,47 @@ def exp_fit_ks(df: DataFrame, group_col: str, ts_col: str,
                   / p).alias("mean_gap_s"),
                  (F.floor(F.max("__d") * p + F.lit(0.5)) / p)
                  .alias("ks_d")))
+
+
+def allocate_exact(parent: DataFrame, child: DataFrame,
+                   key_col: str, amount_col: str,
+                   order_col: str) -> DataFrame:
+    """X220 — penny-exact M:N allocation: a parent amount (in
+    currency) is split across its child rows so the shares differ by
+    at most one cent and the cents SUM EXACTLY to the parent amount
+    — largest-remainder allocation: every child gets
+    ``cents div n``, and the ``cents mod n`` leftover pennies go to
+    the first children in ``order_col`` order.  The float division
+    everyone writes first (``amount/n`` per child) loses or invents
+    pennies under rounding; reconciliation then never balances —
+    this is the allocation discipline encoded once, all-integer so
+    both engines agree bit-for-bit.
+
+    Scale shape: one key-keyed count aggregate over the children,
+    one key-keyed join (same partitioning), one key-partitioned
+    ``row_number`` window — a single exchange feeds all three.
+    ``order_col`` may be a list; it must order ties that matter
+    (rows identical under it are interchangeable, so residual ties
+    only ever move a penny between rows that aggregate the same
+    way downstream).  Returns the child rows plus
+    ``(alloc_cents, alloc)``.
+    """
+    from pyspark.sql import Window as W
+
+    order_cols = ([order_col] if isinstance(order_col, str)
+                  else list(order_col))
+    cents = F.floor(F.col(amount_col) * 100 + F.lit(0.5)) \
+        .cast("long").alias("__cents")
+    p = parent.select(F.col(key_col), cents)
+    counts = child.groupBy(key_col).agg(
+        F.count("*").cast("long").alias("__n"))
+    rn = F.row_number().over(
+        W.partitionBy(key_col).orderBy(*order_cols))
+    j = (child.join(counts, key_col).join(p, key_col)
+         .withColumn("__rn", rn))
+    base = F.expr("__cents div __n")
+    extra = (F.col("__rn") <= F.col("__cents") % F.col("__n")) \
+        .cast("long")
+    return (j.withColumn("alloc_cents", (base + extra).cast("long"))
+            .withColumn("alloc", F.col("alloc_cents") / 100.0)
+            .drop("__n", "__cents", "__rn"))

@@ -376,3 +376,63 @@ def average_precision(df, group_col: str, score_col: str, rel_col,
                 F.col("__psum") / F.col("n_rel")).otherwise(0.0)
     return agg.select(group_col, "n_items", "n_rel",
                       fr(ap).alias("ap"))
+
+
+def trigram_like_search(df, id_col: str, text_col: str,
+                        pattern: str, group_col: str | None = None):
+    """X221 — substring (LIKE '%pat%') search through a TRIGRAM
+    index: documents are candidates only if they contain EVERY
+    character trigram of the pattern, and candidates are then
+    verified with the exact ``contains`` — the pg_trgm trick that
+    turns an unindexable full-scan predicate into a posting-list
+    intersection (at 100 TB the posting join prunes the scan; the
+    verify touches candidates only).  The audit output reports both
+    counts so the index's selectivity is visible — a candidate set
+    barely smaller than the corpus means the pattern's trigrams are
+    too common to prune.
+
+    Scale shape: the doc→trigram projection is one in-row
+    explode + distinct keyed on (trigram); the pattern's trigrams
+    are a handful of literals, so the candidate join is a narrow
+    filter + doc-keyed count; verification is in-row ``contains``
+    over candidates.  Returns per group (or one row):
+    ``(n_docs, n_candidates, n_matches)``.
+    """
+    if len(pattern) < 3:
+        raise ValueError("pattern must be at least 3 chars")
+    pats = sorted({pattern[i:i + 3]
+                   for i in range(len(pattern) - 2)})
+    g = (F.col(group_col) if group_col else F.lit("all")) \
+        .alias("__g")
+    docs = df.select(F.col(id_col).alias("__id"), g,
+                     F.col(text_col).alias("__t"))
+    tri = (docs.select(
+        "__id", "__g",
+        F.explode(F.sequence(
+            F.lit(1),
+            F.greatest(F.length("__t") - 2, F.lit(0)))).alias("__i"),
+        "__t")
+        .select("__id", "__g",
+                F.expr("substring(__t, __i, 3)").alias("__tri"))
+        .filter(F.col("__tri").isin(pats))
+        .distinct())
+    cand = (tri.groupBy("__id", "__g")
+            .agg(F.count("*").alias("__hit"))
+            .filter(F.col("__hit") == len(pats))
+            .select("__id", "__g"))
+    ver = (cand.join(docs, ["__id", "__g"])
+           .select("__id", "__g",
+                   F.col("__t").contains(pattern).cast("long")
+                   .alias("__m")))
+    nd = docs.groupBy("__g").agg(
+        F.count("*").cast("long").alias("n_docs"))
+    cm = (ver.groupBy("__g")
+          .agg(F.count("*").cast("long").alias("n_candidates"),
+               F.sum("__m").cast("long").alias("n_matches")))
+    out = nd.join(cm, "__g", "left")
+    return out.select(
+        F.col("__g").alias(group_col or "corpus"), "n_docs",
+        F.coalesce("n_candidates", F.lit(0)).cast("long")
+        .alias("n_candidates"),
+        F.coalesce("n_matches", F.lit(0)).cast("long")
+        .alias("n_matches"))

@@ -158,9 +158,11 @@ def semi_additive_user_value(spark: SparkSession,
 def candidate_keys_lineitem(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """X209 — candidate-key audit over lineitem
-    (``expectations.candidate_key_audit``): (orderkey, linenumber)
-    is the true key; orderkey alone and (partkey, suppkey) are
-    refuted with exact uniqueness ratios."""
+    (``expectations.candidate_key_audit``): in THIS synthetic
+    corpus even (orderkey, linenumber) is refuted — duplicate
+    pairs exist — which is precisely the discovery the audit is
+    for (X220's allocation tiebreak was widened because of it);
+    exact uniqueness ratios for all three candidates."""
     from sync_cosmos_db_spark.operators.expectations import (
         candidate_key_audit,
     )
