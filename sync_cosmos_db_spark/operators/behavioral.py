@@ -705,3 +705,61 @@ def conversion_latency(df: DataFrame, user_col: str = "user_id",
         fr(F.count("__gap") / F.count("*")).alias("conv_rate"),
         fr(F.expr("percentile(__gap, 0.5)") / 1e6).alias("p50_s"),
         fr(F.expr("percentile(__gap, 0.9)") / 1e6).alias("p90_s"))
+
+
+def retention_curve_fit(df: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts", project_days: int = 3,
+                        round_digits: int = 4) -> DataFrame:
+    """X225 — pooled day-grain retention curve with a power-law fit
+    and projection: users cohorted by first-event DAY, pooled
+    retention r(t) = active(t)/at-cohort(t) per day offset, then
+    ``ln r = a − b·ln t`` fit by closed-form OLS over observed
+    offsets t ≥ 1 and projected ``project_days`` past the horizon —
+    the growth-model shape (retention decays roughly as a power
+    law) that turns X187's triangle into a forecast.
+
+    Scale shape: X187's user-keyed join/distinct shape collapsed to
+    a day-offset curve (O(days) rows), the OLS sums and the
+    projection all run on that tiny table; the fit parameters ride
+    along every row so the output is one self-contained table.
+    Returns ``(t_days, kind 'observed'|'projected', retention)``.
+    """
+    first = (df.groupBy(user_col)
+             .agg(F.to_date(F.min(ts_col)).alias("__f")))
+    act = (df.join(first, user_col)
+           .select(user_col, "__f", F.to_date(ts_col).alias("__d"))
+           .distinct())
+    curve = (act.groupBy(F.datediff("__d", "__f").cast("long")
+                         .alias("t_days"))
+             .agg(F.count("*").cast("double").alias("__active")))
+    size = act.filter(F.col("__d") == F.col("__f")).count()
+    obs = (curve.filter(F.col("t_days") >= 1)
+           .withColumn("__r", F.col("__active") / F.lit(float(size)))
+           .withColumn("__lnt", F.log(F.col("t_days").cast("double")))
+           .withColumn("__lnr", F.log("__r")))
+    fit = obs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("__lnt").alias("sx"), F.sum("__lnr").alias("sy"),
+        F.sum(F.col("__lnt") * F.col("__lnr")).alias("sxy"),
+        F.sum(F.col("__lnt") * F.col("__lnt")).alias("sxx")) \
+        .withColumn("__k", F.floor(F.col("n") * 0))
+    b = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    a = (F.col("sy") - b * F.col("sx")) / F.col("n")
+    horizon = (obs.agg(F.max("t_days").alias("h"))
+               .collect()[0]["h"])
+    spark = df.sparkSession
+    proj_t = spark.range(int(horizon) + 1,
+                         int(horizon) + 1 + project_days) \
+        .select(F.col("id").alias("t_days")) \
+        .withColumn("__k", F.floor(F.col("t_days") * 0))
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    proj = (proj_t.join(F.broadcast(fit), "__k")
+            .select("t_days", F.lit("projected").alias("kind"),
+                    fr(F.exp(a + b * F.log(
+                        F.col("t_days").cast("double"))))
+                    .alias("retention")))
+    observed = obs.select("t_days", F.lit("observed").alias("kind"),
+                          fr(F.col("__r")).alias("retention"))
+    return observed.unionByName(proj)

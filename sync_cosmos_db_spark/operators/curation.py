@@ -992,3 +992,72 @@ def build_labels(df: DataFrame, user_col: str, ts_col: str,
                 F.max(in_out.cast("long")).cast("long")
                 .alias("label")))
     return agg.filter(F.col("n_events_obs") > 0)
+
+
+def pps_systematic_sample(df: DataFrame, key_col: str,
+                          weight_col: str, n: int) -> DataFrame:
+    """X223 — probability-proportional-to-size SYSTEMATIC sampling,
+    fully deterministic and integer-exact: weights snap to integer
+    cents, a distributed cumulative sum lays the population on a
+    [1, total] line, and every ``step = total div n``-th grid point
+    (anchored at ``step div 2`` — a fixed anchor, no RNG) selects
+    the row whose weight interval contains it — rows heavier than
+    ``step`` can be picked MULTIPLE times (``n_picks`` says how
+    often), which is exactly PPS-with-replacement semantics.  The
+    survey-sampling standard when inclusion probability must be
+    proportional to size AND reproducible.
+
+    Scale shape: the cumulative sum is the X11/X192 two-phase scan
+    (range buckets on the weight, per-bucket window, broadcast
+    prefix offsets — no single-partition exchange); the grid test
+    is integer arithmetic shifted POSITIVE before the floor
+    division, because Spark's ``div`` truncates toward zero while
+    DuckDB's ``//`` floors — they agree only on non-negative
+    operands (stated here so nobody "simplifies" it back).
+    Returns ``(key, weight_cents, n_picks)`` for picked rows.
+    """
+    from pyspark.sql import Window as W
+
+    cents = (df.select(F.col(key_col).alias("__key"),
+                       F.col(weight_col).alias("__v"))
+             .withColumn("__c",
+                         F.floor(F.col("__v") * 100 + F.lit(0.5))
+                         .cast("long")))
+    n_buckets = 64
+    bounds = cents.approxQuantile(
+        "__c", [i / n_buckets for i in range(1, n_buckets)], 0.001)
+    bucket = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        bucket = F.when(F.col("__c") > b, F.lit(i + 1)) \
+            .otherwise(bucket)
+    tagged = cents.withColumn("__bucket", bucket)
+    sums = {r["__bucket"]: r["__s"] for r in
+            tagged.groupBy("__bucket")
+            .agg(F.sum("__c").alias("__s")).collect()}
+    prefix, acc = {}, 0
+    for b in sorted(sums):
+        prefix[b] = acc
+        acc += sums[b]
+    total = acc
+    step = max(1, total // n)
+    anchor = step // 2
+    pref_expr = F.lit(0)
+    for b, off in sorted(prefix.items()):
+        pref_expr = F.when(F.col("__bucket") == b, F.lit(off)) \
+            .otherwise(pref_expr)
+    w = (W.partitionBy("__bucket")
+         .orderBy(F.col("__c"), "__key")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = (pref_expr + F.sum("__c").over(w)).cast("long")
+    prev = cum - F.col("__c")
+    # f(x) = number of grid points <= x; shifted positive so both
+    # engines' integer division agrees
+    shift = int(step - anchor)
+    fx = F.expr(f"(__cum + {shift}) div {int(step)}")
+    fp = F.expr(f"(__prev + {shift}) div {int(step)}")
+    return (tagged.withColumn("__cum", cum)
+            .withColumn("__prev", prev)
+            .withColumn("n_picks", (fx - fp).cast("long"))
+            .filter(F.col("n_picks") > 0)
+            .select(F.col("__key").alias(key_col),
+                    F.col("__c").alias("weight_cents"), "n_picks"))

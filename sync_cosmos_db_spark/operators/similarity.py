@@ -397,3 +397,35 @@ def centroid_cosine_matrix(df: DataFrame, group_col: str = "label",
                     F.col("gb").alias("group_b"),
                     (F.floor(F.col("dot") / (F.col("na") * F.col("nb"))
                              * p + F.lit(0.5)) / p).alias("cos")))
+
+
+def mean_pool_embeddings(df, group_col: str, vec_col: str,
+                         round_digits: int = 6):
+    """X224 — element-wise mean pooling of embeddings per group with
+    L2 renormalization: the chunk→document (or doc→centroid)
+    aggregation every embedding pipeline runs — X130 compares
+    centroids; this BUILDS them, exposed per-dimension so the result
+    is oracle-checkable without array-hash semantics.
+
+    Scale shape: ``posexplode`` → one (group, dim)-keyed average
+    (map-side partials) → a tiny per-group norm join — fan-out is
+    rows × dims, the shuffle keys on (group, dim), and no vector is
+    ever collected.  Returns ``(group, dim, pooled, pooled_renorm)``
+    floor-rounded.
+    """
+    ex = df.select(F.col(group_col).alias("g"),
+                   F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    pooled = (ex.groupBy("g", "dim")
+              .agg(F.avg(F.col("x").cast("double")).alias("p")))
+    norms = (pooled.groupBy("g")
+             .agg(F.sqrt(F.sum(F.col("p") * F.col("p")))
+                  .alias("__norm")))
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    return (pooled.join(norms, "g")
+            .select(F.col("g").alias(group_col),
+                    F.col("dim").cast("long").alias("dim"),
+                    fr(F.col("p")).alias("pooled"),
+                    F.when(F.col("__norm") > 0,
+                           fr(F.col("p") / F.col("__norm")))
+                    .alias("pooled_renorm")))

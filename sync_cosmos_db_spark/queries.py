@@ -417,6 +417,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r7l  # noqa: F401
     from sync_cosmos_db_spark import queries_r7m  # noqa: F401
     from sync_cosmos_db_spark import queries_r7n  # noqa: F401
+    from sync_cosmos_db_spark import queries_r7o  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -453,6 +454,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r7l  # noqa: F401
     from sync_cosmos_db_spark import queries_r7m  # noqa: F401
     from sync_cosmos_db_spark import queries_r7n  # noqa: F401
+    from sync_cosmos_db_spark import queries_r7o  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 
