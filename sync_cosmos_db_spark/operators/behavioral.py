@@ -481,11 +481,13 @@ def position_attribution(df: DataFrame, conversion_type: str,
                  .alias("credit")))
 
 
-def cohort_retention(df: DataFrame, user_col: str = "user_id",
-                     ts_col: str = "ts",
-                     round_digits: int = 4) -> DataFrame:
-    """X187 — cohort retention triangle: users are cohorted by the
-    month of their FIRST event, then for every (cohort month, month
+def cohort_retention_monthly(df: DataFrame,
+                             user_col: str = "user_id",
+                             ts_col: str = "ts",
+                             round_digits: int = 4) -> DataFrame:
+    """X187 — MONTHLY cohort retention triangle (the month-grain,
+    distinct-user sibling of X19's `cohort_retention` weekly event
+    counts): users are cohorted by the month of their FIRST event, then for every (cohort month, month
     offset) cell the triangle reports how many distinct cohort members
     were active that month and what share of the cohort that is — the
     canonical product-analytics retention matrix (the reference has no

@@ -46,17 +46,17 @@ from sync_cosmos_db_spark.session import load_table
 def cohort_retention_events(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """X187 — cohort retention triangle
-    (``behavioral.cohort_retention``): users cohorted by first-event
+    (``behavioral.cohort_retention_monthly``): users cohorted by first-event
     month, per-(cohort, month-offset) distinct-active counts and
     retention share — one user-keyed aggregate, one user-keyed join +
     distinct on the same partitioning, then a window over the tiny
     months×months triangle."""
     from sync_cosmos_db_spark.operators.behavioral import (
-        cohort_retention,
+        cohort_retention_monthly,
     )
 
     ev = load_table(spark, sf_dir, "events")
-    return cohort_retention(ev, "user_id", "ts")
+    return cohort_retention_monthly(ev, "user_id", "ts")
 
 
 # ---------------------------------------------------------------------------

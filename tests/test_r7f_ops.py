@@ -19,7 +19,7 @@ def test_cohort_retention_triangle(spark):
     """3-user Jan cohort with 2 active in Feb and 1 in Mar; a 1-user
     Feb cohort — hand-built triangle."""
     from sync_cosmos_db_spark.operators.behavioral import (
-        cohort_retention,
+        cohort_retention_monthly,
     )
 
     rows = [
@@ -32,7 +32,7 @@ def test_cohort_retention_triangle(spark):
     df = spark.createDataFrame(rows, "user_id string, ts timestamp")
     out = {(r["cohort_month"].isoformat(), r["month_offset"]):
            (r["n_active"], r["cohort_size"], r["retention"])
-           for r in cohort_retention(df).collect()}
+           for r in cohort_retention_monthly(df).collect()}
     assert out[("2024-01-01", 0)] == (3, 3, 1.0)
     assert out[("2024-01-01", 1)] == (2, 3, 0.6667)
     assert out[("2024-01-01", 2)] == (1, 3, 0.3333)
@@ -43,12 +43,12 @@ def test_cohort_retention_triangle(spark):
 def test_cohort_retention_distinct_within_month(spark):
     """Five events by one user in one month count once."""
     from sync_cosmos_db_spark.operators.behavioral import (
-        cohort_retention,
+        cohort_retention_monthly,
     )
 
     rows = [("u1", _ts(2024, 1, d)) for d in range(1, 6)]
     df = spark.createDataFrame(rows, "user_id string, ts timestamp")
-    out = cohort_retention(df).collect()
+    out = cohort_retention_monthly(df).collect()
     assert len(out) == 1
     assert out[0]["n_active"] == 1 and out[0]["cohort_size"] == 1
 
@@ -57,12 +57,12 @@ def test_cohort_retention_year_boundary(spark):
     """Dec→Jan is offset 1, not -11 (months_between on truncated
     stamps crosses the year correctly)."""
     from sync_cosmos_db_spark.operators.behavioral import (
-        cohort_retention,
+        cohort_retention_monthly,
     )
 
     rows = [("u1", _ts(2023, 12, 30)), ("u1", _ts(2024, 1, 2))]
     df = spark.createDataFrame(rows, "user_id string, ts timestamp")
-    out = {r["month_offset"] for r in cohort_retention(df).collect()}
+    out = {r["month_offset"] for r in cohort_retention_monthly(df).collect()}
     assert out == {0, 1}
 
 
