@@ -765,3 +765,40 @@ def retention_curve_fit(df: DataFrame, user_col: str = "user_id",
     observed = obs.select("t_days", F.lit("observed").alias("kind"),
                           fr(F.col("__r")).alias("retention"))
     return observed.unionByName(proj)
+
+
+def ltv_curve(df: DataFrame, user_col: str = "user_id",
+              ts_col: str = "ts", type_col: str = "event_type",
+              value_col: str = "value",
+              revenue_type: str = "purchase",
+              round_digits: int = 4) -> DataFrame:
+    """X227 — LTV buildup curve: users cohorted by first-event DAY,
+    revenue events pooled by day-of-life offset, and the running
+    cumulative revenue PER USER by age — the payback-period view
+    (X187/X225 track who comes back; this tracks what they're worth
+    by age, which is what a CAC ceiling is set against).
+
+    Scale shape: one user-keyed first-touch aggregate + user-keyed
+    join, one offset-keyed reduce to the O(days) curve, then the
+    cumulative window over that tiny table.  Daily revenue is
+    rounded BEFORE the cumulative sum, so the running total is a
+    sequential sum of identical doubles in both engines.  Returns
+    ``(t_days, rev_day, cum_rev_per_user)``.
+    """
+    first = (df.groupBy(user_col)
+             .agg(F.to_date(F.min(ts_col)).alias("__f")))
+    size = first.count()
+    rev = (df.filter(F.col(type_col) == revenue_type)
+           .join(first, user_col)
+           .groupBy(F.datediff(F.to_date(F.col(ts_col)), F.col("__f"))
+                    .cast("long").alias("t_days"))
+           .agg(F.sum(value_col).alias("__r")))
+    p = 10 ** round_digits
+    day = rev.select(
+        "t_days",
+        (F.floor(F.col("__r") * p + F.lit(0.5)) / p).alias("rev_day"))
+    run = W.orderBy("t_days").rowsBetween(W.unboundedPreceding, 0)
+    return day.withColumn(
+        "cum_rev_per_user",
+        F.floor(F.sum("rev_day").over(run) / F.lit(float(size))
+                * p + F.lit(0.5)) / p)

@@ -1728,3 +1728,33 @@ def allocate_exact(parent: DataFrame, child: DataFrame,
     return (j.withColumn("alloc_cents", (base + extra).cast("long"))
             .withColumn("alloc", F.col("alloc_cents") / 100.0)
             .drop("__n", "__cents", "__rn"))
+
+
+def feature_screen_auc(df: DataFrame, label_col,
+                       features: dict[str, "F.Column"],
+                       round_digits: int = 6) -> DataFrame:
+    """X228 — univariate feature screen: exact ROC-AUC of each
+    candidate feature as a standalone ranker of the label — the
+    first-pass feature triage (|AUC − 0.5| is univariate signal;
+    noise features pin to ≈ 0.5) built by running X179's
+    Mann-Whitney midrank machinery once per feature and stacking
+    the results into one table.
+
+    Scale shape: |features| independent X179 passes (each is a
+    distinct-score collapse + the X11 two-phase rank — no
+    single-partition windows), unioned; the scan is shared by
+    Catalyst where the features project from the same source.
+    Returns ``(feature, n_pos, n_neg, auc)``.
+    """
+    outs = []
+    for name in sorted(features):
+        d = df.select(features[name].alias("__s"),
+                      label_col.alias("__y"))
+        a = roc_auc(d, "__s", F.col("__y"),
+                    round_digits=round_digits)
+        outs.append(a.select(F.lit(name).alias("feature"),
+                             "n_pos", "n_neg", "auc"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

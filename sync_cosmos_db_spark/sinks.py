@@ -167,3 +167,57 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
      .sortWithinPartitions("__z")
      .drop("__z")
      .write.mode("overwrite").parquet(path))
+
+
+def zone_map_skip_audit(df, sort_col: str, probe_col: str,
+                        arrival_col: str,
+                        predicates: list[tuple[float, float]],
+                        rows_per_group: int = 1000,
+                        round_digits: int = 4):
+    """X229 — zone-map (min/max row-group statistics) skip-rate
+    audit: lay the table out in ``sort_col`` order vs ARRIVAL order
+    (``arrival_col``, a monotone ingestion key), cut it into
+    ``rows_per_group``-row groups, record each group's min/max of
+    ``probe_col``, and report what fraction of groups a range
+    predicate could skip under each layout — the number that
+    justifies (or refutes) a sort/Z-order job before anyone pays
+    for the rewrite (X78 writes the layout; this prices it).
+
+    Scale shape: the group id comes from the X11 two-phase rank
+    (``curation.global_sort_index``) under each layout — no
+    single-partition window — then one group-keyed min/max
+    aggregate and a |groups|-row predicate evaluation per probe.
+    Returns ``(layout, probe_lo, probe_hi, n_groups, n_skipped,
+    skip_rate)``.
+    """
+    from sync_cosmos_db_spark.operators.curation import (
+        global_sort_index,
+    )
+
+    outs = []
+    p = 10 ** round_digits
+    for layout, value_col, tb_col in (
+            ("sorted", sort_col, arrival_col),
+            ("arrival", arrival_col, sort_col)):
+        idx = global_sort_index(df, value_col, tb_col,
+                                out_col="__gi")
+        groups = (idx.withColumn(
+            "__grp", F.expr(f"(__gi - 1) div {int(rows_per_group)}"))
+            .groupBy("__grp")
+            .agg(F.min(probe_col).alias("__lo"),
+                 F.max(probe_col).alias("__hi")))
+        for lo, hi in predicates:
+            skip = (F.col("__hi") < lo) | (F.col("__lo") > hi)
+            outs.append(groups.agg(
+                F.lit(layout).alias("layout"),
+                F.lit(float(lo)).alias("probe_lo"),
+                F.lit(float(hi)).alias("probe_hi"),
+                F.count("*").cast("long").alias("n_groups"),
+                F.sum(skip.cast("long")).cast("long")
+                .alias("n_skipped"),
+                (F.floor(F.sum(skip.cast("long")) / F.count("*")
+                         * p + F.lit(0.5)) / p).alias("skip_rate")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -292,3 +292,26 @@ def test_cusum_scan_matches_sequential_recursion(spark, vals):
         sn = max(0, sn + mu - x - k)
         assert r.s_pos == sp / scale, (r.t, r.s_pos, sp / scale)
         assert r.s_neg == sn / scale
+
+
+def test_no_shadowed_top_level_defs():
+    """A module appending a function whose name already exists
+    silently SHADOWS the original (the X187/X19 cohort_retention
+    incident) — scan every package module's AST for duplicate
+    top-level def names."""
+    import ast
+    import glob
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "sync_cosmos_db_spark")
+    bad = {}
+    for path in glob.glob(os.path.join(root, "**", "*.py"),
+                          recursive=True):
+        tree = ast.parse(open(path).read())
+        names = [n.name for n in tree.body
+                 if isinstance(n, ast.FunctionDef)]
+        dups = sorted({n for n in names if names.count(n) > 1})
+        if dups:
+            bad[os.path.relpath(path, root)] = dups
+    assert not bad, f"shadowed defs: {bad}"
