@@ -743,8 +743,7 @@ def retention_curve_fit(df: DataFrame, user_col: str = "user_id",
         F.count("*").cast("double").alias("n"),
         F.sum("__lnt").alias("sx"), F.sum("__lnr").alias("sy"),
         F.sum(F.col("__lnt") * F.col("__lnr")).alias("sxy"),
-        F.sum(F.col("__lnt") * F.col("__lnt")).alias("sxx")) \
-        .withColumn("__k", F.floor(F.col("n") * 0))
+        F.sum(F.col("__lnt") * F.col("__lnt")).alias("sxx"))
     b = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
          / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
     a = (F.col("sy") - b * F.col("sx")) / F.col("n")
@@ -753,11 +752,12 @@ def retention_curve_fit(df: DataFrame, user_col: str = "user_id",
     spark = df.sparkSession
     proj_t = spark.range(int(horizon) + 1,
                          int(horizon) + 1 + project_days) \
-        .select(F.col("id").alias("t_days")) \
-        .withColumn("__k", F.floor(F.col("t_days") * 0))
+        .select(F.col("id").alias("t_days"))
     p = 10 ** round_digits
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
-    proj = (proj_t.join(F.broadcast(fit), "__k")
+    # project_days rows crossJoin the BROADCAST 1-row fit
+    # aggregate (the X73/X184 shape; allowlisted in test_plans)
+    proj = (proj_t.crossJoin(F.broadcast(fit))
             .select("t_days", F.lit("projected").alias("kind"),
                     fr(F.exp(a + b * F.log(
                         F.col("t_days").cast("double"))))

@@ -159,6 +159,9 @@ BNLJ_ALLOWED = {
     # X178: the |labels|²-row confusion table crossJoins the BROADCAST
     # single-row grand-total aggregate (the X73 shape).
     "cohens_kappa_events",
+    # X225: the project_days-row horizon grid crossJoins the
+    # BROADCAST single-row OLS-fit aggregate (the X73 shape).
+    "retention_fit_users",
 }
 
 
