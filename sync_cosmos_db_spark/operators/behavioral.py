@@ -802,3 +802,49 @@ def ltv_curve(df: DataFrame, user_col: str = "user_id",
         "cum_rev_per_user",
         F.floor(F.sum("rev_day").over(run) / F.lit(float(size))
                 * p + F.lit(0.5)) / p)
+
+
+def peak_concurrency(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """X233 — peak concurrency via a sweep line: each user's active
+    span per day ([first, last] event, end exclusive) becomes a +1
+    start point and a −1 end point; the running sum over the
+    day-partitioned (time, delta) order is the instantaneous
+    concurrency and its max is the day's peak — the capacity number
+    (how many sessions at once) that per-hour COUNTs structurally
+    cannot give, computed without any interval self-join.
+
+    Tie discipline: at an identical microsecond, ends sort BEFORE
+    starts (delta ascending), so back-to-back spans don't phantom-
+    overlap; the end point is ``last_event + 1 µs`` so a
+    single-event span still occupies its instant.  Equal (t, delta)
+    points are interchangeable — the running sum ascends through
+    them in any order, so the max is deterministic.
+
+    Scale shape: one (day, user) aggregate, a 2× explode to
+    endpoints, ONE day-partitioned sort window, one day reduce.
+    Cross-midnight spans are split by the day collapse (stated —
+    the grain is the contract).  Returns
+    ``(day, n_sessions, peak_concurrency)``.
+    """
+    spans = (df.groupBy(F.to_date(ts_col).alias("day"),
+                        F.col(user_col).alias("u"))
+             .agg(F.min(F.unix_micros(ts_col)).alias("__s"),
+                  (F.max(F.unix_micros(ts_col)) + 1).alias("__e")))
+    pts = spans.select(
+        "day",
+        F.explode(F.array(
+            F.struct(F.col("__s").alias("t"),
+                     F.lit(1).alias("delta")),
+            F.struct(F.col("__e").alias("t"),
+                     F.lit(-1).alias("delta")))).alias("p")) \
+        .select("day", F.col("p.t").alias("t"),
+                F.col("p.delta").alias("delta"))
+    w = (W.partitionBy("day").orderBy("t", "delta")
+         .rowsBetween(W.unboundedPreceding, 0))
+    run = F.sum("delta").over(w)
+    return (pts.withColumn("__run", run)
+            .groupBy("day")
+            .agg((F.count("*") / 2).cast("long").alias("n_sessions"),
+                 F.max("__run").cast("long")
+                 .alias("peak_concurrency")))

@@ -625,3 +625,43 @@ def seasonal_index_monthly(df: DataFrame, ts_col: str,
         "month_of_year", "n_obs",
         (F.floor(F.col("__idx") / F.avg("__idx").over(full) * p
                  + F.lit(0.5)) / p).alias("seasonal_index"))
+
+
+def rolling_robust_z(daily: DataFrame, group_col: str, day_col: str,
+                     value_col: str, window_days: int = 28,
+                     min_obs: int = 10,
+                     round_digits: int = 4) -> DataFrame:
+    """X234 — rolling ROBUST z-score anomaly tagging: each day's
+    value against the trailing window's median and IQR
+    (``z = (x − med) / (IQR / 1.349)``, the normal-consistent IQR
+    scale) — the outlier-immune sibling of X72's EWMA mean/σ
+    control limits: one wild day inflates a trailing σ and masks
+    the next anomaly; the IQR barely moves.
+
+    Scale shape: three frame-quantiles (p25/p50/p75 of the SAME
+    RANGE frame on the rebased integer day index — quantiles of the
+    frame's values, which IS window-expressible, unlike a frame-MAD
+    whose deviations depend on the current row) over the
+    period-collapsed O(days) series.  Frames holding fewer than
+    ``min_obs`` days or a zero IQR report NULL.  Returns
+    ``(group, day, value, robust_z, is_anomaly)``.
+    """
+    x = F.datediff(F.col(day_col),
+                   F.to_date(F.lit("1992-01-01"))).cast("long")
+    d = daily.select(F.col(group_col), F.col(day_col),
+                     x.alias("__x"), F.col(value_col).alias("__y"))
+    w = (W.partitionBy(group_col).orderBy("__x")
+         .rangeBetween(-(window_days - 1), 0))
+    d = (d.withColumn("__n", F.count("*").over(w))
+         .withColumn("__med", F.percentile("__y", F.lit(0.5)).over(w))
+         .withColumn("__p25", F.percentile("__y", F.lit(0.25)).over(w))
+         .withColumn("__p75", F.percentile("__y", F.lit(0.75)).over(w)))
+    iqr = F.col("__p75") - F.col("__p25")
+    z = (F.col("__y") - F.col("__med")) / (iqr / 1.349)
+    ok = (F.col("__n") >= min_obs) & (iqr > 0)
+    p = 10 ** round_digits
+    return d.select(
+        F.col(group_col), F.col(day_col),
+        F.col("__y").alias(value_col),
+        F.when(ok, F.floor(z * p + F.lit(0.5)) / p).alias("robust_z"),
+        F.when(ok, F.abs(z) > 3).alias("is_anomaly"))
