@@ -1061,3 +1061,48 @@ def pps_systematic_sample(df: DataFrame, key_col: str,
             .filter(F.col("n_picks") > 0)
             .select(F.col("__key").alias(key_col),
                     F.col("__c").alias("weight_cents"), "n_picks"))
+
+
+def aggregate_annotations(ann: DataFrame, item_col: str,
+                          annotator_col: str, label_col: str,
+                          round_digits: int = 4) -> DataFrame:
+    """X238 — gold-label aggregation from multiple annotators with
+    an explicit tie policy: per item, the strict-majority binary
+    label (ties → NULL, counted, never silently broken — a tie is
+    a routing decision for a human adjudicator, not a coin flip),
+    then each annotator's agreement rate against the decided gold —
+    the labeling-ops view beside X178's pairwise chance-corrected
+    kappa (kappa says whether annotators agree; this says who to
+    trust and how much gold survives).
+
+    Scale shape: one item-keyed vote aggregate, one item-keyed join
+    back (same partitioning), one annotator reduce.  Returns
+    ``(annotator, n_decided, n_agree, agreement_rate)`` plus one
+    ``__ties__`` row carrying the undecided-item count.
+    """
+    votes = (ann.groupBy(F.col(item_col))
+             .agg(F.count("*").alias("__nv"),
+                  F.sum(F.col(label_col).cast("long")).alias("__s")))
+    maj = votes.withColumn(
+        "__gold",
+        F.when(F.col("__s") * 2 > F.col("__nv"), F.lit(1))
+        .when(F.col("__s") * 2 < F.col("__nv"), F.lit(0)))
+    j = ann.join(maj, item_col)
+    p = 10 ** round_digits
+    per_ann = (j.filter(F.col("__gold").isNotNull())
+               .groupBy(F.col(annotator_col).alias("annotator"))
+               .agg(F.count("*").cast("long").alias("n_decided"),
+                    F.sum((F.col(label_col).cast("long")
+                           == F.col("__gold")).cast("long"))
+                    .cast("long").alias("n_agree")))
+    per_ann = per_ann.withColumn(
+        "agreement_rate",
+        F.floor(F.col("n_agree") / F.col("n_decided") * p
+                + F.lit(0.5)) / p)
+    ties = maj.agg(
+        F.lit("__ties__").alias("annotator"),
+        F.sum(F.col("__gold").isNull().cast("long")).cast("long")
+        .alias("n_decided"),
+        F.lit(0).cast("long").alias("n_agree"),
+        F.lit(None).cast("double").alias("agreement_rate"))
+    return per_ann.unionByName(ties)

@@ -238,3 +238,43 @@ def candidate_key_audit(df: DataFrame,
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def header_detail_reconciliation(header: DataFrame, detail: DataFrame,
+                                 key_col: str, header_amt: str,
+                                 detail_amt: str, group_col: str,
+                                 tol_pct: float = 1.0,
+                                 round_digits: int = 4) -> DataFrame:
+    """X236 — header/detail reconciliation: per group, how well the
+    header table's amount agrees with the sum of its detail rows —
+    match rate within a declared tolerance, the median
+    header/detail ratio (a SYSTEMATIC ratio ≠ 1 means a formula
+    mismatch like tax/discount, not noise), and the p90 absolute
+    percentage error — the cross-TABLE twin of X76's within-table
+    FD audit, and the first query any finance closing process runs.
+
+    Scale shape: one key-keyed detail aggregate + one key-keyed
+    join (same partitioning), then a group reduce with exact
+    percentiles over the O(group-size) ratio column.  Headers with
+    no detail rows are excluded and counted (stated in the output).
+    Returns ``(group, n_matched_rows, n_no_detail, n_within_tol,
+    median_ratio, p90_abs_pct_err)``.
+    """
+    d = (detail.groupBy(F.col(key_col))
+         .agg(F.sum(detail_amt).alias("__ds")))
+    j = header.join(d, key_col, "left")
+    ratio = F.col(header_amt) / F.col("__ds")
+    err = F.abs(F.col(header_amt) - F.col("__ds")) \
+        / F.col(header_amt) * 100
+    p = 10 ** round_digits
+    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    return (j.groupBy(F.col(group_col))
+            .agg(F.count("__ds").cast("long").alias("n_matched_rows"),
+                 F.sum(F.col("__ds").isNull().cast("long"))
+                 .cast("long").alias("n_no_detail"),
+                 F.sum((err <= tol_pct).cast("long")).cast("long")
+                 .alias("n_within_tol"),
+                 fr(F.percentile(ratio, F.lit(0.5)))
+                 .alias("median_ratio"),
+                 fr(F.percentile(err, F.lit(0.9)))
+                 .alias("p90_abs_pct_err")))
