@@ -848,3 +848,39 @@ def peak_concurrency(df: DataFrame, user_col: str = "user_id",
             .agg((F.count("*") / 2).cast("long").alias("n_sessions"),
                  F.max("__run").cast("long")
                  .alias("peak_concurrency")))
+
+
+def activity_streaks(df: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """X241 — consecutive-active-day streaks per user by
+    gaps-and-islands: distinct active days minus a per-user row
+    number collapse each consecutive run onto one anchor, and the
+    runs aggregate to longest / count / final streak — the
+    engagement metric (Duolingo's whole retention model) that DAU
+    and X85's rolling actives can't see: the SAME 10 active days
+    mean a different user at streak 10 vs 10 scattered singletons.
+
+    Scale shape: one user-keyed distinct, one user-keyed
+    ``row_number`` window on the SAME partitioning, one
+    (user, anchor) aggregate, one user reduce — a single exchange
+    end to end.  The final streak is elected by max-anchor struct,
+    deterministically.  Returns
+    ``(user, n_active_days, n_streaks, longest_streak,
+    final_streak)``.
+    """
+    days = (df.select(F.col(user_col).alias("u"),
+                      F.to_date(ts_col).alias("d"))
+            .distinct())
+    w = W.partitionBy("u").orderBy("d")
+    anch = (days.withColumn(
+        "__a", F.date_sub("d", F.row_number().over(w))))
+    runs = (anch.groupBy("u", "__a")
+            .agg(F.count("*").cast("long").alias("__len"),
+                 F.max("d").alias("__end")))
+    return (runs.groupBy(F.col("u").alias(user_col))
+            .agg(F.sum("__len").cast("long").alias("n_active_days"),
+                 F.count("*").cast("long").alias("n_streaks"),
+                 F.max("__len").cast("long").alias("longest_streak"),
+                 F.max(F.struct(F.col("__end").alias("e"),
+                                F.col("__len").alias("l")))["l"]
+                 .cast("long").alias("final_streak")))
