@@ -429,3 +429,40 @@ def mean_pool_embeddings(df, group_col: str, vec_col: str,
                     F.when(F.col("__norm") > 0,
                            fr(F.col("p") / F.col("__norm")))
                     .alias("pooled_renorm")))
+
+
+def nearest_centroid_eval(df, vec_col: str = "embedding",
+                          label_col: str = "label",
+                          id_col: str = "vec_id"):
+    """X248 — nearest-centroid classification eval on labeled
+    embeddings: per-label mean centroids (the X224 pooling), each
+    vector assigned to its nearest centroid by squared L2, and the
+    (true, predicted) confusion matrix — the five-minute answer to
+    "do these embeddings separate the labels at all", run before
+    anyone trains a probe.
+
+    Scale shape: centroids come from one (label, dim) average; the
+    distance computation joins the exploded vectors to the
+    ≤|labels|·dim centroid table ON THE DIM KEY (fan-out |labels|
+    per (row, dim) — labels are small by contract), reduces to
+    (vector, label) distances, and elects the argmin with the
+    (distance, label) struct-min pattern.  No vector is collected;
+    ties break to the lower label deterministically.  Returns
+    ``(true_label, pred_label, n)``.
+    """
+    ex = df.select(F.col(id_col).alias("vid"),
+                   F.col(label_col).alias("tl"),
+                   F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    cent = (ex.groupBy(F.col("tl").alias("cl"), "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("c")))
+    d2 = (ex.join(cent, "dim")
+          .groupBy("vid", "tl", "cl")
+          .agg(F.sum((F.col("x") - F.col("c"))
+                     * (F.col("x") - F.col("c"))).alias("d2")))
+    pick = (d2.groupBy("vid", "tl")
+            .agg(F.min(F.struct(F.col("d2").alias("d"),
+                                F.col("cl").alias("l")))["l"]
+                 .alias("pred")))
+    return (pick.groupBy(F.col("tl").alias("true_label"),
+                         F.col("pred").alias("pred_label"))
+            .agg(F.count("*").cast("long").alias("n")))

@@ -423,6 +423,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r7r  # noqa: F401
     from sync_cosmos_db_spark import queries_r7s  # noqa: F401
     from sync_cosmos_db_spark import queries_r7t  # noqa: F401
+    from sync_cosmos_db_spark import queries_r7u  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -465,6 +466,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r7r  # noqa: F401
     from sync_cosmos_db_spark import queries_r7s  # noqa: F401
     from sync_cosmos_db_spark import queries_r7t  # noqa: F401
+    from sync_cosmos_db_spark import queries_r7u  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 
