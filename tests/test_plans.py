@@ -159,6 +159,9 @@ BNLJ_ALLOWED = {
     # X178: the |labels|²-row confusion table crossJoins the BROADCAST
     # single-row grand-total aggregate (the X73 shape).
     "cohens_kappa_events",
+    # X253: the |metrics|-row stats table crossJoins the BROADCAST
+    # 4-row arm-size grid — constant-size both sides.
+    "mde_table_events",
     # X246: the fact table range-joins a BROADCAST 4-row
     # intervalized effective-dated rate table — N×4, linear.
     "effective_rate_revenue",
