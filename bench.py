@@ -90,8 +90,21 @@ HEADLINE_LLM = [
     # (both run REAL 4-micro-batch streams per invocation), and the
     # X160 streaming rate limiter.
     "quantile_normalize_doc_lengths",
-    "stream_cdc_apply_orders",
     "stream_cdc_apply_orders_batchmerge",
+    # Round-8 (round-7 verdict item 2): the X160 foreachBatch scale
+    # twin joins the suite; its state-store sibling moves to SEMANTICS.
+    "stream_rate_limit_hourly_batchmerge",
+]
+
+# Semantics demonstrators (round-7 verdict item 5): the two
+# applyInPandasWithState state-store forms are kept oracle-checked as
+# the LIVE-state twins of their foreachBatch scale forms, but they are
+# per-key-Python-dispatch-bound by construction (~20k keys/s/batch,
+# SCALING.md) — their cost is the state-store semantics demo, not a
+# throughput path, so they get their own suite total and the LLM-suite
+# number tracks scale paths only.
+SEMANTICS = [
+    "stream_cdc_apply_orders",
     "stream_rate_limit_hourly",
 ]
 
@@ -152,6 +165,7 @@ def main() -> int:
 
     timings, best_of, cold = run_suite(HEADLINE)
     llm_timings, llm_best_of, llm_cold = run_suite(HEADLINE_LLM)
+    sem_timings, sem_best_of, sem_cold = run_suite(SEMANTICS)
 
     total = round(sum(timings.values()), 3)
     # Key order matters (round-6 verdict item 6): the driver records
@@ -164,8 +178,12 @@ def main() -> int:
         "queries_best_of_3": best_of,
         "llm_queries_cold_run": llm_cold,
         "llm_queries_best_of_3": llm_best_of,
+        "semantics_queries_cold_run": sem_cold,
+        "semantics_queries_best_of_3": sem_best_of,
+        "semantics_queries": sem_timings,
         "llm_queries": llm_timings,
         "queries": timings,
+        "semantics_suite_sec": round(sum(sem_timings.values()), 3),
         "llm_best_of_3_total": round(sum(llm_best_of.values()), 3),
         "headline_llm_suite_sec": round(sum(llm_timings.values()), 3),
         "best_of_3_total": round(sum(best_of.values()), 3),

@@ -425,6 +425,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r7t  # noqa: F401
     from sync_cosmos_db_spark import queries_r7u  # noqa: F401
     from sync_cosmos_db_spark import queries_r7v  # noqa: F401
+    from sync_cosmos_db_spark import queries_r8  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -469,6 +470,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r7t  # noqa: F401
     from sync_cosmos_db_spark import queries_r7u  # noqa: F401
     from sync_cosmos_db_spark import queries_r7v  # noqa: F401
+    from sync_cosmos_db_spark import queries_r8  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 

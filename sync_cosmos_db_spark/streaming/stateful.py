@@ -162,6 +162,88 @@ def run_changelog_compaction(changes: DataFrame, state_dir: str,
     return spark.read.parquet(latest["path"])
 
 
+def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
+                              limit: int = 5) -> DataFrame:
+    """X160 SCALE form (round-7 verdict item 2) — per-key rate limiting
+    via ``foreachBatch`` + a keys-sized counter table, the mirror of
+    ``run_changelog_compaction``: each micro-batch is reduced to ONE
+    row per (user, hour) key JVM-side (``groupBy().count()`` with
+    map-side partial aggregation), full-outer-joined against the
+    previous keys-sized admitted-counter table, and the merged
+    counters are written as a new parquet version the next batch
+    reads.  Admission COUNTS depend only on sizes — the first
+    ``max(limit - admitted_so_far, 0)`` events of a key's batch are
+    admitted — so the whole batch step is one aggregate + one
+    keys-sized join, ZERO per-key Python dispatch.  Semantically
+    identical to ``rate_limit_stream`` (the ``applyInPandasWithState``
+    live form, measured ~20k keys/s/batch because every pandas group
+    crosses the Python boundary individually); same oracle, the X131
+    batch row_number SQL.
+
+    At pipeline cardinality the counter table is a bucketed table or
+    Delta/Iceberg MERGE target co-located on the key; dormant windows
+    age out of it with a watermark filter instead of a state-store
+    timeout.  Returns the per-window admission totals
+    ``(window_start, n_events, n_admitted, n_dropped)``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    versions: list[str] = []
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = (batch_df
+                 .groupBy("user_id",
+                          F.unix_timestamp(
+                              F.date_trunc("hour", F.col("ts")))
+                          .alias("window_start"))
+                 .agg(F.count(F.lit(1)).alias("n_batch")))
+        if versions:
+            prev = (spark.read.parquet(versions[-1])
+                    .select("user_id", "window_start",
+                            F.col("n_admitted_total").alias("n_prev")))
+            merged = keyed.join(prev, ["user_id", "window_start"],
+                                "full_outer")
+        else:
+            merged = keyed.withColumn("n_prev", F.lit(None).cast("long"))
+        merged = (merged
+                  .withColumn("n_batch",
+                              F.coalesce("n_batch", F.lit(0)))
+                  .withColumn("n_prev", F.coalesce("n_prev", F.lit(0)))
+                  .withColumn(
+                      "n_admitted_batch",
+                      F.least(F.greatest(F.lit(limit) - F.col("n_prev"),
+                                         F.lit(0)),
+                              F.col("n_batch")))
+                  .withColumn("n_admitted_total",
+                              F.col("n_prev") + F.col("n_admitted_batch"))
+                  .select("user_id", "window_start", "n_batch",
+                          "n_admitted_batch", "n_admitted_total"))
+        out = os.path.join(state_dir, f"v{batch_id:020d}")
+        merged.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (events_stream.writeStream.foreachBatch(merge_batch)
+         .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark = events_stream.sparkSession
+    assert versions, "stream produced no batches"
+    # Each version row carries THAT batch's (n_batch, n_admitted_batch)
+    # partials (0 for keys the batch didn't touch), so summing the
+    # partials across versions reproduces the per-window totals.
+    emissions = spark.read.parquet(*versions)
+    return (emissions.groupBy("window_start")
+            .agg(F.sum("n_batch").cast("long").alias("n_events"),
+                 F.sum("n_admitted_batch").cast("long")
+                 .alias("n_admitted"),
+                 (F.sum("n_batch") - F.sum("n_admitted_batch"))
+                 .cast("long").alias("n_dropped"))
+            .filter(F.col("n_events") > 0))
+
+
 _RL_OUT_SCHEMA = ("user_id bigint, window_start bigint, "
                   "n_batch bigint, n_admitted_batch bigint")
 _RL_STATE_SCHEMA = "n_seen bigint, n_admitted bigint"

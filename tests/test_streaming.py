@@ -299,3 +299,61 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     # click and is far inside the final watermark -> NULL row emitted
     assert (2, 1) in got
     assert (3, None) in got
+
+
+def test_rate_limit_batchmerge_carries_counters_across_batches(
+        spark, tmp_path):
+    """X160 scale form (round-7 verdict item 2): the foreachBatch
+    counter merge must reproduce the live state-store semantics — a
+    (user, hour) key whose admission budget is exhausted in batch 1
+    admits nothing in batch 2, and a fresh key admits up to the limit
+    regardless of batch position."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from sync_cosmos_db_spark.streaming.stateful import (
+        run_rate_limit_batchmerge,
+    )
+
+    d = tmp_path / "rl_src"
+    d.mkdir()
+    base = pd.Timestamp("2024-03-01 10:00:00")
+    # batch 1: user 1 sends 7 events in hour H (limit 5 -> admit 5),
+    #          user 2 sends 2 (admit 2)
+    b1 = pd.DataFrame({
+        "event_id": range(9),
+        "ts": [base + pd.Timedelta(seconds=i) for i in range(9)],
+        "user_id": [1] * 7 + [2] * 2,
+        "value": [1.0] * 9,
+    })
+    # batch 2: user 1 sends 4 more in the SAME hour (admit 0 — budget
+    # spent), user 2 sends 4 (admit 3 -> total 5), user 3 sends 6 in a
+    # NEW hour (admit 5)
+    b2 = pd.DataFrame({
+        "event_id": range(100, 114),
+        "ts": ([base + pd.Timedelta(minutes=30, seconds=i)
+                for i in range(8)]
+               + [base + pd.Timedelta(hours=2, seconds=i)
+                  for i in range(6)]),
+        "user_id": [1] * 4 + [2] * 4 + [3] * 6,
+        "value": [1.0] * 14,
+    })
+    for i, b in enumerate((b1, b2)):
+        p = d / f"b{i}.parquet"
+        b.assign(ts=b["ts"].astype("datetime64[us]")).to_parquet(str(p))
+        os.utime(str(p), (1_000_000_000 + i * 1000,) * 2)
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "value double")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = run_rate_limit_batchmerge(
+        stream, str(tmp_path / "rl_state"), limit=5)
+    got = {int(r.window_start): (r.n_events, r.n_admitted, r.n_dropped)
+           for r in out.collect()}
+    h0 = int(base.timestamp())
+    h2 = int((base + pd.Timedelta(hours=2)).timestamp())
+    # hour H: 7+2 (b1) + 4+4 (b2) = 17 events; admitted 5+2 (b1) +
+    # 0+3 (b2) = 10
+    assert got[h0] == (17, 10, 7)
+    # hour H+2: 6 events, 5 admitted
+    assert got[h2] == (6, 5, 1)
