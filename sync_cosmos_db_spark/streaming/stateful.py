@@ -294,3 +294,80 @@ def rate_limit_stream(events: DataFrame, limit: int = 5) -> DataFrame:
     return keyed.groupBy("user_id", "__win").applyInPandasWithState(
         update, _RL_OUT_SCHEMA, _RL_STATE_SCHEMA, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def transform_with_state_available() -> bool:
+    """Capability probe (round-7 verdict item 7) for Spark 4's
+    ``transformWithStateInPandas`` — the state-store engine that
+    supersedes ``applyInPandasWithState`` (typed value/list/map state,
+    timers, TTL).  Its Python↔JVM state-server protocol is
+    protobuf-based, and this sandbox's protobuf install is broken
+    (``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` on first use,
+    root cause ``import google.protobuf.descriptor``) — so the TWS
+    forms and their parity tests gate on this probe: SKIPPED here,
+    live the moment the environment's protobuf works."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except Exception:
+        return False
+    try:
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
+            StatefulProcessor,
+        )
+    except Exception:
+        return False
+    return True
+
+
+def rate_limit_stream_tws(events: DataFrame, limit: int = 5) -> DataFrame:
+    """X160 on Spark 4's ``transformWithStateInPandas`` — the same
+    per-(user, hour) admission counters as ``rate_limit_stream``, held
+    in a typed ``ValueState`` instead of the legacy flat state row.
+    Output schema and semantics are identical, so the parity test can
+    assert TWS == live == batchmerge totals.  Gated behind
+    ``transform_with_state_available()`` (see probe docstring); still
+    per-key Python dispatch, so ``run_rate_limit_batchmerge`` remains
+    the scale path regardless of engine."""
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: protobuf import "
+            "broken in this environment (see "
+            "transform_with_state_available docstring / SCALING.md)")
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RateLimitProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "counters", "n_seen bigint, n_admitted bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            got = self._state.get() if self._state.exists() else None
+            n_seen, n_adm = got if got is not None else (0, 0)
+            n_batch = 0
+            adm_batch = 0
+            for pdf in rows:
+                c = len(pdf)
+                take = min(max(limit - n_adm, 0), c)
+                n_seen += c
+                n_batch += c
+                n_adm += take
+                adm_batch += take
+            self._state.update((n_seen, n_adm))
+            yield _pd.DataFrame({
+                "user_id": [key[0]], "window_start": [key[1]],
+                "n_batch": [n_batch], "n_admitted_batch": [adm_batch]})
+
+        def close(self) -> None:
+            pass
+
+    keyed = events.withColumn(
+        "__win", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+    return keyed.groupBy("user_id", "__win").transformWithStateInPandas(
+        RateLimitProcessor(), _RL_OUT_SCHEMA, "Update", "None")

@@ -84,3 +84,69 @@ def test_salted_join_rejects_outer(spark, sf_dir):
         F.col("c_custkey").alias("o_custkey"))
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(orders, cust, ["o_custkey"], how="full")
+
+
+def test_classify_actions_hot_pk_aqe_skew_split(spark):
+    """Round-7 verdict item 4 — skew resilience for the flagship
+    migration join: under an adversarial hot pk (one key owning 20% of
+    source rows), AQE's OptimizeSkewedJoin must split the oversized
+    shuffle partition (``skew=true`` in the FINAL adaptive plan) and
+    the classification must be unchanged.  Thresholds are lowered to
+    make the 1M-row fixture cross the skew bar the way a 100 TB hot
+    partition crosses the 256 MB default; at cluster scale the split
+    bounds the straggler task to the advisory size instead of one
+    executor carrying 20% of the table.  Measured at 10M rows in
+    SCALING.md (identical counts, split engages without
+    forceOptimizeSkewedJoin)."""
+    from sync_cosmos_db_spark.migration import classify_actions
+
+    old = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.shuffle.partitions")}
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "256KB")
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "128KB")
+        # the test session defaults to 4 shuffle partitions, where the
+        # hot partition is only ~2.2x the median; a production shuffle
+        # has enough partitions that one hot KEY dominates its
+        # partition — replicate that (the SCALING.md 10M-row run used
+        # the same 32-partition shape with the default 5x factor)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        # force SMJ: broadcasting the 1M-key target would bypass the
+        # shuffle whose skew we're pinning
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        n, hot = 1_000_000, 200_000
+        src = spark.range(n).select(
+            F.when(F.col("id") < hot, F.lit(0))
+            .otherwise(F.col("id")).alias("pk"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"))
+        tgt = (spark.range(n)
+               .filter((F.col("id") >= hot) | (F.col("id") == 0))
+               .select(F.col("id").alias("pk"),
+                       F.when(F.col("id") % 2 == 0, F.lit("stale"))
+                       .otherwise(F.sha2(F.col("id").cast("string"), 256))
+                       .alias("payload")))
+        agg = (classify_actions(src, tgt, keys=["pk"])
+               .groupBy("action").count())
+        counts = {r["action"]: r["count"] for r in agg.collect()}
+        # hot key: target row pk=0 is 'stale' -> 200k updates; evens
+        # among the unique keys are stale too
+        assert counts == {"update": 600_000, "skip": 400_000}
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            agg._jdf.queryExecution(), "formatted")
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "AQE did not split the hot-pk partition:\n" + plan[:2000])
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
