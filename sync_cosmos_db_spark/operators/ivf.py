@@ -269,11 +269,45 @@ def _probe_score_rank(indexed: DataFrame, queries: DataFrame, cents,
     probes = probe_clusters(queries, cents, nprobe, id_col, vec_col,
                             query_id_col)
     cand = (indexed.join(probes, "cluster_id")
-            .filter(F.col(query_id_col) != F.col("neighbor_id")))
-    scored = cand.withColumn(
-        "__cs",
-        F.floor(cosine(F.col("__qvec"), F.col("__cvec")) * 1e6 + F.lit(0.5))
-        / 1e6)
+            .filter(F.col(query_id_col) != F.col("neighbor_id"))
+            .select(query_id_col, "neighbor_id", "__qvec", "__cvec"))
+
+    # Round-8 rewrite (round-7 verdict item 6): the HOF cosine
+    # (aggregate ∘ zip_with) is CodegenFallback — interpreted per array
+    # element — and was ~70% of the fullprobe runtime.  Score each
+    # Arrow batch of joined candidates with one numpy einsum instead
+    # (same floor-1e6-before-rank convention as
+    # similarity.brute_force_topk_vectorized) and keep only the LOCAL
+    # top-k per query per batch: the global top-k under
+    # (score desc, id asc) is the merge of per-batch top-k under that
+    # order, so the ranking window reads ≤ k·batches rows per query
+    # instead of every candidate pair.
+    out_schema = f"{query_id_col} long, neighbor_id long, __cs double"
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _np.asarray(list(pdf["__qvec"]), dtype=_np.float64)
+            Cv = _np.asarray(list(pdf["__cvec"]), dtype=_np.float64)
+            qn = _np.linalg.norm(Q, axis=1)
+            qn[qn == 0] = 1.0
+            cn = _np.linalg.norm(Cv, axis=1)
+            cn[cn == 0] = 1.0
+            s = _np.einsum("ij,ij->i", Q, Cv) / (qn * cn)
+            s = _np.floor(s * 1e6 + 0.5) / 1e6
+            df = _pd.DataFrame({
+                query_id_col: pdf[query_id_col].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "__cs": s})
+            yield (df.sort_values([query_id_col, "__cs", "neighbor_id"],
+                                  ascending=[True, False, True])
+                   .groupby(query_id_col, sort=False).head(k))
+
+    scored = cand.mapInPandas(score, out_schema)
     w = W.partitionBy(query_id_col).orderBy(F.desc("__cs"),
                                             F.asc("neighbor_id"))
     return (
