@@ -1,0 +1,59 @@
+"""Registry-wide oracle-parity sweep (round-7 verdict item 8): the
+judge-style DuckDB compare over EVERY oracle-bearing registered query in
+one pytest session, chunked so (a) a failure in one chunk still reports
+every failing query in that chunk, and (b) pytest-xdist workers can
+split the chunks.  Each chunk asserts a runtime budget — the whole sweep
+must stay under ~20 minutes on the CI shape (local[4], sf0.001; override
+the data dir with SPARK_GRAFT_TEST_SF_DIR to sweep at sf0.01 the way the
+driver does).
+
+This file is the ONE place the full per-query sweep runs;
+tests/test_oracle.py keeps the structural invariants (sweep-window
+computation, entry smoke, README counts) and the rows-only queries'
+execution smoke.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from tests.oracle_utils import compare, duckdb_connect
+
+import __spark_entry__ as entrymod
+
+N_CHUNKS = 4
+CHUNK_BUDGET_SEC = 300.0
+
+_Q = entrymod.queries()
+_O = entrymod.oracle_sql()
+NAMES = sorted(_O)
+CHUNKS = [NAMES[i::N_CHUNKS] for i in range(N_CHUNKS)]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_connect(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("chunk_id", range(N_CHUNKS))
+def test_oracle_sweep_chunk(spark, sf_dir, con, chunk_id):
+    t0 = time.monotonic()
+    failures: list[str] = []
+    for name in CHUNKS[chunk_id]:
+        try:
+            compare(_Q[name](spark, sf_dir), con, _O[name], name=name)
+        except AssertionError as exc:
+            failures.append(f"{name}: {str(exc)[:400]}")
+    elapsed = time.monotonic() - t0
+    assert not failures, (
+        f"chunk {chunk_id}: {len(failures)}/{len(CHUNKS[chunk_id])} "
+        "queries diverged from their DuckDB oracles:\n"
+        + "\n".join(failures))
+    assert elapsed < CHUNK_BUDGET_SEC, (
+        f"chunk {chunk_id} took {elapsed:.0f}s (> {CHUNK_BUDGET_SEC:.0f}s "
+        f"budget) for {len(CHUNKS[chunk_id])} queries — the full sweep "
+        "must stay under ~20 min; profile the slowest members")

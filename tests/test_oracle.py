@@ -1,39 +1,22 @@
-"""Every registered query with an oracle must hash-match DuckDB —
-the local replica of the driver's CORRECTNESS gate."""
+"""Structural invariants of the driver-facing registry (the full
+per-query DuckDB sweep lives in tests/test_all_oracle_sweep.py —
+round-7 verdict item 8 made that the one budgeted place it runs)."""
 
 from __future__ import annotations
-
-import pytest
-
-from tests.oracle_utils import compare, duckdb_connect
 
 import __spark_entry__ as entrymod
 
 
-def _cases():
-    q = entrymod.queries()
-    o = entrymod.oracle_sql()
-    return sorted(o), q, o
-
-
-NAMES, _Q, _O = _cases()
-
-
-@pytest.fixture(scope="module")
-def con(sf_dir):
-    c = duckdb_connect(sf_dir)
-    yield c
-    c.close()
-
-
-@pytest.mark.parametrize("name", NAMES)
-def test_oracle_match(spark, sf_dir, con, name):
-    df = _Q[name](spark, sf_dir)
-    compare(df, con, _O[name], name=name)
-
-
-def test_all_queries_return_rows(spark, sf_dir):
+def test_rows_only_queries_execute(spark, sf_dir):
+    """The handful of registered queries WITHOUT an oracle (approximate
+    LSH variants, sketches — each has a hash-checked exact twin or a
+    pytest recall test) still must build and execute; the oracle-bearing
+    rest is executed by the sweep in test_all_oracle_sweep.py, so
+    running them again here would double the suite's cost for nothing."""
+    oracles = entrymod.oracle_sql()
     for name, fn in entrymod.queries().items():
+        if name in oracles:
+            continue
         df = fn(spark, sf_dir)
         assert df.columns, f"{name}: no columns"
         assert len(df.take(1)) >= 0
