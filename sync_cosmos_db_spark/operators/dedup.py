@@ -527,6 +527,49 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 # global index.  Reference has no dedup at all (SURVEY.md §2.3).
 # ---------------------------------------------------------------------------
 
+def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
+                      n: int) -> DataFrame:
+    """(id, start, length-``n`` gram) rows for every token position —
+    the shared front of the span-dedup pipeline.
+
+    Round-8 rewrite (round-7 verdict item 6): the old per-position
+    ``transform(slice ∘ concat_ws)`` gram builder is a higher-order
+    function — CodegenFallback, interpreted per position, O(len·n)
+    string copies per doc — and profiled at ~75% of the coverage
+    operator's runtime (2.8 s of 3.7 s at sf0.1).  Built here in one
+    Arrow-vectorized ``mapInPandas`` pass instead: NARROW (no exchange
+    added — the consumers' first shuffle stays the gram key, exactly
+    as before), one Python string join per gram, 5× faster warm.
+    Tokenization mirrors :func:`words` exactly (``re.split(r"\\s+")``,
+    empty tokens preserved)."""
+    id_type = next(f.dataType.simpleString()
+                   for f in df.schema.fields if f.name == id_col)
+    occ_schema = f"{id_col} {id_type}, s int, g string"
+
+    def build_grams(batches):
+        import re as _re
+
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = {id_col: [], "s": [], "g": []}
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                ws = _re.split(r"\s+", txt if txt is not None else "")
+                m = len(ws) - n + 1
+                if m <= 0:
+                    continue
+                rows[id_col].extend([did] * m)
+                rows["s"].extend(range(1, m + 1))
+                rows["g"].extend(" ".join(ws[i:i + n])
+                                 for i in range(m))
+            yield _pd.DataFrame(rows)
+
+    return df.select(id_col, text_col).mapInPandas(build_grams,
+                                                   occ_schema)
+
+
 def duplicated_span_coverage(df: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text",
                              n: int = 8,
@@ -573,42 +616,7 @@ def duplicated_span_coverage(df: DataFrame, id_col: str = "doc_id",
 
     w = words(text_col)
 
-    # Round-8 rewrite (round-7 verdict item 6): the old per-position
-    # ``transform(slice ∘ concat_ws)`` gram builder is a higher-order
-    # function — CodegenFallback, interpreted per position, O(len·n)
-    # string copies per doc — and profiled at ~75% of this operator's
-    # runtime (2.8 s of 3.7 s at sf0.1).  Build the (start, gram) rows
-    # in one Arrow-vectorized ``mapInPandas`` pass instead: NARROW (no
-    # exchange added — the first shuffle stays the gram-keyed window
-    # below, exactly as before), one Python string join per gram, 5×
-    # faster warm.  Tokenization mirrors :func:`words` exactly
-    # (``re.split(r"\\s+")``, empty tokens preserved).
-    id_type = next(f.dataType.simpleString()
-                   for f in df.schema.fields if f.name == id_col)
-    occ_schema = f"{id_col} {id_type}, s int, g string"
-    n_ = n
-
-    def build_grams(batches):
-        import re as _re
-
-        import pandas as _pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = {id_col: [], "s": [], "g": []}
-            for did, txt in zip(pdf[id_col], pdf[text_col]):
-                ws = _re.split(r"\s+", txt if txt is not None else "")
-                m = len(ws) - n_ + 1
-                if m <= 0:
-                    continue
-                rows[id_col].extend([did] * m)
-                rows["s"].extend(range(1, m + 1))
-                rows["g"].extend(" ".join(ws[i:i + n_])
-                                 for i in range(m))
-            yield _pd.DataFrame(rows)
-
-    occ = df.select(id_col, text_col).mapInPandas(build_grams, occ_schema)
+    occ = _gram_occurrences(df, id_col, text_col, n)
 
     wg = W.partitionBy("g")
     spans = (occ
@@ -656,14 +664,7 @@ def duplicated_span_oversized_grams(
     silently.  One aggregation on the same gram key the coverage
     pipeline shuffles on; no span expansion, so it is safe on
     arbitrarily skewed corpora."""
-    w = words(text_col)
-    starts = F.when(
-        F.size(w) >= n,
-        F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts,
-                        lambda i: F.concat_ws(" ", F.slice(w, i, n)))
-    return (df.select(F.col(id_col), F.explode(grams).alias("g"))
+    return (_gram_occurrences(df, id_col, text_col, n)
             .groupBy("g")
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.countDistinct(F.col(id_col)).alias("n_docs"))
