@@ -540,8 +540,12 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
     Arrow-vectorized ``mapInPandas`` pass instead: NARROW (no exchange
     added — the consumers' first shuffle stays the gram key, exactly
     as before), one Python string join per gram, 5× faster warm.
-    Tokenization mirrors :func:`words` exactly (``re.split(r"\\s+")``,
-    empty tokens preserved)."""
+    Tokenization mirrors :func:`words` exactly: Spark's ``split`` is
+    Java regex whose default ``\\s`` class is ASCII-only, so the Python
+    split uses ``flags=re.ASCII`` (Python's default ``\\s`` is
+    Unicode-aware and would split on U+00A0 etc., making
+    ``covered_tokens`` inconsistent with the ``F.size(words(...))``
+    token totals — advisor r8 finding)."""
     id_type = next(f.dataType.simpleString()
                    for f in df.schema.fields if f.name == id_col)
     occ_schema = f"{id_col} {id_type}, s int, g string"
@@ -556,7 +560,8 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
                 continue
             rows = {id_col: [], "s": [], "g": []}
             for did, txt in zip(pdf[id_col], pdf[text_col]):
-                ws = _re.split(r"\s+", txt if txt is not None else "")
+                ws = _re.split(r"\s+", txt if txt is not None else "",
+                               flags=_re.ASCII)
                 m = len(ws) - n + 1
                 if m <= 0:
                     continue

@@ -239,12 +239,16 @@ def stream_rate_limit_hourly(spark: SparkSession,
         (sliced.filter(F.col("slice") == i).drop("slice")
          .coalesce(1).write.mode("append").parquet(tmp))
         # force strictly increasing mtimes so the file source replays
-        # slices in event-time order regardless of write latency
+        # slices in event-time order regardless of write latency —
+        # stamping ONLY files not yet in the forced 1e9 range, so slice
+        # i's file alone gets 1e9+i·1000 (re-stamping everything would
+        # leave all files on the last stamp; advisor r8 finding)
         for f in os.listdir(tmp):
             if f.endswith(".parquet"):
                 full = os.path.join(tmp, f)
-                cur = os.stat(full).st_mtime
-                os.utime(full, (cur, 1_000_000_000 + i * 1000))
+                cur = os.stat(full)
+                if cur.st_mtime > 1_100_000_000:
+                    os.utime(full, (cur.st_atime, 1_000_000_000 + i * 1000))
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(tmp))
     emitted = run_stream_to_memory(

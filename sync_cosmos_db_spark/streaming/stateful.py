@@ -139,18 +139,23 @@ def run_changelog_compaction(changes: DataFrame, state_dir: str,
 
     from sync_cosmos_db_spark.operators.cdc import collapse_changelog
 
-    latest: dict[str, Any] = {"path": None}
+    # Keyed by batch_id (not "latest"): on a micro-batch RETRY the
+    # previous state must be the last version BEFORE this batch — a
+    # bare latest-pointer would hand the retry its own partial output,
+    # lazily reading the very path the overwrite is about to clobber.
+    versions: dict[int, str] = {}
 
     def merge_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
         compact = collapse_changelog(batch_df, keys, seq_col, op_col)
-        if latest["path"] is not None:
-            prev = spark.read.parquet(latest["path"])
+        prior = [versions[b] for b in sorted(versions) if b < batch_id]
+        if prior:
+            prev = spark.read.parquet(prior[-1])
             compact = collapse_changelog(
                 prev.unionByName(compact), keys, seq_col, op_col)
         out = os.path.join(state_dir, f"v{batch_id:020d}")
         compact.write.mode("overwrite").parquet(out)
-        latest["path"] = out
+        versions[batch_id] = out
 
     q = (changes.writeStream.foreachBatch(merge_batch)
          .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
@@ -158,8 +163,8 @@ def run_changelog_compaction(changes: DataFrame, state_dir: str,
          .start())
     q.awaitTermination()
     spark = changes.sparkSession
-    assert latest["path"] is not None, "stream produced no batches"
-    return spark.read.parquet(latest["path"])
+    assert versions, "stream produced no batches"
+    return spark.read.parquet(versions[max(versions)])
 
 
 def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
@@ -189,7 +194,12 @@ def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
 
     from pyspark.sql import functions as F
 
-    versions: list[str] = []
+    # Keyed by batch_id so a Structured-Streaming micro-batch RETRY is
+    # idempotent: the overwrite write already was, but a list-append
+    # would double-count that version's partials in the final
+    # read-all-versions sum, and ``versions[-1]`` would hand the retry
+    # its OWN partial output as "prev" (advisor r8 finding).
+    versions: dict[int, str] = {}
 
     def merge_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -199,8 +209,9 @@ def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
                               F.date_trunc("hour", F.col("ts")))
                           .alias("window_start"))
                  .agg(F.count(F.lit(1)).alias("n_batch")))
-        if versions:
-            prev = (spark.read.parquet(versions[-1])
+        prior = [versions[b] for b in sorted(versions) if b < batch_id]
+        if prior:
+            prev = (spark.read.parquet(prior[-1])
                     .select("user_id", "window_start",
                             F.col("n_admitted_total").alias("n_prev")))
             merged = keyed.join(prev, ["user_id", "window_start"],
@@ -222,7 +233,7 @@ def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
                           "n_admitted_batch", "n_admitted_total"))
         out = os.path.join(state_dir, f"v{batch_id:020d}")
         merged.write.mode("overwrite").parquet(out)
-        versions.append(out)
+        versions[batch_id] = out
 
     q = (events_stream.writeStream.foreachBatch(merge_batch)
          .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
@@ -234,7 +245,8 @@ def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
     # Each version row carries THAT batch's (n_batch, n_admitted_batch)
     # partials (0 for keys the batch didn't touch), so summing the
     # partials across versions reproduces the per-window totals.
-    emissions = spark.read.parquet(*versions)
+    emissions = spark.read.parquet(
+        *(versions[b] for b in sorted(versions)))
     return (emissions.groupBy("window_start")
             .agg(F.sum("n_batch").cast("long").alias("n_events"),
                  F.sum("n_admitted_batch").cast("long")

@@ -46,8 +46,12 @@ def test_oracle_sweep_chunk(spark, sf_dir, con, chunk_id):
     for name in CHUNKS[chunk_id]:
         try:
             compare(_Q[name](spark, sf_dir), con, _O[name], name=name)
-        except AssertionError as exc:
-            failures.append(f"{name}: {str(exc)[:400]}")
+        except Exception as exc:  # noqa: BLE001 — oracle mismatches AND
+            # execution errors (AnalysisException, Py4JJavaError) must
+            # both be COLLECTED, not abort the chunk mid-loop, so one
+            # run reports every failing query (advisor r8 finding).
+            failures.append(f"{name}: {type(exc).__name__}: "
+                            f"{str(exc)[:400]}")
     elapsed = time.monotonic() - t0
     assert not failures, (
         f"chunk {chunk_id}: {len(failures)}/{len(CHUNKS[chunk_id])} "

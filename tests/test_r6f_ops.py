@@ -122,8 +122,10 @@ def test_rate_limit_stream_counter_survives_batches(spark, tmp_path):
         for f in os.listdir(src):
             if f.endswith(".parquet"):
                 full = os.path.join(str(src), f)
-                cur = os.stat(full).st_mtime
-                os.utime(full, (cur, 1_000_000_000 + i * 1000))
+                cur = os.stat(full)
+                if cur.st_mtime > 1_100_000_000:
+                    os.utime(full, (cur.st_atime,
+                                    1_000_000_000 + i * 1000))
     stream = (spark.readStream.schema(schema)
               .option("maxFilesPerTrigger", 1).parquet(str(src)))
     emitted = run_stream_to_memory(
