@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
+
 
 def funnel_times(
     df: DataFrame,
@@ -254,7 +256,9 @@ def burstiness(df: DataFrame, key_col: str, ts_col: str,
     gaps = (df.withColumn("gap", t - F.lag(t).over(w))
             .filter(F.col("gap").isNotNull())
             .select(F.col(key_col), "gap"))
-    gaps = gaps.persist()
+    # scope-registered: the returned plan reads gaps twice (mean pass +
+    # variance pass); caller releases via cache_scope.release_persisted()
+    gaps = scoped_persist(gaps)
     mu = gaps.groupBy(key_col).agg(
         F.count("*").cast("long").alias("n_gaps"),
         (F.floor(F.avg("gap") * 100 + F.lit(0.5)) / 100).alias("mu"))

@@ -31,6 +31,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
+from sync_cosmos_db_spark.cache_scope import scoped_local_checkpoint
+
 
 def hash_bucket(col: Column | str, n_buckets: int = 100,
                 salt: str = "split") -> Column:
@@ -162,7 +165,9 @@ def mixture_sample(
             .cast("long").alias("__keep"))
         # materialize the ≤|targets|-row threshold table and cut its
         # lineage so the returned plan reads it, not the counts subplan
-        thr = thr.localCheckpoint(eager=True)
+        # (scope-registered: checkpoint blocks are released by
+        # cache_scope.release_persisted() once the result is consumed)
+        thr = scoped_local_checkpoint(thr)
     finally:
         live.unpersist()
     b = hash_bucket(id_col, granularity, salt)
@@ -610,8 +615,8 @@ def oversample_to_target(
     cnts = df.groupBy(domain_col).agg(F.count("*").alias("__c"))
     # materialize the per-domain plan (≤ |domains in data| rows) so the
     # returned query doesn't recompute the counts subplan
-    plan = (cnts.join(F.broadcast(tdf), domain_col, "left")
-            .localCheckpoint(eager=True))
+    plan = scoped_local_checkpoint(
+        cnts.join(F.broadcast(tdf), domain_col, "left"))
     base = F.coalesce(F.floor(F.col("__target") / F.col("__c")),
                       F.lit(1)).cast("long")
     rem = F.coalesce(F.pmod(F.col("__target"), F.col("__c")),
@@ -804,12 +809,15 @@ def quantile_normalize(df, group_col: str, id_col: str, value_col: str,
 
     p = 10 ** round_digits
     v = F.col(value_col).cast("double")
-    base0 = df.select(F.col(id_col).alias("id"),
-                      F.col(group_col).alias("g"), v.alias("v")).persist()
+    # both scope-registered (returned plan reads base from four
+    # branches); caller releases via cache_scope.release_persisted()
+    base0 = scoped_persist(
+        df.select(F.col(id_col).alias("id"),
+                  F.col(group_col).alias("g"), v.alias("v")))
     base = (global_sort_index(base0, "v", "id", out_col="gi")
             .withColumn("rk", F.row_number().over(
                 Window.partitionBy("g").orderBy("v", "id"))))
-    base = base.persist()
+    base = scoped_persist(base)
     sizes = base.groupBy("g").agg(F.count("*").alias("ng"))
     ntot = base.agg(F.count("*").alias("nt"))
     glob_lo = base.select(F.col("gi").alias("lo"),

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
+
 
 def _fround4(c: Column) -> Column:
     """floor(x·10⁴+0.5)/10⁴ — same deterministic rounding as
@@ -236,10 +238,12 @@ def _shingled_and_banded(df: DataFrame, id_col: str, text_col: str,
         # The shingle projection feeds three consumers (signatures +
         # both sides of the verify join); without persistence each
         # consumer re-runs scan + shingling. MEMORY_AND_DISK spills
-        # instead of OOMing at scale.
+        # instead of OOMing at scale. Scope-registered: the returned
+        # plan still reads it, so the caller releases it via
+        # cache_scope.release_persisted() after consuming.
         from pyspark import StorageLevel
 
-        shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+        shingled = scoped_persist(shingled, StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(shingled, id_col, "__sh", num_hashes, seed)
     banded = sig.select(
         id_col,

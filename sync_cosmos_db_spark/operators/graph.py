@@ -35,6 +35,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import (
+    register_persisted,
+    scoped_local_checkpoint,
+)
+
 
 def pagerank(
     edges: DataFrame,
@@ -54,8 +59,9 @@ def pagerank(
     benefit at fixed budgets.
 
     With ``persist_each_iter`` the RESULT is left persisted (it is the
-    live output; every intermediate cache is explicitly released here) —
-    the caller owns the final ``unpersist()``.
+    live output; every intermediate cache is explicitly released here)
+    and scope-registered — the caller releases it with
+    ``cache_scope.release_persisted()`` after consuming.
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
@@ -98,6 +104,8 @@ def pagerank(
         if persist_each_iter:
             nodes.unpersist()
             e.unpersist()
+    if persist_each_iter and prev is not None:
+        register_persisted(pr)
     return pr
 
 
@@ -167,17 +175,16 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
     """
     if max_hops < 0:
         raise ValueError(f"bfs_hops: max_hops must be >= 0, got {max_hops}")
-    visited = (seeds.select(F.col(node_col).alias("node")).distinct()
-               .withColumn("hops", F.lit(0).cast("long"))
-               .localCheckpoint(eager=True))
+    visited = scoped_local_checkpoint(
+        seeds.select(F.col(node_col).alias("node")).distinct()
+        .withColumn("hops", F.lit(0).cast("long")))
     frontier = visited
     for h in range(1, max_hops + 1):
-        nxt = (frontier.join(edges,
-                             frontier["node"] == edges[src])
-               .select(F.col(dst).alias("node")).distinct()
-               .join(visited.select("node"), "node", "left_anti")
-               .withColumn("hops", F.lit(h).cast("long"))
-               .localCheckpoint(eager=True))
+        nxt = scoped_local_checkpoint(
+            frontier.join(edges, frontier["node"] == edges[src])
+            .select(F.col(dst).alias("node")).distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("long")))
         if nxt.count() == 0:
             break
         visited = visited.unionByName(nxt)
@@ -215,21 +222,21 @@ def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
         raise ValueError(
             "bellman_ford: negative edge weights are not supported — "
             "the bounded-round min-merge assumes non-negative costs")
-    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
-            .withColumn("cost", F.lit(0).cast("long"))
-            .localCheckpoint(eager=True))
+    dist = scoped_local_checkpoint(
+        seeds.select(F.col(node_col).alias("node")).distinct()
+        .withColumn("cost", F.lit(0).cast("long")))
     for _ in range(rounds):
         relaxed = (dist.join(edges, dist["node"] == edges[src])
                    .select(F.col(dst).alias("node"),
                            (F.col("cost") + F.col(weight)).alias("cand"))
                    .groupBy("node")
                    .agg(F.min("cand").alias("cand")))
-        dist = (dist.join(relaxed, "node", "full_outer")
-                .select("node",
-                        F.least(F.coalesce("cost", F.lit(2 ** 62)),
-                                F.coalesce("cand", F.lit(2 ** 62)))
-                        .cast("long").alias("cost"))
-                .localCheckpoint(eager=True))
+        dist = scoped_local_checkpoint(
+            dist.join(relaxed, "node", "full_outer")
+            .select("node",
+                    F.least(F.coalesce("cost", F.lit(2 ** 62)),
+                            F.coalesce("cand", F.lit(2 ** 62)))
+                    .cast("long").alias("cost")))
     return dist
 
 
@@ -299,18 +306,18 @@ def min_label_propagation(edges: DataFrame, rounds: int = 3,
     nodes = (edges.select(F.col(src).alias("node"))
              .unionByName(edges.select(F.col(dst).alias("node")))
              .distinct())
-    labels = (nodes.withColumn("label", F.col("node"))
-              .localCheckpoint(eager=True))
+    labels = scoped_local_checkpoint(
+        nodes.withColumn("label", F.col("node")))
     for _ in range(rounds):
         incoming = (labels.join(edges, labels["node"] == edges[src])
                     .groupBy(F.col(dst).alias("node"))
                     .agg(F.min("label").alias("in_label")))
-        labels = (labels.join(incoming, "node", "left")
-                  .select("node",
-                          F.least(F.col("label"),
-                                  F.coalesce("in_label", F.col("label")))
-                          .alias("label"))
-                  .localCheckpoint(eager=True))
+        labels = scoped_local_checkpoint(
+            labels.join(incoming, "node", "left")
+            .select("node",
+                    F.least(F.col("label"),
+                            F.coalesce("in_label", F.col("label")))
+                    .alias("label")))
     return labels
 
 
@@ -332,18 +339,18 @@ def k_core(edges: DataFrame, k: int = 3, rounds: int = 3,
     degree."""
     if k < 1:
         raise ValueError(f"k_core: k must be >= 1, got {k}")
-    e = (edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-         .filter(F.col("s") != F.col("d")).distinct()
-         .localCheckpoint(eager=True))
+    e = scoped_local_checkpoint(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d")).distinct())
     for _ in range(rounds):
         deg = e.groupBy(F.col("s").alias("node")) \
                .agg(F.count("*").alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("node")
-        e = (e.join(keep.withColumnRenamed("node", "s"), "s",
-                    "left_semi")
-             .join(keep.withColumnRenamed("node", "d"), "d",
+        e = scoped_local_checkpoint(
+            e.join(keep.withColumnRenamed("node", "s"), "s",
                    "left_semi")
-             .localCheckpoint(eager=True))
+            .join(keep.withColumnRenamed("node", "d"), "d",
+                  "left_semi"))
     return (e.groupBy(F.col("s").alias("node"))
             .agg(F.count("*").cast("long").alias("degree")))
 

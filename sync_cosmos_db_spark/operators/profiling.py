@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
+
 
 def bucket_of(col: Column | str, lo: float, hi: float,
               n_buckets: int) -> Column:
@@ -681,24 +683,26 @@ def power_iteration_pc(df: DataFrame, vec_col: str = "embedding",
                    F.array(*[F.lit(m) for m in mu]),
                    lambda x, m: x - m).alias("cv"))
     centered = centered.persist()
-    v = [1.0] + [0.0] * (n_dim - 1)
-    norm_s = 0.0
-    for _ in range(n_iter):
-        lit_v = F.array(*[F.lit(c) for c in v])
-        d = F.aggregate(F.zip_with(F.col("cv"), lit_v,
-                                   lambda x, w: x * w),
-                        F.lit(0.0), lambda acc, x: acc + x)
-        sums = (centered.withColumn("d", d)
-                .select(F.posexplode("cv").alias("dim", "x"), "d")
-                .groupBy("dim")
-                .agg(F.sum(F.col("x") * F.col("d")).alias("s"))
-                .collect())
-        s = [0.0] * n_dim
-        for r in sums:
-            s[r.dim] = r.s
-        norm_s = math.sqrt(sum(x * x for x in s))
-        v = [_round10(x / norm_s) for x in s]
-    centered.unpersist()
+    try:
+        v = [1.0] + [0.0] * (n_dim - 1)
+        norm_s = 0.0
+        for _ in range(n_iter):
+            lit_v = F.array(*[F.lit(c) for c in v])
+            d = F.aggregate(F.zip_with(F.col("cv"), lit_v,
+                                       lambda x, w: x * w),
+                            F.lit(0.0), lambda acc, x: acc + x)
+            sums = (centered.withColumn("d", d)
+                    .select(F.posexplode("cv").alias("dim", "x"), "d")
+                    .groupBy("dim")
+                    .agg(F.sum(F.col("x") * F.col("d")).alias("s"))
+                    .collect())
+            s = [0.0] * n_dim
+            for r in sums:
+                s[r.dim] = r.s
+            norm_s = math.sqrt(sum(x * x for x in s))
+            v = [_round10(x / norm_s) for x in s]
+    finally:
+        centered.unpersist()
     spark = df.sparkSession
     eig = math.floor(norm_s / n_rows * 1e4 + 0.5) / 1e4
     return spark.createDataFrame(
@@ -1102,8 +1106,12 @@ def mutual_information(df: DataFrame, a_col: str, b_col: str,
     ``(n, h_a, h_b, h_ab, mi)`` in nats."""
     p = 10 ** round_digits
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
-    ab = (df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-          .agg(F.count("*").cast("double").alias("cab"))).persist()
+    # scope-registered: the returned plan reads ab four ways (both
+    # marginals, the total, the MI join); caller releases via
+    # cache_scope.release_persisted()
+    ab = scoped_persist(
+        df.groupBy(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .agg(F.count("*").cast("double").alias("cab")))
     ma = ab.groupBy("a").agg(F.sum("cab").alias("ca"))
     mb = ab.groupBy("b").agg(F.sum("cab").alias("cb"))
     tot = ab.agg(F.sum("cab").alias("n"))

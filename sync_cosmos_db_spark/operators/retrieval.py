@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
+
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(F.col(id_col),
@@ -274,7 +276,10 @@ def tfidf_top_terms(df, id_col: str, text_col: str, top_k: int = 3,
                      .alias("token"))
            .groupBy("doc", "token")
            .agg(F.count("*").cast("double").alias("tf")))
-    tok = tok.persist()
+    # scope-registered: the returned plan reads tok three ways (df
+    # counts, corpus N, the score join); caller releases via
+    # cache_scope.release_persisted()
+    tok = scoped_persist(tok)
     dfreq = (tok.groupBy("token")
              .agg(F.countDistinct("doc").cast("double").alias("df")))
     n = tok.agg(F.countDistinct("doc").cast("double").alias("n"))

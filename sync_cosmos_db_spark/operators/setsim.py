@@ -54,6 +54,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
+
 
 def _doc_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct (id, token) pairs; single-space tokenization (the
@@ -97,8 +99,11 @@ def setsim_join(
     The corpus-cardinality tables (sets, distinct sets, prefix
     postings) are left persisted because the returned plan reads each
     of them from several branches (same contract as
-    ``graph.pagerank``): the caller may ``spark.catalog.clearCache()``
-    after consuming the result, or let block eviction reclaim them.
+    ``graph.pagerank``); they are registered with
+    :mod:`sync_cosmos_db_spark.cache_scope`, so the caller releases
+    them with ``cache_scope.release_persisted()`` after consuming the
+    result (the round-8 cache-census fix — bare persists pinned
+    executor storage for the life of the session).
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -114,15 +119,15 @@ def setsim_join(
     # corpus-CARDINALITY-sized (one row per doc / distinct set /
     # prefix posting, no pair blow-up), so caching them is safe at any
     # scale; eager count() pins materialization to one job each.
-    sets = (toks.groupBy("id")
-            .agg(F.array_sort(F.collect_list("tok")).alias("tk"))
-            .withColumn("sig", F.sha2(F.to_json(F.col("tk")), 256))
-            .persist())
-    sets.count()
+    sets = scoped_persist(
+        toks.groupBy("id")
+        .agg(F.array_sort(F.collect_list("tok")).alias("tk"))
+        .withColumn("sig", F.sha2(F.to_json(F.col("tk")), 256)),
+        eager=True)
     members = sets.select("sig", "id")
-    dsets = (sets.select("sig", "tk", F.size("tk").alias("sz"))
-             .dropDuplicates(["sig"])
-             .persist())
+    dsets = scoped_persist(
+        sets.select("sig", "tk", F.size("tk").alias("sz"))
+        .dropDuplicates(["sig"]))
 
     # global canonical order: ascending set-frequency df, then token
     dtoks = dsets.select("sig", "sz", F.explode("tk").alias("tok"))
@@ -138,9 +143,9 @@ def setsim_join(
     # only adds candidates, a shorter one breaks completeness.
     prefix_len = (F.col("sz")
                   - F.ceil(F.lit(threshold) * F.col("sz") - 1e-9) + 1)
-    prefix = (ranked.filter(F.col("__rk") <= prefix_len)
-              .select("sig", "tok", "sz")
-              .persist())
+    prefix = scoped_persist(
+        ranked.filter(F.col("__rk") <= prefix_len)
+        .select("sig", "tok", "sz"))
 
     a = prefix.select(F.col("sig").alias("sig_a"), "tok",
                       F.col("sz").alias("__sza"))

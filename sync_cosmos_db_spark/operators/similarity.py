@@ -287,7 +287,15 @@ def _hyperplane(dim: int, table: int, plane: int, seed: int) -> list[float]:
 def lsh_bucket(vec: Column, dim: int, n_planes: int = 12,
                table: int = 0, seed: int = 42) -> Column:
     """Bucket id = packed sign bits of projections onto n_planes seeded
-    hyperplanes. Column-only: each projection is a literal-weighted sum."""
+    hyperplanes. Column-only: each projection is a literal-weighted sum.
+
+    ``n_planes=0`` is the DEGENERATE setting: one bucket (id 0), every
+    vector collides — the BRP-LSH analog of IVF's ``nprobe=n_clusters``
+    full-probe trick, which turns the approximate pipeline exact so the
+    whole candidate/rank plumbing can be hash-checked against the
+    brute-force oracle (round-8 verdict item 4)."""
+    if n_planes == 0:
+        return F.lit(0).cast("long")
     bits = []
     v = _dbl(vec)
     for p in range(n_planes):
@@ -341,9 +349,16 @@ def lsh_topk(
                 f"__{query_id_col}_vec", "__neighbor_id_vec")
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
+    # scores floor-rounded to 6 decimals BEFORE the rank window (the
+    # brute_force_topk_vectorized discipline) so summation-order ulps
+    # cannot flip ranks — required for the degenerate n_planes=0 form
+    # to be bit-identical to the exact oracle, and strictly more
+    # deterministic for the approximate forms too
     scored = cand.withColumn(
         "cosine_sim",
-        cosine(F.col(f"__{query_id_col}_vec"), F.col("__neighbor_id_vec")))
+        F.floor(cosine(F.col(f"__{query_id_col}_vec"),
+                       F.col("__neighbor_id_vec")) * 1e6 + F.lit(0.5))
+        / 1e6)
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
                                             F.asc("neighbor_id"))
     return (

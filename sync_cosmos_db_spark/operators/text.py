@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
+
 # Tiny per-language stopword lists for the n-gram/stopword-overlap
 # language-ID heuristic. Deliberately small: the heuristic is argmax of
 # overlap counts, and parity with the SQL oracle requires a fixed list.
@@ -694,7 +696,10 @@ def source_kl(df, group_col: str, text_col: str,
                     .alias("tok"))
           .groupBy("g", "tok")
           .agg(F.count("*").cast("double").alias("cgt")))
-    gt = gt.persist()
+    # scope-registered: the returned plan reads gt three ways (group
+    # totals, token totals, the KL join); caller releases via
+    # cache_scope.release_persisted()
+    gt = scoped_persist(gt)
     gtot = gt.groupBy("g").agg(F.sum("cgt").alias("tg"))
     tok = gt.groupBy("tok").agg(F.sum("cgt").alias("ct"))
     tot = tok.agg(F.sum("ct").alias("t"))

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_persist
 from sync_cosmos_db_spark.queries import query
 from sync_cosmos_db_spark.session import load_table
 
@@ -135,7 +136,9 @@ def t_closeness_customers(spark: SparkSession,
     b = c.select("c_nationkey", "c_mktsegment", bucket.alias("bucket"))
     cell = (b.groupBy("c_nationkey", "c_mktsegment", "bucket")
             .agg(F.count("*").cast("double").alias("c")))
-    cell = cell.persist()
+    # scope-registered (returned plan reads cell three ways);
+    # released by the harness via cache_scope.release_persisted()
+    cell = scoped_persist(cell)
     grp = (cell.groupBy("c_nationkey", "c_mktsegment")
            .agg(F.sum("c").alias("n")))
     buckets = b.select("bucket").distinct()

@@ -129,3 +129,89 @@ def dedup_simhash_containment(spark: SparkSession,
         F.sum(F.when(F.col("__s").isNull(), 1).otherwise(0))
         .cast("int").alias("n_violations"),
         F.count(F.lit(1)).cast("long").alias("n_exact_dup_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 invariant twins (round-8 verdict item 4): the two remaining
+# twin-less rows-only queries get hash-checked invariants.
+# ---------------------------------------------------------------------------
+
+def _vectorized_oracle() -> str:
+    """The exact brute-force top-k oracle, shared verbatim with
+    ``sim_topk_vectorized`` so the two stay in lockstep."""
+    from sync_cosmos_db_spark import queries_llm  # noqa: F401 — registers it
+    from sync_cosmos_db_spark.queries import ORACLE_SQL
+
+    return ORACLE_SQL["sim_topk_vectorized"]
+
+
+@query("sim_topk_lsh_fullcollide", _vectorized_oracle())
+def sim_topk_lsh_fullcollide(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """X4 BRP-LSH invariant, hash-checkable — the IVF ``fullprobe``
+    trick applied to the LSH pipeline: with ``n_planes=0`` every vector
+    lands in bucket 0, the candidate join degenerates to ALL pairs, and
+    the approximate pipeline must therefore return EXACTLY the
+    brute-force top-3 (same oracle SQL as ``sim_topk_vectorized``).
+    What this pins is the LSH plumbing — the bucket explode, the
+    (table, bucket) equi-join, candidate dedup, pre-rounded ranking —
+    leaving only the hyperplane hashing itself to the pytest recall
+    checks on ``sim_topk_lsh``."""
+    from sync_cosmos_db_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return S.lsh_topk(emb, queries, dim=64, k=3, n_planes=0, n_tables=1)
+
+
+_SKETCH_BOUNDS_ORACLE = """
+SELECT event_type,
+       0 AS n_violations,
+       count(DISTINCT user_id)::BIGINT AS n_users_exact,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("sketch_profile_bounds", _SKETCH_BOUNDS_ORACLE)
+def sketch_profile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 sketch invariant, hash-checkable: the approximate sketches of
+    ``sketch_profile`` are bounded by their exact twins computed in the
+    SAME aggregate —
+
+    * ``approx_count_distinct`` (HLL++, default rsd 5%) within ±15%
+      (3 sigma) of the exact distinct count;
+    * ``percentile_approx(0.5)`` bracketed by the exact interpolated
+      percentiles at 0.40/0.60;
+    * ``percentile_approx(0.99)`` between the exact 0.97 percentile and
+      the max.
+
+    The sketches are deterministic for fixed data, so violations are
+    repeatable, not flaky.  Emits per-group ``n_violations`` (must be
+    0 — the oracle hard-codes it) plus the exact distinct count, which
+    DuckDB recomputes independently.  One scan, one group-keyed
+    aggregate; the exact distinct is itself a second hash shuffle that
+    the production profile (``sketch_profile``) deliberately avoids —
+    here it IS the point."""
+    ev = load_table(spark, sf_dir, "events")
+    prof = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("ad"),
+        F.count_distinct("user_id").cast("long").alias("n_users_exact"),
+        F.percentile_approx("value", 0.5).alias("ap50"),
+        F.percentile_approx("value", 0.99).alias("ap99"),
+        F.percentile("value", 0.40).alias("lo50"),
+        F.percentile("value", 0.60).alias("hi50"),
+        F.percentile("value", 0.97).alias("lo99"),
+        F.max("value").alias("hi99"),
+        F.count(F.lit(1)).cast("long").alias("n"))
+    viol = (
+        F.when(F.col("ad") < 0.85 * F.col("n_users_exact"), 1).otherwise(0)
+        + F.when(F.col("ad") > 1.15 * F.col("n_users_exact"), 1).otherwise(0)
+        + F.when(F.col("ap50") < F.col("lo50"), 1).otherwise(0)
+        + F.when(F.col("ap50") > F.col("hi50"), 1).otherwise(0)
+        + F.when(F.col("ap99") < F.col("lo99"), 1).otherwise(0)
+        + F.when(F.col("ap99") > F.col("hi99"), 1).otherwise(0))
+    return (prof.select("event_type",
+                        viol.cast("int").alias("n_violations"),
+                        "n_users_exact", "n")
+            .orderBy("event_type"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_local_checkpoint
 from sync_cosmos_db_spark.operators import aggstate as S
 from sync_cosmos_db_spark.operators.profiling import centroid_outliers
 from sync_cosmos_db_spark.operators.pruning import runtime_filter_semi_join
@@ -969,12 +970,12 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint: survivors feeds three consumers and — through
     # the pair graph — the ITERATIVE component loop, which would
     # otherwise re-execute the whole upstream lineage every round
-    survivors = (corpus.join(kept.select("doc_id"), "doc_id", "left_semi")
-                 .localCheckpoint())
+    survivors = scoped_local_checkpoint(
+        corpus.join(kept.select("doc_id"), "doc_id", "left_semi"))
     n_exact = survivors.count()
 
-    pairs = jaccard_pairs(survivors, "doc_id", "text",
-                          threshold=0.5, n=1).localCheckpoint()
+    pairs = scoped_local_checkpoint(
+        jaccard_pairs(survivors, "doc_id", "text", threshold=0.5, n=1))
     comp = connected_components(pairs)  # (node, component)
     n_in_clusters = comp.count()
     clusters = comp.groupBy("component").agg(F.min("node").alias("kept"))

@@ -100,12 +100,23 @@ def apply_batch_merge(spark: SparkSession, batch_df: DataFrame,
     if reliable_checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(reliable_checkpoint_dir)
         out = staged.checkpoint(eager=True)
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(target_path))
     else:
-        out = staged.localCheckpoint(eager=True)
-    (out.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(BUCKET_COL)
-        .parquet(target_path))
+        # the checkpoint blocks are dead once the overwrite lands —
+        # free them here instead of pinning executor storage for the
+        # rest of the stream (round-8 cache-census fix)
+        from sync_cosmos_db_spark.cache_scope import (
+            local_checkpoint_released,
+        )
+
+        with local_checkpoint_released(staged) as out:
+            (out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(target_path))
 
 
 def incremental_migrate(

@@ -317,7 +317,14 @@ def transform_with_state_available() -> bool:
     (``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` on first use,
     root cause ``import google.protobuf.descriptor``) — so the TWS
     forms and their parity tests gate on this probe: SKIPPED here,
-    live the moment the environment's protobuf works."""
+    live the moment the environment's protobuf works.
+
+    Re-checked 2026-08-14 (round 9): ``import google.protobuf`` still
+    raises ``ModuleNotFoundError: No module named 'google'`` — the
+    package is absent outright, and installs are off-limits in this
+    sandbox.  The foreachBatch batch-merge twins remain the blessed
+    scale path (13–15× the live forms at 2M events / 200k keys;
+    SCALING.md)."""
     try:
         import google.protobuf.descriptor  # noqa: F401
     except Exception:

@@ -21,3 +21,36 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="module", autouse=True)
+def cache_census():
+    """Registry-wide cache-lifetime invariant (round-8 verdict item 2):
+    after each test module, release every scope-registered cache
+    (sync_cosmos_db_spark.cache_scope) and assert the module leaked
+    NOTHING beyond what it started with — operators that persist or
+    localCheckpoint without registering (or without a paired in-function
+    unpersist) fail the module that exercised them, pinpointing the
+    leak instead of blaming whichever test runs the global census last."""
+    from pyspark.sql import SparkSession
+
+    def _census():
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            return None
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    before = _census()
+    yield
+    from sync_cosmos_db_spark.cache_scope import release_persisted
+
+    release_persisted()
+    after = _census()
+    if after is None:
+        return
+    baseline = before if before is not None else 0
+    assert after <= baseline, (
+        f"test module leaked {after - baseline} persisted RDDs "
+        f"(census {baseline} -> {after} after release_persisted()) — "
+        "route long-lived persists/localCheckpoints through "
+        "sync_cosmos_db_spark.cache_scope or unpersist in-function")

