@@ -24,6 +24,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sync_cosmos_db_spark.cache_scope import release_persisted  # noqa: E402
 from sync_cosmos_db_spark.queries import get_queries  # noqa: E402
 from sync_cosmos_db_spark.session import get_spark, load_table  # noqa: E402
 
@@ -161,6 +162,13 @@ def main() -> int:
             runs.sort()
             timings[name] = round(runs[1], 3)
             best_of[name] = round(runs[0], 3)
+            # Release THIS member's scope-registered caches before the
+            # next member (round-9 cache-lifetime discipline): run 0
+            # populates them, the 3 timed runs reuse them (the warm
+            # steady state), and the release keeps 40 members' worth of
+            # corpus-cardinality caches from stacking up in executor
+            # storage and pressuring later members' measurements.
+            release_persisted()
         return timings, best_of, cold
 
     timings, best_of, cold = run_suite(HEADLINE)

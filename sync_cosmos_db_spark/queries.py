@@ -394,37 +394,8 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_scale  # noqa: F401
     from sync_cosmos_db_spark import queries_r4  # noqa: F401
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
-    from sync_cosmos_db_spark import queries_r5b  # noqa: F401
-    from sync_cosmos_db_spark import queries_r5c  # noqa: F401
     from sync_cosmos_db_spark import queries_r6  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6b  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6c  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6d  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6e  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6f  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6g  # noqa: F401
     from sync_cosmos_db_spark import queries_r7  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7b  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7c  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7d  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7e  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7f  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7g  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7h  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7i  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7j  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7k  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7l  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7m  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7n  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7o  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7p  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7q  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7r  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7s  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7t  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7u  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7v  # noqa: F401
     from sync_cosmos_db_spark import queries_r8  # noqa: F401
     return _sweep_ordered(QUERIES)
 
@@ -439,37 +410,8 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_scale  # noqa: F401
     from sync_cosmos_db_spark import queries_r4  # noqa: F401
     from sync_cosmos_db_spark import queries_r5  # noqa: F401
-    from sync_cosmos_db_spark import queries_r5b  # noqa: F401
-    from sync_cosmos_db_spark import queries_r5c  # noqa: F401
     from sync_cosmos_db_spark import queries_r6  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6b  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6c  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6d  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6e  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6f  # noqa: F401
-    from sync_cosmos_db_spark import queries_r6g  # noqa: F401
     from sync_cosmos_db_spark import queries_r7  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7b  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7c  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7d  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7e  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7f  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7g  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7h  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7i  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7j  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7k  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7l  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7m  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7n  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7o  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7p  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7q  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7r  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7s  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7t  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7u  # noqa: F401
-    from sync_cosmos_db_spark import queries_r7v  # noqa: F401
     from sync_cosmos_db_spark import queries_r8  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 

@@ -167,7 +167,7 @@ def test_recursive_reach_matches_bfs(spark, sf_dir):
     """X141's recursive-CTE min-hops must agree with the iterative
     DataFrame BFS (X90) on the same out-degree-2 nation graph."""
     from sync_cosmos_db_spark.operators.graph import bfs_hops
-    from sync_cosmos_db_spark.queries_r6b import recursive_reach_nations
+    from sync_cosmos_db_spark.queries_r6 import recursive_reach_nations
     from sync_cosmos_db_spark.session import load_table
 
     rec = {r.node: r.min_hops

@@ -8,7 +8,7 @@ import datetime as dt
 def test_t_closeness_identical_groups_have_zero_emd(spark, sf_dir):
     """Sanity on the registered query: t distances are in [0, 1) and
     at least one group differs from the global distribution."""
-    from sync_cosmos_db_spark.queries_r6e import t_closeness_customers
+    from sync_cosmos_db_spark.queries_r6 import t_closeness_customers
 
     r = t_closeness_customers(spark, sf_dir).collect()[0]
     assert r.n_groups > 0

@@ -9,7 +9,7 @@ def test_decompose_recovers_planted_seasonality(spark):
     """A series = 100 + 10·(dow==Monday) + linear trend: the weekly
     seasonal must be ~+10·6/7 above the other days' share for Monday
     and residuals must be near zero (pure trend+seasonal signal)."""
-    from sync_cosmos_db_spark.queries_r6f import decompose_daily_events  # noqa: F401
+    from sync_cosmos_db_spark.queries_r6 import decompose_daily_events  # noqa: F401
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -47,12 +47,12 @@ def test_prefix_index_ranks_by_frequency(spark):
     """'apple' (3×) must outrank 'apric' (1×) under prefix 'ap';
     ranks are 1-based; prefixes longer than the token are absent."""
     from sync_cosmos_db_spark.operators import text  # noqa: F401
-    from sync_cosmos_db_spark.queries_r6f import prefix_index_documents
+    from sync_cosmos_db_spark.queries_r6 import prefix_index_documents
     from pyspark.sql import functions as F
 
     docs = spark.createDataFrame(
         [(1, "apple apple apple apricot ax")], "doc_id long, text string")
-    import sync_cosmos_db_spark.queries_r6f as m
+    import sync_cosmos_db_spark.queries_r6 as m
     # drive the same construction on the local frame
     tf = (docs.select(F.explode(F.split(F.col("text"), r"\s+"))
                       .alias("tok"))
@@ -189,7 +189,7 @@ def test_ingest_lag_freshest_flag(spark):
     """The type holding the global max has lag 0 and is_freshest."""
     import datetime as dt
 
-    from sync_cosmos_db_spark.queries_r6f import ingest_lag_by_type  # noqa: F401
+    from sync_cosmos_db_spark.queries_r6 import ingest_lag_by_type  # noqa: F401
     from pyspark.sql import functions as F
 
     t0 = dt.datetime(2024, 1, 1)

@@ -34,7 +34,7 @@ def test_field_survivorship_later_null_never_wins(spark):
 def test_corpus_datacard_dup_rate(spark, sf_dir):
     """The registered datacard's dup counting: n_exact_dups =
     rows − distinct texts; rates live in [0, 1]."""
-    from sync_cosmos_db_spark.queries_r6g import corpus_datacard_documents
+    from sync_cosmos_db_spark.queries_r6 import corpus_datacard_documents
     from sync_cosmos_db_spark.session import load_table
 
     card = corpus_datacard_documents(spark, sf_dir).collect()[0]

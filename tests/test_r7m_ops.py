@@ -131,7 +131,7 @@ def test_topn_other_rollup_query(spark, sf_dir):
     plain per-nation aggregate."""
     from pyspark.sql import functions as F
 
-    from sync_cosmos_db_spark.queries_r7m import (
+    from sync_cosmos_db_spark.queries_r7 import (
         topn_other_suppliers_by_nation,
     )
     from sync_cosmos_db_spark.session import load_table

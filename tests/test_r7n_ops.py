@@ -12,7 +12,7 @@ import pytest
 def test_share_of_parent_invariants(spark, sf_dir):
     """Within each region the nation shares sum to 1; region shares
     of total sum to 1 across distinct regions."""
-    from sync_cosmos_db_spark.queries_r7n import (
+    from sync_cosmos_db_spark.queries_r7 import (
         share_of_parent_nations,
     )
 
@@ -68,7 +68,7 @@ def test_allocation_query_conserves_total(spark, sf_dir):
     lineitems — the reconciliation float division breaks."""
     from pyspark.sql import functions as F
 
-    from sync_cosmos_db_spark.queries_r7n import (
+    from sync_cosmos_db_spark.queries_r7 import (
         allocated_revenue_suppliers,
     )
     from sync_cosmos_db_spark.session import load_table
@@ -129,7 +129,7 @@ def test_state_asof_prefix_semantics(spark, sf_dir):
     keys are gone; %13 inserts exist under negative keys."""
     from pyspark.sql import functions as F
 
-    from sync_cosmos_db_spark.queries_r7n import state_asof_orders_seq2
+    from sync_cosmos_db_spark.queries_r7 import state_asof_orders_seq2
     from sync_cosmos_db_spark.session import load_table
 
     out = state_asof_orders_seq2(spark, sf_dir)

@@ -132,7 +132,7 @@ def test_kwic_snippets_query(spark, sf_dir):
     """Every row's snippet contains the pattern; first_pos is the
     true first occurrence; n_occ ≥ 1; docs without the pattern are
     absent."""
-    from sync_cosmos_db_spark.queries_r7o import kwic_snippets_documents
+    from sync_cosmos_db_spark.queries_r7 import kwic_snippets_documents
     from sync_cosmos_db_spark.session import load_table
 
     out = kwic_snippets_documents(spark, sf_dir).collect()

@@ -99,7 +99,7 @@ def test_zone_map_sorted_layout_skips_more(spark):
 def test_slo_burn_rate_query(spark, sf_dir):
     """Burn columns are consistent with recomputed trailing ratios
     on a sample of buckets, and alert implies both thresholds."""
-    from sync_cosmos_db_spark.queries_r7p import slo_burn_rate_events
+    from sync_cosmos_db_spark.queries_r7 import slo_burn_rate_events
 
     rows = sorted(slo_burn_rate_events(spark, sf_dir).collect(),
                   key=lambda r: r["bkt"])

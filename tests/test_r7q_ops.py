@@ -14,7 +14,7 @@ import pytest
 def test_woe_price_deciles_structure(spark, sf_dir):
     """Ten decile categories of near-equal depth; IV contributions
     are non-negative by construction."""
-    from sync_cosmos_db_spark.queries_r7q import woe_price_deciles
+    from sync_cosmos_db_spark.queries_r7 import woe_price_deciles
 
     rows = woe_price_deciles(spark, sf_dir).collect()
     assert {r["category"] for r in rows} == set(range(10))
@@ -32,7 +32,7 @@ def test_hhi_extremes(spark, sf_dir):
     """Sanity on the registered query: a monopoly segment would be
     10000 points and perfect equality 10000/n — every observed
     segment sits strictly between."""
-    from sync_cosmos_db_spark.queries_r7q import hhi_segment_customers
+    from sync_cosmos_db_spark.queries_r7 import hhi_segment_customers
 
     rows = hhi_segment_customers(spark, sf_dir).collect()
     assert rows

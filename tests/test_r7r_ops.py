@@ -11,7 +11,7 @@ import pytest
 
 def test_lead_time_sla_sane(spark, sf_dir):
     """p50 ≤ p90, late_rate ∈ [0,1], and every priority appears."""
-    from sync_cosmos_db_spark.queries_r7r import lead_time_sla_priority
+    from sync_cosmos_db_spark.queries_r7 import lead_time_sla_priority
 
     rows = lead_time_sla_priority(spark, sf_dir).collect()
     assert len(rows) == 5

@@ -14,7 +14,7 @@ import pytest
 def test_diversified_topk_caps_per_source(spark, sf_dir):
     """No source contributes more than 3 of the 12 rows, ranks are
     1..12, and scores are non-increasing."""
-    from sync_cosmos_db_spark.queries_r7s import diversified_topk_docs
+    from sync_cosmos_db_spark.queries_r7 import diversified_topk_docs
 
     rows = sorted(diversified_topk_docs(spark, sf_dir).collect(),
                   key=lambda r: r["rank"])
@@ -55,7 +55,7 @@ def test_wilson_small_n_fluke_below_large_n(spark, sf_dir):
 def test_wilson_query_ranks_by_lower_bound(spark, sf_dir):
     """Every returned row has n ≥ 5 and the ranking is by the LB,
     not the raw rate."""
-    from sync_cosmos_db_spark.queries_r7s import (
+    from sync_cosmos_db_spark.queries_r7 import (
         wilson_return_rate_parts,
     )
 

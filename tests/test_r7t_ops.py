@@ -12,7 +12,7 @@ import pytest
 def test_varint_estimate_invariants(spark, sf_dir):
     """Varint bytes never exceed raw bytes; per-posting cost is
     1–4 bytes; band partition covers every token once."""
-    from sync_cosmos_db_spark.queries_r7t import (
+    from sync_cosmos_db_spark.queries_r7 import (
         varint_posting_estimate_docs,
     )
 
@@ -33,7 +33,7 @@ def test_varint_estimate_invariants(spark, sf_dir):
 
 def test_calendar_completeness_identity(spark, sf_dir):
     """present + missing == span and completeness == present/span."""
-    from sync_cosmos_db_spark.queries_r7t import (
+    from sync_cosmos_db_spark.queries_r7 import (
         calendar_completeness_priority,
     )
 
@@ -53,7 +53,7 @@ def test_gains_table_invariants(spark, sf_dir):
     """10 deciles of near-equal depth; cumulative capture is
     monotone and ends at 1.0; lift averages to ~1 weighted by
     rows."""
-    from sync_cosmos_db_spark.queries_r7t import gains_table_orders
+    from sync_cosmos_db_spark.queries_r7 import gains_table_orders
 
     rows = sorted(gains_table_orders(spark, sf_dir).collect(),
                   key=lambda r: r["decile"])
@@ -77,7 +77,7 @@ def test_effective_rate_periods_partition_orders(spark, sf_dir):
     rate-1.0 periods equals the raw revenue of those orders."""
     from pyspark.sql import functions as F
 
-    from sync_cosmos_db_spark.queries_r7t import effective_rate_revenue
+    from sync_cosmos_db_spark.queries_r7 import effective_rate_revenue
     from sync_cosmos_db_spark.session import load_table
 
     rows = effective_rate_revenue(spark, sf_dir).collect()

@@ -13,7 +13,7 @@ def test_ramp_shares_track_plan_and_are_sticky(spark, sf_dir):
     """Observed shares sit near each phase's plan; the treated share
     never decreases across phase boundaries (sticky monotone
     ramp)."""
-    from sync_cosmos_db_spark.queries_r7u import ramp_audit_events
+    from sync_cosmos_db_spark.queries_r7 import ramp_audit_events
 
     rows = sorted(ramp_audit_events(spark, sf_dir).collect(),
                   key=lambda r: r["day"])
@@ -85,7 +85,7 @@ def test_lag_features_calendar_correct(spark, sf_dir):
     PRESENT day's value."""
     import datetime as dt
 
-    from sync_cosmos_db_spark.queries_r7u import (
+    from sync_cosmos_db_spark.queries_r7 import (
         lag_features_daily_revenue,
     )
 
@@ -110,7 +110,7 @@ def test_fold_audit_hash_splitter_passes(spark, sf_dir):
     """The sha2 fold assignment is independent of order month —
     chi²/dof stays under the bar and the audit PASSes (that IS the
     audit's self-test)."""
-    from sync_cosmos_db_spark.queries_r7u import (
+    from sync_cosmos_db_spark.queries_r7 import (
         fold_temporal_audit_orders,
     )
 

@@ -8,7 +8,7 @@ import pytest
 def test_duplicate_charges_pairs_are_valid(spark, sf_dir):
     """Every reported pair shares customer and amount, keys are
     strictly ordered, and the gap respects the window."""
-    from sync_cosmos_db_spark.queries_r7v import (
+    from sync_cosmos_db_spark.queries_r7 import (
         duplicate_charges_orders,
     )
 
@@ -24,7 +24,7 @@ def test_ar_aging_partitions_open_orders(spark, sf_dir):
     from the declared set."""
     from pyspark.sql import functions as F
 
-    from sync_cosmos_db_spark.queries_r7v import ar_aging_open_orders
+    from sync_cosmos_db_spark.queries_r7 import ar_aging_open_orders
     from sync_cosmos_db_spark.session import load_table
 
     rows = ar_aging_open_orders(spark, sf_dir).collect()
@@ -38,7 +38,7 @@ def test_ar_aging_partitions_open_orders(spark, sf_dir):
 def test_mde_shrinks_with_sample_size(spark, sf_dir):
     """Within each metric, MDE strictly decreases as the per-arm
     size grows — the whole point of the table."""
-    from sync_cosmos_db_spark.queries_r7v import mde_table_events
+    from sync_cosmos_db_spark.queries_r7 import mde_table_events
 
     rows = mde_table_events(spark, sf_dir).collect()
     by_metric = {}
@@ -58,10 +58,10 @@ def test_backfill_manifest_complements_observed(spark, sf_dir):
     missing_days."""
     from pyspark.sql import functions as F
 
-    from sync_cosmos_db_spark.queries_r7t import (
+    from sync_cosmos_db_spark.queries_r7 import (
         calendar_completeness_priority,
     )
-    from sync_cosmos_db_spark.queries_r7v import (
+    from sync_cosmos_db_spark.queries_r7 import (
         backfill_manifest_priority,
     )
     from sync_cosmos_db_spark.session import load_table
