@@ -132,3 +132,20 @@ def test_truncation_recall_full_prefix_is_perfect(spark):
     out = S.truncation_recall(emb, probes, prefix_dim=4, k=3).collect()
     assert len(out) == 5
     assert all(r.n_kept == 3 and r.recall_at_3 == 1.0 for r in out)
+
+
+def test_lsh_fullcollide_table_count_invariant(spark, sf_dir):
+    """n_planes=0 puts every vector in bucket 0 of EVERY table, so with
+    2 tables each candidate pair surfaces twice — the dropDuplicates in
+    the candidate stage must collapse them and the top-k must be
+    IDENTICAL to the 1-table degenerate run (and both exact)."""
+    from pyspark.sql import functions as F
+
+    from sync_cosmos_db_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    one = S.lsh_topk(emb, queries, dim=64, k=3, n_planes=0, n_tables=1)
+    two = S.lsh_topk(emb, queries, dim=64, k=3, n_planes=0, n_tables=2)
+    assert sorted(map(tuple, one.collect())) == \
+        sorted(map(tuple, two.collect()))
