@@ -1114,3 +1114,74 @@ def aggregate_annotations(ann: DataFrame, item_col: str,
         F.lit(0).cast("long").alias("n_agree"),
         F.lit(None).cast("double").alias("agreement_rate"))
     return per_ann.unionByName(ties)
+
+
+def token_budget_select(df: DataFrame, id_col: str, score_col: str,
+                        n_tokens_col: str, budget: int,
+                        n_buckets: int = 64) -> DataFrame:
+    """X255 — greedy token-budget corpus selection: rank documents by
+    ``(score DESC, id ASC)`` and keep every document that STARTS inside
+    the token ``budget`` — "fill a 10B-token training budget with the
+    best-quality documents" (the selection step between quality scoring
+    and sequence packing in every LLM data pipeline; no reference
+    analog — BASELINE.json north-star extension).
+
+    Scale shape: NO single-partition window anywhere.  The global rank
+    is :func:`global_sort_index` (two-phase range-bucket rank) on the
+    negated score, and the running token total is
+    :func:`global_token_offsets` over that dense rank (the same
+    two-phase scan sequence packing uses) — at 100 TB the only
+    shuffles are the two per-bucket windows; driver state is
+    O(n_buckets) boundaries.  Returns
+    ``(id, n_tokens, score, tokens_before)`` for the selected docs —
+    ``tokens_before < budget`` is the selection predicate, so the
+    kept set can overshoot the budget by at most one document (the
+    standard greedy-prefix contract; trim the last doc downstream if
+    the budget is hard)."""
+    base = df.select(F.col(id_col), F.col(score_col).cast("double")
+                     .alias("__score"),
+                     F.col(n_tokens_col).cast("long").alias("__nt"))
+    base = base.withColumn("__neg", -F.col("__score"))
+    ranked = global_sort_index(base, "__neg", id_col, n_buckets=n_buckets,
+                               out_col="__rk")
+    with_off = global_token_offsets(
+        ranked.select(F.col("__rk").alias("__gid"), id_col, "__score",
+                      "__nt"),
+        "__gid", "__nt", n_buckets=n_buckets)
+    return (with_off.filter(F.col("__offset") < budget)
+            .select(F.col(id_col),
+                    F.col("__nt").alias("n_tokens"),
+                    F.col("__score").alias("score"),
+                    F.col("__offset").alias("tokens_before")))
+
+
+def temperature_mixture_weights(df: DataFrame, group_col: str,
+                                tau: float = 0.7,
+                                token_target: float = 1_000_000.0,
+                                round_digits: int = 6) -> DataFrame:
+    """X257 — temperature-scaled sampling weights per group:
+    ``w_i = n_i^τ / Σ_j n_j^τ`` — the standard multilingual /
+    multi-source rebalancing rule (τ=1 is proportional, τ→0 uniform;
+    τ≈0.7 is the common multilingual-LM setting), plus the implied
+    per-group epochs ``w_i·T / n_i`` for a token/doc target ``T`` —
+    the over-sampling factor low-resource groups will be replayed at.
+
+    One group-keyed count + a broadcast 1-row total; |groups| output
+    rows.  Cross-engine determinism: ``pow`` results are floor-rounded
+    at 1e-8 BEFORE the normalizing sum on both engines (libm/JDK pow
+    may differ in the last ulp), the power_iteration_pc discipline.
+    Returns ``(group, n, weight, epochs)``."""
+    p = 10 ** round_digits
+    pw = F.floor(F.pow(F.col("__n"), F.lit(tau)) * 1e8 + F.lit(0.5)) / 1e8
+    cnt = (df.groupBy(F.col(group_col).alias("group"))
+           .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+           .withColumn("__pn", pw))
+    tot = cnt.agg(F.sum("__pn").alias("__tot"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("group",
+                    F.col("__n").cast("long").alias("n"),
+                    (F.floor(F.col("__pn") / F.col("__tot") * p
+                             + F.lit(0.5)) / p).alias("weight"),
+                    (F.floor(F.col("__pn") / F.col("__tot")
+                             * F.lit(token_target) / F.col("__n")
+                             * 1e4 + F.lit(0.5)) / 1e4).alias("epochs")))
