@@ -5,6 +5,9 @@ backlog (13 carried + the two r9 invariant twins) drains in
 registration order before these enter the window; 15 + 4 = 19 of the
 50 window slots, so every never-swept query still gets a driver
 CORRECTNESS row this round (round-8 verdict item 1's intent).
+
+The second r9 batch (X259-X262, below) brings the never-swept count
+to 23 — still well inside the 50-slot window.
 """
 
 from __future__ import annotations
@@ -244,3 +247,408 @@ def minhash_estimate_calibration(spark: SparkSession,
                     F.when(F.abs(F.col("__est") - F.col("exact_j"))
                            > 0.30, 1).otherwise(0).cast("int")
                     .alias("n_violations")))
+
+
+# ---------------------------------------------------------------------------
+# X259 — difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+_DID_CUTOFF = "2024-01-16"
+
+_DID_ORACLE = f"""
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN translate(substr(sha256(user_id::VARCHAR || ':did'),
+                                    1, 6), 'abcdef', '012345')::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END AS treat,
+         CASE WHEN ts < TIMESTAMP '{_DID_CUTOFF} 00:00:00'
+              THEN 1 ELSE 0 END AS pre,
+         value
+  FROM events),
+cells AS (
+  SELECT event_type,
+         count(*) FILTER (treat = 1 AND pre = 1)  AS n_t_pre,
+         count(*) FILTER (treat = 1 AND pre = 0)  AS n_t_post,
+         count(*) FILTER (treat = 0 AND pre = 1)  AS n_c_pre,
+         count(*) FILTER (treat = 0 AND pre = 0)  AS n_c_post,
+         floor(avg(value) FILTER (treat = 1 AND pre = 1)
+               * 1e6 + 0.5) / 1e6 AS m_t_pre,
+         floor(avg(value) FILTER (treat = 1 AND pre = 0)
+               * 1e6 + 0.5) / 1e6 AS m_t_post,
+         floor(avg(value) FILTER (treat = 0 AND pre = 1)
+               * 1e6 + 0.5) / 1e6 AS m_c_pre,
+         floor(avg(value) FILTER (treat = 0 AND pre = 0)
+               * 1e6 + 0.5) / 1e6 AS m_c_post
+  FROM e GROUP BY event_type)
+SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
+       m_t_pre, m_t_post, m_c_pre, m_c_post,
+       floor(((m_t_post - m_t_pre) - (m_c_post - m_c_pre))
+             * 1e6 + 0.5) / 1e6 AS did
+FROM cells
+"""
+
+
+@query("did_event_value", _DID_ORACLE)
+def did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X259 — difference-in-differences per event type: users split
+    into treat/control by the deterministic sha2 bucket (never
+    ``rand()`` — the X9 split discipline), periods split at a fixed
+    cutoff date, and the DiD estimate is the classic
+    ``(T_post - T_pre) - (C_post - C_pre)`` of cell means.  One
+    conditional-aggregate pass (map-side partial agg, one shuffle on
+    event_type); the DiD is differenced from the 1e-6-rounded cell
+    means so both engines run identical arithmetic.  Complements X141
+    (CUPED) and X253 (MDE): the observational-panel estimator of the
+    experimentation family."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    treat = (hash_bucket("user_id", 2, "did") == 1)
+    pre = F.col("ts") < F.lit(_DID_CUTOFF).cast("timestamp")
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    cells = ev.groupBy("event_type").agg(
+        F.count(F.when(treat & pre, 1)).alias("n_t_pre"),
+        F.count(F.when(treat & ~pre, 1)).alias("n_t_post"),
+        F.count(F.when(~treat & pre, 1)).alias("n_c_pre"),
+        F.count(F.when(~treat & ~pre, 1)).alias("n_c_post"),
+        r6(F.avg(F.when(treat & pre, F.col("value")))).alias("m_t_pre"),
+        r6(F.avg(F.when(treat & ~pre, F.col("value")))).alias("m_t_post"),
+        r6(F.avg(F.when(~treat & pre, F.col("value")))).alias("m_c_pre"),
+        r6(F.avg(F.when(~treat & ~pre, F.col("value")))).alias("m_c_post"))
+    return cells.withColumn(
+        "did",
+        r6((F.col("m_t_post") - F.col("m_t_pre"))
+           - (F.col("m_c_post") - F.col("m_c_pre"))))
+
+
+# ---------------------------------------------------------------------------
+# X260 — Western Electric control-chart rules
+# ---------------------------------------------------------------------------
+
+_WE_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+z AS (
+  SELECT priority, day, cents,
+         floor((cents - avg(cents) OVER (PARTITION BY priority))
+               / stddev_pop(cents) OVER (PARTITION BY priority)
+               * 1e6 + 0.5) / 1e6 AS zscore,
+         row_number() OVER (PARTITION BY priority ORDER BY day) AS rn
+  FROM daily),
+w AS (
+  SELECT priority, day, zscore, rn,
+         sum(CASE WHEN zscore >  2 THEN 1 ELSE 0 END) OVER w3 AS hi2,
+         sum(CASE WHEN zscore < -2 THEN 1 ELSE 0 END) OVER w3 AS lo2,
+         sum(CASE WHEN zscore >  1 THEN 1 ELSE 0 END) OVER w5 AS hi1,
+         sum(CASE WHEN zscore < -1 THEN 1 ELSE 0 END) OVER w5 AS lo1,
+         sum(CASE WHEN zscore >  0 THEN 1 ELSE 0 END) OVER w8 AS hi0,
+         sum(CASE WHEN zscore <  0 THEN 1 ELSE 0 END) OVER w8 AS lo0
+  FROM z
+  WINDOW
+    w3 AS (PARTITION BY priority ORDER BY day
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+    w5 AS (PARTITION BY priority ORDER BY day
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+    w8 AS (PARTITION BY priority ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)),
+flags AS (
+  SELECT priority, day, zscore,
+         CASE WHEN abs(zscore) > 3 THEN 1 ELSE 0 END AS r1,
+         CASE WHEN rn >= 3 AND (hi2 >= 2 OR lo2 >= 2)
+              THEN 1 ELSE 0 END AS r2,
+         CASE WHEN rn >= 5 AND (hi1 >= 4 OR lo1 >= 4)
+              THEN 1 ELSE 0 END AS r3,
+         CASE WHEN rn >= 8 AND (hi0 = 8 OR lo0 = 8)
+              THEN 1 ELSE 0 END AS r4
+  FROM w)
+SELECT priority, day, zscore, r1, r2, r3, r4,
+       r1 + 2 * r2 + 4 * r3 + 8 * r4 AS rule_mask
+FROM flags
+WHERE r1 + r2 + r3 + r4 > 0
+"""
+
+
+@query("control_rules_daily_revenue", _WE_ORACLE)
+def control_rules_daily_revenue(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X260 — Western Electric control-chart rules over the daily
+    revenue series per order priority: R1 |z|>3; R2 ≥2 of the last 3
+    beyond 2σ on the same side; R3 ≥4 of the last 5 beyond 1σ on the
+    same side; R4 all of the last 8 on the same side of the mean.
+    Baseline mean/σ are per-priority partitioned window aggregates
+    (integer-cents revenue so the sums are exact); the z-score is
+    1e-6-rounded BEFORE any rule comparison so both engines evaluate
+    the rules on identical values; incomplete leading windows never
+    fire (``rn >= window`` guard).  All windows are partitioned by
+    priority — no single-partition exchange, scales with the series
+    count.  Complements X128 (CUSUM) and X234 (rolling robust z) with
+    the classic run-rules alarm vocabulary."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (o.groupBy(F.col("o_orderpriority").alias("priority"),
+                       F.to_date("o_orderdate").alias("day"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("bigint")).alias("cents")))
+    part = W.partitionBy("priority")
+    zscore = (F.floor((F.col("cents") - F.avg("cents").over(part))
+                      / F.stddev_pop("cents").over(part)
+                      * 1e6 + F.lit(0.5)) / 1e6)
+    seq = W.partitionBy("priority").orderBy("day")
+    z = (daily.withColumn("zscore", zscore)
+         .withColumn("rn", F.row_number().over(seq)))
+    w3 = seq.rowsBetween(-2, 0)
+    w5 = seq.rowsBetween(-4, 0)
+    w8 = seq.rowsBetween(-7, 0)
+
+    def cnt(cond, w):
+        return F.sum(F.when(cond, 1).otherwise(0)).over(w)
+
+    zc = F.col("zscore")
+    w_ = (z
+          .withColumn("hi2", cnt(zc > 2, w3))
+          .withColumn("lo2", cnt(zc < -2, w3))
+          .withColumn("hi1", cnt(zc > 1, w5))
+          .withColumn("lo1", cnt(zc < -1, w5))
+          .withColumn("hi0", cnt(zc > 0, w8))
+          .withColumn("lo0", cnt(zc < 0, w8)))
+    flags = w_.select(
+        "priority", "day", "zscore",
+        F.when(F.abs(zc) > 3, 1).otherwise(0).alias("r1"),
+        F.when((F.col("rn") >= 3)
+               & ((F.col("hi2") >= 2) | (F.col("lo2") >= 2)), 1)
+        .otherwise(0).alias("r2"),
+        F.when((F.col("rn") >= 5)
+               & ((F.col("hi1") >= 4) | (F.col("lo1") >= 4)), 1)
+        .otherwise(0).alias("r3"),
+        F.when((F.col("rn") >= 8)
+               & ((F.col("hi0") == 8) | (F.col("lo0") == 8)), 1)
+        .otherwise(0).alias("r4"))
+    return (flags
+            .withColumn("rule_mask",
+                        F.col("r1") + 2 * F.col("r2") + 4 * F.col("r3")
+                        + 8 * F.col("r4"))
+            .filter(F.col("rule_mask") > 0))
+
+
+# ---------------------------------------------------------------------------
+# X261 — exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _shapley_pairs() -> list[tuple[str, str, str, float]]:
+    """All (channel, S, S∪{channel}) coalition pairs with the exact
+    Shapley weight |S|!·(k−1−|S|)!/k! for k=4 — 32 literal rows; the
+    identical floats are embedded into both the Spark literal dim and
+    the oracle VALUES list, so the two engines run the same doubles."""
+    import itertools as _it
+    import math as _m
+
+    k = len(_SHAP_CHANNELS)
+    out = []
+    for c in _SHAP_CHANNELS:
+        others = [x for x in _SHAP_CHANNELS if x != c]
+        for r in range(len(others) + 1):
+            for s in _it.combinations(others, r):
+                out.append((c, ",".join(sorted(s)),
+                            ",".join(sorted(list(s) + [c])),
+                            _m.factorial(len(s)) * _m.factorial(k - 1 - len(s))
+                            / _m.factorial(k)))
+    return out
+
+
+_SHAP_VALUES_SQL = ",\n  ".join(
+    "('%s', '%s', '%s', %r)" % p for p in _shapley_pairs())
+
+_SHAP_ORACLE = f"""
+WITH pu AS (
+  SELECT user_id,
+         coalesce(array_to_string(list_sort(list_distinct(
+             list(event_type) FILTER (WHERE event_type <> 'purchase'))),
+             ','), '') AS touched,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id),
+coal AS (SELECT touched, count(*) AS n_users, sum(conv) AS n_conv
+         FROM pu GROUP BY touched),
+pairs(channel, s_key, sc_key, w) AS (VALUES
+  {_SHAP_VALUES_SQL}),
+phi AS (
+  SELECT channel,
+         floor(sum(w * (coalesce(vc.n_conv::DOUBLE / vc.n_users, 0)
+                        - coalesce(vs.n_conv::DOUBLE / vs.n_users, 0)))
+               * 1e6 + 0.5) / 1e6 AS shapley
+  FROM pairs
+  LEFT JOIN coal vs ON vs.touched = pairs.s_key
+  LEFT JOIN coal vc ON vc.touched = pairs.sc_key
+  GROUP BY channel),
+expo AS (
+  SELECT ch AS channel, count(DISTINCT user_id) AS n_exposed
+  FROM pu, unnest(string_split(pu.touched, ',')) AS t(ch)
+  WHERE ch <> '' GROUP BY ch)
+SELECT phi.channel, coalesce(expo.n_exposed, 0) AS n_exposed, shapley
+FROM phi LEFT JOIN expo ON expo.channel = phi.channel
+"""
+
+
+@query("shapley_attribution_events", _SHAP_ORACLE)
+def shapley_attribution_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X261 — exact Shapley-value conversion attribution over the four
+    non-purchase channels: coalition value v(S) = conversion rate of
+    users whose touched-channel set is exactly S (0 for unobserved
+    coalitions), and φ_c = Σ_{{S⊆C∖{{c}}}} |S|!(k−1−|S|)!/k! ·
+    (v(S∪{{c}}) − v(S)) — the standard data-driven Shapley attribution
+    (Zhao et al.), exact because k=4 keeps all 2⁴ coalitions
+    enumerable as a 32-row literal dim.  One user-keyed aggregate +
+    one touched-keyed aggregate + two broadcast joins of the literal
+    pair dim — scales in the user count, never in 2^users.
+    Complements X96 (last-touch) and X139 (position-based): the
+    cooperative-game member of the attribution family."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.collect_list(
+            F.when(F.col("event_type") != "purchase",
+                   F.col("event_type")))))).alias("touched"),
+        F.max((F.col("event_type") == "purchase").cast("int"))
+        .alias("conv"))
+    coal = pu.groupBy("touched").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"))
+    v = (F.col("n_conv").cast("double") / F.col("n_users"))
+    pairs = spark.createDataFrame(
+        _shapley_pairs(), "channel string, s_key string, sc_key string,"
+        " w double")
+    vs = coal.select(F.col("touched").alias("s_key"), v.alias("v_s"))
+    vc = coal.select(F.col("touched").alias("sc_key"), v.alias("v_sc"))
+    phi = (pairs
+           .join(F.broadcast(vs), "s_key", "left")
+           .join(F.broadcast(vc), "sc_key", "left")
+           .groupBy("channel")
+           .agg((F.floor(F.sum(F.col("w")
+                               * (F.coalesce("v_sc", F.lit(0.0))
+                                  - F.coalesce("v_s", F.lit(0.0))))
+                         * 1e6 + F.lit(0.5)) / 1e6).alias("shapley")))
+    expo = (pu.select("user_id",
+                      F.explode(F.split("touched", ",")).alias("channel"))
+            .filter(F.col("channel") != "")
+            .groupBy("channel")
+            .agg(F.count_distinct("user_id").alias("n_exposed")))
+    return (phi.join(F.broadcast(expo), "channel", "left")
+            .select("channel",
+                    F.coalesce("n_exposed", F.lit(0)).alias("n_exposed"),
+                    "shapley"))
+
+
+# ---------------------------------------------------------------------------
+# X262 — Bloom-filter false-positive-rate calibration
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 4096
+_BLOOM_J = 3
+_BLOOM_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+_BLOOM_ORACLE = f"""
+WITH a AS (SELECT doc_id FROM documents
+           WHERE source IN {_BLOOM_SOURCES!r}),
+b AS (SELECT doc_id FROM documents
+      WHERE source NOT IN {_BLOOM_SOURCES!r}),
+seeds(s) AS (VALUES (0), (1), (2)),
+apos AS (
+  SELECT DISTINCT
+         translate(substr(sha256(doc_id::VARCHAR || ':bloom' || s),
+                          1, 6), 'abcdef', '012345')::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM a, seeds),
+bpos AS (
+  SELECT DISTINCT doc_id,
+         translate(substr(sha256(doc_id::VARCHAR || ':bloom' || s),
+                          1, 6), 'abcdef', '012345')::BIGINT
+           % {_BLOOM_M} AS pos
+  FROM b, seeds),
+perkey AS (
+  SELECT bpos.doc_id, count(*) AS n_pos, count(apos.pos) AS n_hit
+  FROM bpos LEFT JOIN apos USING (pos) GROUP BY bpos.doc_id),
+agg AS (
+  SELECT (SELECT count(*) FROM a) AS n_a,
+         (SELECT count(*) FROM b) AS n_b,
+         (SELECT count(*) FROM apos) AS n_set_bits,
+         (SELECT count(*) FROM perkey WHERE n_hit = n_pos) AS fp_count),
+r AS (
+  SELECT n_a, n_b, n_set_bits, fp_count,
+         floor(fp_count::DOUBLE / n_b * 1e6 + 0.5) / 1e6 AS fpr_observed,
+         floor((n_set_bits::DOUBLE / {_BLOOM_M})
+               * (n_set_bits::DOUBLE / {_BLOOM_M})
+               * (n_set_bits::DOUBLE / {_BLOOM_M})
+               * 1e6 + 0.5) / 1e6 AS fpr_theory
+  FROM agg)
+SELECT n_a, n_b, n_set_bits, fp_count, fpr_observed, fpr_theory,
+       floor(abs(fpr_observed - fpr_theory) * 1e6 + 0.5) / 1e6 AS abs_err,
+       CASE WHEN abs(fpr_observed - fpr_theory) <= 0.05
+            THEN 'PASS' ELSE 'FAIL' END AS verdict
+FROM r
+"""
+
+
+@query("bloom_fpr_calibration", _BLOOM_ORACLE)
+def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X262 — Bloom-filter math calibration, hash-checkable (the X258
+    idea applied to membership sketches): build an m=4096-bit, j=3
+    Bloom filter over the doc_ids of five sources using the
+    cross-engine sha2 position hash (the X9 ``hash_bucket`` trick with
+    per-hash salts), probe it with every OTHER source's doc_ids (true
+    membership is impossible by construction, so every hit is a false
+    positive), and compare the observed FPR against the exact
+    fill-based theory ``(n_set_bits/m)^j``.  The bit table is ≤m rows
+    — broadcast to the probe join; everything else is key-local.  At
+    sf0.1 the filter holds ~1.2k keys (fill ≈0.6, theory ≈0.21); the
+    PASS bar |obs − theory| ≤ 0.05 is ≈10σ of the binomial at every
+    test sf, so the verdict is stable, not flaky."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    in_a = F.col("source").isin(*_BLOOM_SOURCES)
+    a = docs.filter(in_a).select("doc_id")
+    b = docs.filter(~in_a).select("doc_id")
+    positions = F.array(*[
+        hash_bucket("doc_id", _BLOOM_M, f"bloom{s}")
+        for s in range(_BLOOM_J)])
+    apos = (a.select(F.explode(positions).alias("pos")).distinct())
+    bpos = (b.select("doc_id", F.explode(positions).alias("pos"))
+            .distinct())
+    perkey = (bpos
+              .join(F.broadcast(apos.withColumn("__set", F.lit(1))),
+                    "pos", "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_pos"),
+                   F.count("__set").alias("n_hit")))
+    n_a = a.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = b.agg(F.count(F.lit(1)).alias("n_b"))
+    n_bits = apos.agg(F.count(F.lit(1)).alias("n_set_bits"))
+    fp = (perkey.filter(F.col("n_hit") == F.col("n_pos"))
+          .agg(F.count(F.lit(1)).alias("fp_count")))
+    fill = F.col("n_set_bits").cast("double") / _BLOOM_M
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return (n_a.crossJoin(F.broadcast(n_b))
+            .crossJoin(F.broadcast(n_bits))
+            .crossJoin(F.broadcast(fp))
+            .withColumn("fpr_observed",
+                        r6(F.col("fp_count").cast("double") / F.col("n_b")))
+            .withColumn("fpr_theory", r6(fill * fill * fill))
+            .withColumn("abs_err",
+                        r6(F.abs(F.col("fpr_observed")
+                                 - F.col("fpr_theory"))))
+            .withColumn("verdict",
+                        F.when(F.abs(F.col("fpr_observed")
+                                     - F.col("fpr_theory")) <= 0.05,
+                               F.lit("PASS")).otherwise(F.lit("FAIL"))))
