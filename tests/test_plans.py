@@ -171,6 +171,16 @@ BNLJ_ALLOWED = {
     # X225: the project_days-row horizon grid crossJoins the
     # BROADCAST single-row OLS-fit aggregate (the X73 shape).
     "retention_fit_users",
+    # X262: four single-row aggregates (n_a, n_b, n_set_bits,
+    # fp_count) crossJoin into the one-row calibration report — all
+    # 1×1 BNLJ (verify_counts shape).
+    "bloom_fpr_calibration",
+    # X256: the ranked table crossJoins the BROADCAST single-row
+    # |sources| count aggregate (the X151 total-count shape).
+    "curriculum_interleave_documents",
+    # X257: the |groups|-row table crossJoins the BROADCAST
+    # single-row normalizing-sum aggregate (the X151 shape).
+    "mixture_temperature_weights",
 }
 
 
