@@ -6,8 +6,8 @@ registration order before these enter the window; 15 + 4 = 19 of the
 50 window slots, so every never-swept query still gets a driver
 CORRECTNESS row this round (round-8 verdict item 1's intent).
 
-The second r9 batch (X259-X262, below) brings the never-swept count
-to 23 — still well inside the 50-slot window.
+The second r9 batch (X259-X262) brings the never-swept count to 23,
+the third (X263-X266) to 27 — still well inside the 50-slot window.
 """
 
 from __future__ import annotations
@@ -652,3 +652,308 @@ def bloom_fpr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.when(F.abs(F.col("fpr_observed")
                                      - F.col("fpr_theory")) <= 0.05,
                                F.lit("PASS")).otherwise(F.lit("FAIL"))))
+
+
+# ---------------------------------------------------------------------------
+# X263 — jackknife variance of a ratio metric
+# ---------------------------------------------------------------------------
+
+_JACK_ORACLE = """
+WITH per AS (
+  SELECT o_custkey,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS x,
+         count(*)::BIGINT AS y
+  FROM orders GROUP BY o_custkey),
+tot AS (SELECT sum(x) AS sx, sum(y) AS sy,
+               count(*)::BIGINT AS n FROM per),
+loo AS (SELECT n, sx, sy,
+               (sx - x)::DOUBLE / (sy - y) AS r_i FROM per, tot),
+s AS (SELECT max(n) AS n_units,
+             max(sx)::DOUBLE / max(sy) AS r_full,
+             var_pop(r_i) AS vp FROM loo),
+r AS (SELECT n_units,
+             floor(r_full * 1e6 + 0.5) / 1e6 AS r_full,
+             floor(sqrt((n_units - 1) * vp) * 1e6 + 0.5) / 1e6
+               AS se_jack
+      FROM s)
+SELECT n_units, r_full, se_jack,
+       floor((r_full - 1.96 * se_jack) * 1e6 + 0.5) / 1e6 AS ci_lo,
+       floor((r_full + 1.96 * se_jack) * 1e6 + 0.5) / 1e6 AS ci_hi
+FROM r
+"""
+
+
+@query("jackknife_ratio_orders", _JACK_ORACLE)
+def jackknife_ratio_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X263 — leave-one-out jackknife standard error of a RATIO metric
+    (revenue cents per order, unit = customer): R_i = (ΣX−x_i)/(ΣY−y_i)
+    per unit, se² = (n−1)·var_pop(R_i) — the standard-correct way to
+    put a CI on ratio metrics where per-row variance formulas are
+    biased (delta-method's empirical twin).  One per-unit aggregate +
+    a broadcast 1-row totals anchor + one variance aggregate; the
+    integer-cents sums make every LOO division exact, so only the
+    final variance carries float summation (stable central-moments on
+    both engines, 1e-6-rounded).  Completes the experimentation family
+    (X141 CUPED, X259 DiD) with the uncertainty member."""
+    o = load_table(spark, sf_dir, "orders")
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                      .cast("bigint")).alias("x"),
+                F.count(F.lit(1)).alias("y")))
+    tot = per.agg(F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                  F.count(F.lit(1)).alias("n"))
+    loo = (per.crossJoin(F.broadcast(tot))
+           .select("n", "sx", "sy",
+                   ((F.col("sx") - F.col("x")).cast("double")
+                    / (F.col("sy") - F.col("y"))).alias("r_i")))
+    s = loo.agg(F.max("n").alias("n_units"),
+                (F.max("sx").cast("double") / F.max("sy")).alias("r_full"),
+                F.var_pop("r_i").alias("vp"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    r = s.select("n_units", r6(F.col("r_full")).alias("r_full"),
+                 r6(F.sqrt((F.col("n_units") - 1) * F.col("vp")))
+                 .alias("se_jack"))
+    return r.select(
+        "n_units", "r_full", "se_jack",
+        r6(F.col("r_full") - 1.96 * F.col("se_jack")).alias("ci_lo"),
+        r6(F.col("r_full") + 1.96 * F.col("se_jack")).alias("ci_hi"))
+
+
+# ---------------------------------------------------------------------------
+# X264 — Mann-Kendall monotonic-trend test
+# ---------------------------------------------------------------------------
+
+_MK_ORACLE = """
+WITH m AS (
+  SELECT o_orderpriority AS priority,
+         date_trunc('month', o_orderdate) AS month,
+         sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS cents
+  FROM orders GROUP BY 1, 2),
+p AS (
+  SELECT a.priority, sign(b.cents - a.cents)::BIGINT AS sg
+  FROM m a JOIN m b ON b.priority = a.priority AND b.month > a.month),
+sstat AS (SELECT priority, sum(sg) AS s_stat FROM p GROUP BY priority),
+nn AS (SELECT priority, count(*)::BIGINT AS n FROM m GROUP BY priority),
+ties AS (
+  SELECT priority, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT priority, cents, count(*)::BIGINT AS t
+        FROM m GROUP BY priority, cents HAVING count(*) > 1)
+  GROUP BY priority),
+v AS (
+  SELECT nn.priority, n, s_stat,
+         (n * (n - 1) * (2 * n + 5) - coalesce(tie_term, 0)) / 18.0
+           AS var_s
+  FROM nn JOIN sstat USING (priority)
+  LEFT JOIN ties USING (priority)),
+z AS (
+  SELECT priority, n AS n_months, s_stat,
+         floor(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+         floor(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                    ELSE 0 END * 1e6 + 0.5) / 1e6 AS z
+  FROM v)
+SELECT priority, n_months, s_stat, var_s, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM z
+"""
+
+
+@query("mann_kendall_monthly_revenue", _MK_ORACLE)
+def mann_kendall_monthly_revenue(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """X264 — Mann-Kendall non-parametric monotonic-trend test per
+    priority over MONTHLY revenue: S = Σ_{i<j} sign(x_j − x_i) with
+    the tie-corrected variance and continuity-corrected z.  The pair
+    join is priority-keyed and the series is first collapsed to
+    calendar months, so pairs are bounded by (#months)² per series —
+    the X119 blocking discipline applied to a trend test (a daily
+    series would pair-explode; the monthly collapse is the documented
+    scale bound).  Integer-cents sums make every sign() exact and
+    var_s a deterministic integer/18 — the z is bit-reproducible, not
+    rounding-fragile.  Complements X137 (Theil-Sen slope): MK gives
+    the significance, Theil-Sen the magnitude."""
+    o = load_table(spark, sf_dir, "orders")
+    m = (o.groupBy(F.col("o_orderpriority").alias("priority"),
+                   F.date_trunc("month", "o_orderdate").alias("month"))
+         .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("bigint")).alias("cents")))
+    a = m.select(F.col("priority"), F.col("month").alias("ma"),
+                 F.col("cents").alias("ca"))
+    b = m.select(F.col("priority"), F.col("month").alias("mb"),
+                 F.col("cents").alias("cb"))
+    pairs = a.join(b, ["priority"]).filter(F.col("mb") > F.col("ma"))
+    sstat = (pairs.groupBy("priority")
+             .agg(F.sum(F.signum(F.col("cb") - F.col("ca")).cast("bigint"))
+                  .alias("s_stat")))
+    nn = m.groupBy("priority").agg(F.count(F.lit(1)).alias("n"))
+    ties = (m.groupBy("priority", "cents")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .filter(F.col("t") > 1)
+            .groupBy("priority")
+            .agg(F.sum(F.col("t") * (F.col("t") - 1)
+                       * (2 * F.col("t") + 5)).alias("tie_term")))
+    v = (nn.join(sstat, "priority")
+         .join(ties, "priority", "left")
+         .select("priority", "n", "s_stat",
+                 ((F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                   - F.coalesce("tie_term", F.lit(0))) / 18.0)
+                 .alias("var_s")))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    zc = (F.when(F.col("s_stat") > 0,
+                 (F.col("s_stat") - 1) / F.sqrt("var_s"))
+          .when(F.col("s_stat") < 0,
+                (F.col("s_stat") + 1) / F.sqrt("var_s"))
+          .otherwise(F.lit(0.0)))
+    z = v.select("priority", F.col("n").alias("n_months"), "s_stat",
+                 r6(F.col("var_s")).alias("var_s"), r6(zc).alias("z"))
+    return z.withColumn(
+        "trend",
+        F.when(F.col("z") > 1.96, "increasing")
+        .when(F.col("z") < -1.96, "decreasing")
+        .otherwise("none"))
+
+
+# ---------------------------------------------------------------------------
+# X265 — Cochran-Armitage trend test
+# ---------------------------------------------------------------------------
+
+_CA_ORACLE = """
+WITH g AS (
+  SELECT substr(o_orderpriority, 1, 1)::BIGINT AS w,
+         count(*)::BIGINT AS n,
+         count(*) FILTER (o_orderstatus = 'F')::BIGINT AS x
+  FROM orders GROUP BY 1),
+s AS (
+  SELECT sum(n) AS nn, sum(x) AS xx,
+         sum(w * x) AS swx, sum(w * n) AS swn,
+         sum(w * w * n) AS swwn
+  FROM g),
+t AS (
+  SELECT nn AS n_total, xx AS x_total,
+         swx - swn * (xx::DOUBLE / nn) AS t_stat,
+         (xx::DOUBLE / nn) * (1 - xx::DOUBLE / nn)
+           * (swwn - swn::DOUBLE * swn / nn) AS denom
+  FROM s)
+SELECT n_total, x_total,
+       floor(t_stat * 1e6 + 0.5) / 1e6 AS t_stat,
+       floor(t_stat * t_stat / denom * 1e6 + 0.5) / 1e6 AS z2,
+       CASE WHEN t_stat * t_stat / denom > 3.841459 THEN 'TREND'
+            ELSE 'NO_TREND' END AS verdict
+FROM t
+"""
+
+
+@query("ca_trend_priority_status", _CA_ORACLE)
+def ca_trend_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265 — Cochran-Armitage trend test: is the fulfilled-rate
+    (o_orderstatus='F') monotonically associated with the ORDERED
+    priority score (the leading digit 1..5)?  The χ² independence test
+    (X73) ignores category order; CA weights each category by its
+    score and tests the linear component — one dose-response statistic
+    from five integer cell sums.  Everything up to the final division
+    is integer-exact (counts and score products), so the statistic is
+    deterministic across engines; one group-aggregate + one 5-row
+    reduction, no joins at all."""
+    o = load_table(spark, sf_dir, "orders")
+    g = (o.groupBy(F.substring("o_orderpriority", 1, 1).cast("bigint")
+                   .alias("w"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("o_orderstatus") == "F", 1))
+              .alias("x")))
+    s = g.agg(F.sum("n").alias("nn"), F.sum("x").alias("xx"),
+              F.sum(F.col("w") * F.col("x")).alias("swx"),
+              F.sum(F.col("w") * F.col("n")).alias("swn"),
+              F.sum(F.col("w") * F.col("w") * F.col("n")).alias("swwn"))
+    pbar = F.col("xx").cast("double") / F.col("nn")
+    t = s.select(
+        F.col("nn").alias("n_total"), F.col("xx").alias("x_total"),
+        (F.col("swx") - F.col("swn") * pbar).alias("t_stat"),
+        (pbar * (1 - pbar)
+         * (F.col("swwn") - F.col("swn").cast("double") * F.col("swn")
+            / F.col("nn"))).alias("denom"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    z2 = F.col("t_stat") * F.col("t_stat") / F.col("denom")
+    return t.select(
+        "n_total", "x_total", r6(F.col("t_stat")).alias("t_stat"),
+        r6(z2).alias("z2"),
+        F.when(z2 > 3.841459, "TREND").otherwise("NO_TREND")
+        .alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X266 — empirical-Bayes shrinkage of group rates
+# ---------------------------------------------------------------------------
+
+_EB_ORACLE = """
+WITH g AS (
+  SELECT p_brand AS brand, count(*)::BIGINT AS n,
+         count(*) FILTER (l_returnflag = 'R')::BIGINT AS x
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand),
+mom AS (
+  SELECT avg(x::DOUBLE / n) AS mu, var_pop(x::DOUBLE / n) AS s2
+  FROM g),
+ab AS (
+  SELECT floor((mu * (1 - mu) / s2 - 1) * mu * 1e8 + 0.5) / 1e8
+           AS alpha,
+         floor((mu * (1 - mu) / s2 - 1) * (1 - mu) * 1e8 + 0.5) / 1e8
+           AS beta
+  FROM mom)
+SELECT brand, n, x,
+       floor(x::DOUBLE / n * 1e6 + 0.5) / 1e6 AS raw_rate,
+       floor((x + alpha) / (n + alpha + beta) * 1e6 + 0.5) / 1e6
+         AS shrunk_rate,
+       alpha, beta
+FROM g, ab
+"""
+
+
+@query("eb_shrunk_return_rates", _EB_ORACLE)
+def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266 — empirical-Bayes (beta-binomial) shrinkage of per-brand
+    return rates: method-of-moments prior (α, β) from the across-brand
+    mean/variance of raw rates, posterior mean (x+α)/(n+α+β) per
+    brand — the standard fix for small-sample rate rankings (raw rates
+    over-disperse; X240's Wilson bound ranks one group, EB borrows
+    strength ACROSS groups).  Broadcast part-dim join, one brand
+    aggregate, a broadcast 1-row (α, β) anchor; (α, β) floor-rounded
+    1e-8 before the posterior division on both engines (the X257
+    discipline), so the shrunk rates hash-match."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    g = (li.join(F.broadcast(part),
+                 part.p_partkey == li.l_partkey)
+         .groupBy(F.col("p_brand").alias("brand"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.count(F.when(F.col("l_returnflag") == "R", 1))
+              .alias("x")))
+    p_i = F.col("x").cast("double") / F.col("n")
+    mom = g.agg(F.avg(p_i).alias("mu"), F.var_pop(p_i).alias("s2"))
+
+    def r8(c):
+        return F.floor(c * 1e8 + F.lit(0.5)) / 1e8
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    k = F.col("mu") * (1 - F.col("mu")) / F.col("s2") - 1
+    ab = mom.select(r8(k * F.col("mu")).alias("alpha"),
+                    r8(k * (1 - F.col("mu"))).alias("beta"))
+    return (g.crossJoin(F.broadcast(ab))
+            .select("brand", "n", "x",
+                    r6(p_i).alias("raw_rate"),
+                    r6((F.col("x") + F.col("alpha"))
+                       / (F.col("n") + F.col("alpha") + F.col("beta")))
+                    .alias("shrunk_rate"),
+                    "alpha", "beta"))

@@ -181,6 +181,12 @@ BNLJ_ALLOWED = {
     # X257: the |groups|-row table crossJoins the BROADCAST
     # single-row normalizing-sum aggregate (the X151 shape).
     "mixture_temperature_weights",
+    # X263: the per-unit table crossJoins the BROADCAST single-row
+    # (ΣX, ΣY, n) totals aggregate (the X151 shape).
+    "jackknife_ratio_orders",
+    # X266: the |brands|-row table crossJoins the BROADCAST
+    # single-row (α, β) prior aggregate (the X73 shape).
+    "eb_shrunk_return_rates",
 }
 
 
