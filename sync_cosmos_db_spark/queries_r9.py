@@ -7,7 +7,8 @@ registration order before these enter the window; 15 + 4 = 19 of the
 CORRECTNESS row this round (round-8 verdict item 1's intent).
 
 The second r9 batch (X259-X262) brings the never-swept count to 23,
-the third (X263-X266) to 27 — still well inside the 50-slot window.
+the third (X263-X266) to 27, the fourth (X267-X270) to 31 — still
+inside the 50-slot window.
 """
 
 from __future__ import annotations
@@ -957,3 +958,307 @@ def eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / (F.col("n") + F.col("alpha") + F.col("beta")))
                     .alias("shrunk_rate"),
                     "alpha", "beta"))
+
+
+# ---------------------------------------------------------------------------
+# X267 — Burrows' Delta stylometric distance
+# ---------------------------------------------------------------------------
+
+_DELTA_K = 20
+
+_DELTA_ORACLE = f"""
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+tot AS (SELECT source, count(*)::BIGINT AS n_tok FROM tok GROUP BY source),
+wc AS (SELECT source, word, count(*)::BIGINT AS c
+       FROM tok GROUP BY source, word),
+topw AS (
+  SELECT word FROM (
+    SELECT word, sum(c) AS g FROM wc GROUP BY word
+    ORDER BY g DESC, word LIMIT {_DELTA_K})),
+grid AS (
+  SELECT t.source, w.word,
+         coalesce(wc.c, 0)::DOUBLE / t.n_tok AS f
+  FROM tot t CROSS JOIN topw w
+  LEFT JOIN wc ON wc.source = t.source AND wc.word = w.word),
+z AS (
+  SELECT source, word,
+         floor((f - avg(f) OVER (PARTITION BY word))
+               / stddev_pop(f) OVER (PARTITION BY word)
+               * 1e8 + 0.5) / 1e8 AS zf
+  FROM grid),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         avg(abs(a.zf - b.zf)) AS d
+  FROM z a JOIN z b ON b.word = a.word AND b.source > a.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b,
+       floor(d * 1e6 + 0.5) / 1e6 AS delta
+FROM pairs
+"""
+
+
+@query("stylometry_delta_sources", _DELTA_ORACLE)
+def stylometry_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267 — Burrows' Delta stylometric distance between every source
+    pair: z-score each source's relative frequency of the top-20
+    corpus words (across-source mean/sigma per word over the DENSE
+    word-by-source grid, zeros included), Delta = mean |z_a - z_b| —
+    the standard authorship-attribution distance, here fingerprinting
+    pipeline sources.  The grid is |top words| x |sources| (a
+    broadcast 20-row dim crossJoin), the pair join is word-keyed and
+    bounded by k * |sources|^2 — never document-sized.  z floor-rounded
+    1e-8 before pairing (the X257 discipline) so both engines difference
+    identical values."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.split("text", " ")).alias("word"))
+    tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n_tok"))
+    wc = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    topw = (wc.groupBy("word").agg(F.sum("c").alias("g"))
+            .orderBy(F.col("g").desc(), "word").limit(_DELTA_K)
+            .select("word"))
+    grid = (tot.crossJoin(F.broadcast(topw))
+            .join(wc, ["source", "word"], "left")
+            .select("source", "word",
+                    (F.coalesce("c", F.lit(0)).cast("double")
+                     / F.col("n_tok")).alias("f")))
+    part = W.partitionBy("word")
+    zf = (F.floor((F.col("f") - F.avg("f").over(part))
+                  / F.stddev_pop("f").over(part)
+                  * 1e8 + F.lit(0.5)) / 1e8)
+    z = grid.select("source", "word", zf.alias("zf"))
+    a = z.select(F.col("source").alias("source_a"), "word",
+                 F.col("zf").alias("za"))
+    b = z.select(F.col("source").alias("source_b"), "word",
+                 F.col("zf").alias("zb"))
+    return (a.join(b, "word")
+            .filter(F.col("source_b") > F.col("source_a"))
+            .groupBy("source_a", "source_b")
+            .agg((F.floor(F.avg(F.abs(F.col("za") - F.col("zb")))
+                          * 1e6 + F.lit(0.5)) / 1e6).alias("delta")))
+
+
+# ---------------------------------------------------------------------------
+# X268 — sequential monitoring (peeking) audit
+# ---------------------------------------------------------------------------
+
+_SEQ_ORACLE = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CASE WHEN translate(substr(sha256(user_id::VARCHAR || ':did'),
+                                    1, 6), 'abcdef', '012345')::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END AS treat
+  FROM events),
+daily AS (
+  SELECT event_type, day,
+         sum(treat)::BIGINT AS n_t,
+         sum(1 - treat)::BIGINT AS n_c
+  FROM e GROUP BY event_type, day),
+cum AS (
+  SELECT event_type, day,
+         sum(n_t) OVER w AS cum_t, sum(n_c) OVER w AS cum_c
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+z AS (
+  SELECT event_type, day, cum_t, cum_c,
+         floor((cum_t - cum_c) / sqrt(cum_t + cum_c) * 1e6 + 0.5) / 1e6
+           AS z
+  FROM cum)
+SELECT event_type, day, cum_t, cum_c, z,
+       CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END AS crossed
+FROM z
+"""
+
+
+@query("seq_monitor_events", _SEQ_ORACLE)
+def seq_monitor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268 — sequential-monitoring (peeking) audit per event type:
+    cumulative treat-vs-control counts of the X259 sha2 split by day,
+    the running balance z_t = (T-C)/sqrt(T+C), and a conservative
+    |z| > 3.0 crossing flag — the run-time guardrail that catches a
+    broken randomizer WITHOUT inflating false positives the way
+    repeated nominal-1.96 peeks would (the audit's reason to exist).
+    Integer counts make z_t deterministic; the cumulative window is
+    partitioned by event type over period-collapsed days (the X128
+    CUSUM shape)."""
+    from pyspark.sql import Window as W
+
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    treat = (hash_bucket("user_id", 2, "did") == 1).cast("int")
+    daily = (ev.select("event_type", F.to_date("ts").alias("day"),
+                       treat.alias("treat"))
+             .groupBy("event_type", "day")
+             .agg(F.sum("treat").cast("bigint").alias("n_t"),
+                  F.sum(1 - F.col("treat")).cast("bigint").alias("n_c")))
+    w = (W.partitionBy("event_type").orderBy("day")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = daily.select(
+        "event_type", "day",
+        F.sum("n_t").over(w).alias("cum_t"),
+        F.sum("n_c").over(w).alias("cum_c"))
+    z = (F.floor((F.col("cum_t") - F.col("cum_c"))
+                 / F.sqrt(F.col("cum_t") + F.col("cum_c"))
+                 * 1e6 + F.lit(0.5)) / 1e6)
+    out = cum.withColumn("z", z)
+    return out.withColumn(
+        "crossed", F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0))
+
+
+# ---------------------------------------------------------------------------
+# X269 — covariate balance audit (standardized mean differences)
+# ---------------------------------------------------------------------------
+
+_BAL_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         max(CASE WHEN translate(substr(sha256(user_id::VARCHAR
+                                               || ':did'), 1, 6),
+                                 'abcdef', '012345')::BIGINT % 2 = 1
+             THEN 1 ELSE 0 END) AS treat,
+         count(*)::DOUBLE AS n_events,
+         sum(value)::DOUBLE AS total_value,
+         count(DISTINCT event_type)::DOUBLE AS n_types,
+         avg(value) AS mean_value
+  FROM events GROUP BY user_id),
+long AS (
+  SELECT treat, 'n_events' AS covariate, n_events AS v FROM pu
+  UNION ALL
+  SELECT treat, 'total_value', total_value FROM pu
+  UNION ALL
+  SELECT treat, 'n_types', n_types FROM pu
+  UNION ALL
+  SELECT treat, 'mean_value', mean_value FROM pu),
+g AS (
+  SELECT covariate,
+         avg(v) FILTER (treat = 1) AS mean_t,
+         avg(v) FILTER (treat = 0) AS mean_c,
+         var_pop(v) FILTER (treat = 1) AS var_t,
+         var_pop(v) FILTER (treat = 0) AS var_c
+  FROM long GROUP BY covariate),
+r AS (
+  SELECT covariate,
+         floor(mean_t * 1e6 + 0.5) / 1e6 AS mean_t,
+         floor(mean_c * 1e6 + 0.5) / 1e6 AS mean_c,
+         CASE WHEN var_t + var_c > 0
+              THEN floor((mean_t - mean_c) / sqrt((var_t + var_c) / 2)
+                         * 1e6 + 0.5) / 1e6
+              ELSE NULL END AS smd
+  FROM g)
+SELECT covariate, mean_t, mean_c, smd,
+       CASE WHEN smd IS NULL THEN 'DEGENERATE'
+            WHEN abs(smd) < 0.1 THEN 'BALANCED'
+            ELSE 'IMBALANCED' END AS verdict
+FROM r
+"""
+
+
+@query("covariate_balance_users", _BAL_ORACLE)
+def covariate_balance_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X269 — covariate balance audit for the X259 experiment split:
+    standardized mean difference (mean_t - mean_c)/sqrt((var_t+var_c)/2)
+    for four pre-treatment user covariates, |SMD| < 0.1 = balanced (the
+    epidemiology convention).  The experiment-health check that must
+    PASS before X259's DiD or X141's CUPED readout is trusted.  One
+    user-keyed aggregate, an in-row ``stack`` unpivot (the X161 shape),
+    one 4-group aggregate; a zero-variance covariate yields a NULL SMD
+    and a DEGENERATE verdict on both engines instead of a divide-by-zero."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    pu = (ev.groupBy("user_id")
+          .agg(F.max((hash_bucket("user_id", 2, "did") == 1).cast("int"))
+               .alias("treat"),
+               F.count(F.lit(1)).cast("double").alias("n_events"),
+               F.sum("value").cast("double").alias("total_value"),
+               F.count_distinct("event_type").cast("double")
+               .alias("n_types"),
+               F.avg("value").alias("mean_value")))
+    long = pu.select(
+        "treat",
+        F.expr("stack(4, 'n_events', n_events, 'total_value', total_value,"
+               " 'n_types', n_types, 'mean_value', mean_value)")
+        .alias("covariate", "v"))
+    g = long.groupBy("covariate").agg(
+        F.avg(F.when(F.col("treat") == 1, F.col("v"))).alias("mean_t"),
+        F.avg(F.when(F.col("treat") == 0, F.col("v"))).alias("mean_c"),
+        F.var_pop(F.when(F.col("treat") == 1, F.col("v"))).alias("var_t"),
+        F.var_pop(F.when(F.col("treat") == 0, F.col("v"))).alias("var_c"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    pooled = F.col("var_t") + F.col("var_c")
+    smd = F.when(pooled > 0,
+                 r6((F.col("mean_t") - F.col("mean_c"))
+                    / F.sqrt(pooled / 2)))
+    r = g.select("covariate", r6(F.col("mean_t")).alias("mean_t"),
+                 r6(F.col("mean_c")).alias("mean_c"), smd.alias("smd"))
+    return r.withColumn(
+        "verdict",
+        F.when(F.col("smd").isNull(), "DEGENERATE")
+        .when(F.abs(F.col("smd")) < 0.1, "BALANCED")
+        .otherwise("IMBALANCED"))
+
+
+# ---------------------------------------------------------------------------
+# X270 — vocabulary richness (Good-Turing / Chao1)
+# ---------------------------------------------------------------------------
+
+_RICH_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word
+  FROM documents),
+wc AS (SELECT source, word, count(*)::BIGINT AS c
+       FROM tok GROUP BY source, word),
+s AS (
+  SELECT source,
+         sum(c) AS n_tokens,
+         count(*)::BIGINT AS vocab,
+         count(*) FILTER (c = 1)::BIGINT AS n1,
+         count(*) FILTER (c = 2)::BIGINT AS n2
+  FROM wc GROUP BY source)
+SELECT source, n_tokens, vocab, n1, n2,
+       floor(n1::DOUBLE / n_tokens * 1e6 + 0.5) / 1e6
+         AS p_unseen_gt,
+       floor((vocab + n1::DOUBLE * (n1 - 1) / (2 * (n2 + 1)))
+             * 1e6 + 0.5) / 1e6 AS chao1
+FROM s
+"""
+
+
+@query("vocab_richness_sources", _RICH_ORACLE)
+def vocab_richness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X270 — vocabulary richness per source: Good-Turing unseen-mass
+    estimate n1/N (the probability the next token is a NEW word) and
+    the bias-corrected Chao1 richness V + n1(n1-1)/(2(n2+1)) (estimated
+    TRUE vocabulary including unseen words) from the singleton/doubleton
+    counts - the capture-recapture answer to "how much vocabulary has
+    this source not shown us yet", which raw type counts (X64 vocab
+    growth) cannot give.  Two keyed aggregates; everything after the
+    (source, word) count is |vocab|-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source",
+                      F.explode(F.split("text", " ")).alias("word"))
+    wc = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    s = wc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.count(F.when(F.col("c") == 1, 1)).alias("n1"),
+        F.count(F.when(F.col("c") == 2, 1)).alias("n2"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return s.select(
+        "source", "n_tokens", "vocab", "n1", "n2",
+        r6(F.col("n1").cast("double") / F.col("n_tokens"))
+        .alias("p_unseen_gt"),
+        r6(F.col("vocab") + F.col("n1").cast("double") * (F.col("n1") - 1)
+           / (2 * (F.col("n2") + 1))).alias("chao1"))

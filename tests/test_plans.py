@@ -187,6 +187,9 @@ BNLJ_ALLOWED = {
     # X266: the |brands|-row table crossJoins the BROADCAST
     # single-row (α, β) prior aggregate (the X73 shape).
     "eb_shrunk_return_rates",
+    # X267: the |sources|-row totals table crossJoins the BROADCAST
+    # 20-row top-words dim (dense-grid zero fill, the X154 shape).
+    "stylometry_delta_sources",
 }
 
 
