@@ -7,8 +7,8 @@ registration order before these enter the window; 15 + 4 = 19 of the
 CORRECTNESS row this round (round-8 verdict item 1's intent).
 
 The second r9 batch (X259-X262) brings the never-swept count to 23,
-the third (X263-X266) to 27, the fourth (X267-X270) to 31 — still
-inside the 50-slot window.
+the third (X263-X266) to 27, the fourth (X267-X270) to 31, the
+fifth (X271-X274) to 35 — still inside the 50-slot window.
 """
 
 from __future__ import annotations
@@ -1262,3 +1262,324 @@ def vocab_richness_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p_unseen_gt"),
         r6(F.col("vocab") + F.col("n1").cast("double") * (F.col("n1") - 1)
            / (2 * (F.col("n2") + 1))).alias("chao1"))
+
+
+# ---------------------------------------------------------------------------
+# X271 — Chapman capture-recapture population estimate
+# ---------------------------------------------------------------------------
+
+_CR_ORACLE = """
+WITH s1 AS (SELECT DISTINCT user_id FROM events
+            WHERE ts < TIMESTAMP '2024-01-11 00:00:00'),
+s2 AS (SELECT DISTINCT user_id FROM events
+       WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+         AND ts < TIMESTAMP '2024-01-21 00:00:00'),
+m AS (SELECT count(*)::BIGINT AS m FROM s1 JOIN s2 USING (user_id)),
+c AS (SELECT (SELECT count(*) FROM s1)::BIGINT AS n1,
+             (SELECT count(*) FROM s2)::BIGINT AS n2,
+             (SELECT m FROM m) AS m,
+             (SELECT count(DISTINCT user_id) FROM events)::BIGINT
+               AS n_true),
+e AS (SELECT n1, n2, m, n_true,
+             floor(((n1 + 1)::DOUBLE * (n2 + 1) / (m + 1) - 1)
+                   * 1e6 + 0.5) / 1e6 AS n_hat,
+             floor(sqrt((n1 + 1)::DOUBLE * (n2 + 1) * (n1 - m)
+                        * (n2 - m)
+                        / ((m + 1)::DOUBLE * (m + 1) * (m + 2)))
+                   * 1e6 + 0.5) / 1e6 AS se
+      FROM c)
+SELECT n1, n2, m, n_true, n_hat, se,
+       floor((n_hat - 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_lo,
+       floor((n_hat + 1.96 * se) * 1e6 + 0.5) / 1e6 AS ci_hi,
+       CASE WHEN n_true >= n_hat - 1.96 * se
+             AND n_true <= n_hat + 1.96 * se
+            THEN 1 ELSE 0 END AS ci_covers_truth
+FROM e
+"""
+
+
+@query("capture_recapture_users", _CR_ORACLE)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X271 — Chapman capture-recapture estimate of the TOTAL user
+    population from two 10-day observation windows: N-hat =
+    (n1+1)(n2+1)/(m+1) - 1 with its standard error — the ecology
+    estimator applied to "how many users exist that we have not
+    logged", which no distinct count over observed data can answer.
+    The synthetic table observes everyone, so n_true is computable and
+    the ci_covers_truth column turns the query into a self-checking
+    calibration audit (the X262 idea for population estimates).  Two
+    distinct-sets + one key join + 1-row anchors; all-integer inputs
+    make every output deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    t1 = F.lit("2024-01-11").cast("timestamp")
+    t2 = F.lit("2024-01-21").cast("timestamp")
+    s1 = ev.filter(F.col("ts") < t1).select("user_id").distinct()
+    s2 = (ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2))
+          .select("user_id").distinct())
+    m = s1.join(s2, "user_id").agg(F.count(F.lit(1)).alias("m"))
+    n1 = s1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n2"))
+    nt = ev.agg(F.count_distinct("user_id").alias("n_true"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    c = (n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(m))
+         .crossJoin(F.broadcast(nt)))
+    e = c.select(
+        "n1", "n2", "m", "n_true",
+        r6((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+           / (F.col("m") + 1) - 1).alias("n_hat"),
+        r6(F.sqrt((F.col("n1") + 1).cast("double") * (F.col("n2") + 1)
+                  * (F.col("n1") - F.col("m")) * (F.col("n2") - F.col("m"))
+                  / ((F.col("m") + 1).cast("double") * (F.col("m") + 1)
+                     * (F.col("m") + 2)))).alias("se"))
+    return e.select(
+        "n1", "n2", "m", "n_true", "n_hat", "se",
+        r6(F.col("n_hat") - 1.96 * F.col("se")).alias("ci_lo"),
+        r6(F.col("n_hat") + 1.96 * F.col("se")).alias("ci_hi"),
+        F.when((F.col("n_true") >= F.col("n_hat") - 1.96 * F.col("se"))
+               & (F.col("n_true") <= F.col("n_hat") + 1.96 * F.col("se")),
+               1).otherwise(0).alias("ci_covers_truth"))
+
+
+# ---------------------------------------------------------------------------
+# X272 — grouped log-log price-elasticity OLS
+# ---------------------------------------------------------------------------
+
+_ELAST_ORACLE = """
+WITH m AS (
+  SELECT p_brand AS brand,
+         date_trunc('month', l_shipdate) AS month,
+         sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS cents,
+         sum(l_quantity)::BIGINT AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2),
+xy AS (
+  SELECT brand,
+         ln(cents::DOUBLE / qty) AS x,
+         ln(qty::DOUBLE) AS y
+  FROM m),
+fit AS (
+  SELECT brand, count(*)::BIGINT AS n_months,
+         covar_pop(x, y) / var_pop(x) AS slope,
+         avg(y) - covar_pop(x, y) / var_pop(x) * avg(x) AS icept
+  FROM xy GROUP BY brand)
+SELECT brand, n_months,
+       floor(slope * 1e6 + 0.5) / 1e6 AS elasticity,
+       floor(icept * 1e6 + 0.5) / 1e6 AS intercept
+FROM fit
+"""
+
+
+@query("elasticity_brand_ols", _ELAST_ORACLE)
+def elasticity_brand_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X272 — log-log price elasticity per part brand: monthly
+    (avg unit price, total quantity) per brand, OLS slope of
+    ln(qty) on ln(price) via the closed form covar_pop/var_pop —
+    the applied-econometrics member of the fit family (X73 fits one
+    line on one series; this fits one per GROUP in a single grouped
+    aggregate, no per-group loops).  Integer cents/qty sums make each
+    ln() argument exact; the broadcast part dim keys the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    m = (li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+         .groupBy(F.col("p_brand").alias("brand"),
+                  F.date_trunc("month", "l_shipdate").alias("month"))
+         .agg(F.sum(F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+                    .cast("bigint")).alias("cents"),
+              F.sum("l_quantity").cast("bigint").alias("qty")))
+    xy = m.select(
+        "brand",
+        F.log(F.col("cents").cast("double") / F.col("qty")).alias("x"),
+        F.log(F.col("qty").cast("double")).alias("y"))
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    fit = (xy.groupBy("brand")
+           .agg(F.count(F.lit(1)).alias("n_months"),
+                slope.alias("slope"),
+                (F.avg("y") - slope * F.avg("x")).alias("icept")))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return fit.select("brand", "n_months",
+                      r6(F.col("slope")).alias("elasticity"),
+                      r6(F.col("icept")).alias("intercept"))
+
+
+# ---------------------------------------------------------------------------
+# X273 — fixed-effect meta-analysis with heterogeneity
+# ---------------------------------------------------------------------------
+
+_META_ORACLE = """
+WITH o AS (
+  SELECT c_nationkey AS nation,
+         CASE WHEN translate(substr(sha256(o_custkey::VARCHAR || ':did'),
+                                    1, 6), 'abcdef', '012345')::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END AS arm,
+         o_totalprice AS v
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+g AS (
+  SELECT nation,
+         count(*) FILTER (arm = 1)::BIGINT AS n_t,
+         count(*) FILTER (arm = 0)::BIGINT AS n_c,
+         avg(v) FILTER (arm = 1) AS m_t,
+         avg(v) FILTER (arm = 0) AS m_c,
+         var_pop(v) FILTER (arm = 1) AS v_t,
+         var_pop(v) FILTER (arm = 0) AS v_c
+  FROM o GROUP BY nation
+  HAVING count(*) FILTER (arm = 1) >= 2
+     AND count(*) FILTER (arm = 0) >= 2),
+d AS (
+  SELECT nation,
+         floor((m_t - m_c) * 100 + 0.5) / 100 AS d,
+         floor((v_t / n_t + v_c / n_c) * 100 + 0.5) / 100 AS var_d
+  FROM g),
+pool AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(d / var_d) / sum(1 / var_d) AS pooled,
+         sqrt(1 / sum(1 / var_d)) AS se
+  FROM d),
+q AS (
+  SELECT k, pooled, se,
+         (SELECT sum((d.d - pool.pooled) * (d.d - pool.pooled) / d.var_d)
+          FROM d) AS q_stat
+  FROM pool)
+SELECT k,
+       floor(pooled * 1e6 + 0.5) / 1e6 AS pooled_effect,
+       floor(se * 1e6 + 0.5) / 1e6 AS se_pooled,
+       floor(q_stat * 1e6 + 0.5) / 1e6 AS q_stat,
+       floor(greatest(0, (q_stat - (k - 1)) / q_stat) * 1e6 + 0.5) / 1e6
+         AS i2,
+       CASE WHEN greatest(0, (q_stat - (k - 1)) / q_stat) > 0.5
+            THEN 'HETEROGENEOUS' ELSE 'HOMOGENEOUS' END AS verdict
+FROM q
+"""
+
+
+@query("meta_effect_nations", _META_ORACLE)
+def meta_effect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X273 — fixed-effect (inverse-variance) meta-analysis of the
+    per-nation treatment effect of the X259 split: pooled effect
+    sum(d/v)/sum(1/v), pooled se, Cochran's Q and I² heterogeneity —
+    the many-small-experiments combiner (each nation = one "study").
+    Per-nation d and var(d) are floor-rounded at 0.01 BEFORE pooling
+    (the X259 rounded-cell-means discipline at the precision float
+    variance sums can actually guarantee cross-engine); nations with
+    an arm under 2 observations are excluded on both engines.  One
+    keyed aggregate + a 1-row pooled anchor."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (o.join(F.broadcast(cust),
+                     cust.c_custkey == o.o_custkey)
+              .select(F.col("c_nationkey").alias("nation"),
+                      (hash_bucket("o_custkey", 2, "did") == 1)
+                      .cast("int").alias("arm"),
+                      F.col("o_totalprice").alias("v")))
+    t = F.col("arm") == 1
+    g = (joined.groupBy("nation")
+         .agg(F.count(F.when(t, 1)).alias("n_t"),
+              F.count(F.when(~t, 1)).alias("n_c"),
+              F.avg(F.when(t, F.col("v"))).alias("m_t"),
+              F.avg(F.when(~t, F.col("v"))).alias("m_c"),
+              F.var_pop(F.when(t, F.col("v"))).alias("v_t"),
+              F.var_pop(F.when(~t, F.col("v"))).alias("v_c"))
+         .filter((F.col("n_t") >= 2) & (F.col("n_c") >= 2)))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    def r2(c):
+        return F.floor(c * 100 + F.lit(0.5)) / 100
+
+    d = g.select("nation", r2(F.col("m_t") - F.col("m_c")).alias("d"),
+                 r2(F.col("v_t") / F.col("n_t")
+                    + F.col("v_c") / F.col("n_c")).alias("var_d"))
+    pool = d.agg(
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("d") / F.col("var_d"))
+         / F.sum(1 / F.col("var_d"))).alias("pooled"),
+        F.sqrt(1 / F.sum(1 / F.col("var_d"))).alias("se"))
+    q = (d.crossJoin(F.broadcast(pool))
+         .agg(F.max("k").alias("k"), F.max("pooled").alias("pooled"),
+              F.max("se").alias("se"),
+              F.sum((F.col("d") - F.col("pooled"))
+                    * (F.col("d") - F.col("pooled")) / F.col("var_d"))
+              .alias("q_stat")))
+    i2 = F.greatest(F.lit(0.0),
+                    (F.col("q_stat") - (F.col("k") - 1)) / F.col("q_stat"))
+    return q.select(
+        "k", r6(F.col("pooled")).alias("pooled_effect"),
+        r6(F.col("se")).alias("se_pooled"),
+        r6(F.col("q_stat")).alias("q_stat"),
+        r6(i2).alias("i2"),
+        F.when(i2 > 0.5, "HETEROGENEOUS").otherwise("HOMOGENEOUS")
+        .alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X274 — negative-binomial method-of-moments fit
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH per AS (
+  SELECT user_id, count(*)::DOUBLE AS n FROM events GROUP BY user_id),
+mv AS (
+  SELECT count(*)::BIGINT AS n_users,
+         floor(avg(n) * 1e8 + 0.5) / 1e8 AS m,
+         floor(var_pop(n) * 1e8 + 0.5) / 1e8 AS v
+  FROM per)
+SELECT n_users,
+       floor(m * 1e6 + 0.5) / 1e6 AS mean_events,
+       floor(v * 1e6 + 0.5) / 1e6 AS var_events,
+       floor(v / m * 1e6 + 0.5) / 1e6 AS dispersion_index,
+       CASE WHEN v > m
+            THEN floor(m * m / (v - m) * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS nb_size_r,
+       CASE WHEN v > m
+            THEN floor(pow(m * m / (v - m) / (m * m / (v - m) + m),
+                           m * m / (v - m)) * 1e6 + 0.5) / 1e6
+            ELSE NULL END AS p_zero_nb,
+       CASE WHEN v > m THEN 'OVERDISPERSED'
+            WHEN v < m THEN 'UNDERDISPERSED'
+            ELSE 'POISSON' END AS verdict
+FROM mv
+"""
+
+
+@query("nb_fit_user_events", _NB_ORACLE)
+def nb_fit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X274 — negative-binomial method-of-moments fit of per-user
+    event counts: size r = m²/(v−m), P(0) = (r/(r+m))^r, dispersion
+    index v/m with an OVER/UNDER/POISSON verdict — the parametric
+    counterpart of X206's dispersion profile (that one measures, this
+    one FITS and predicts the unseen-zero mass).  (m, v) floor-rounded
+    1e-8 before the closed forms (the X257 pow discipline) so both
+    engines exponentiate identical doubles; underdispersion yields
+    NULL fit columns instead of a negative size."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).cast("double").alias("n")))
+
+    def r8(c):
+        return F.floor(c * 1e8 + F.lit(0.5)) / 1e8
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    mv = per.agg(F.count(F.lit(1)).alias("n_users"),
+                 r8(F.avg("n")).alias("m"),
+                 r8(F.var_pop("n")).alias("v"))
+    m, v = F.col("m"), F.col("v")
+    r = m * m / (v - m)
+    over = v > m
+    return mv.select(
+        "n_users", r6(m).alias("mean_events"), r6(v).alias("var_events"),
+        r6(v / m).alias("dispersion_index"),
+        F.when(over, r6(r)).alias("nb_size_r"),
+        F.when(over, r6(F.pow(r / (r + m), r))).alias("p_zero_nb"),
+        F.when(over, "OVERDISPERSED")
+        .when(v < m, "UNDERDISPERSED")
+        .otherwise("POISSON").alias("verdict"))

@@ -190,6 +190,12 @@ BNLJ_ALLOWED = {
     # X267: the |sources|-row totals table crossJoins the BROADCAST
     # 20-row top-words dim (dense-grid zero fill, the X154 shape).
     "stylometry_delta_sources",
+    # X271: four single-row aggregates (n1, n2, m, n_true) crossJoin
+    # into the one-row estimate (verify_counts shape).
+    "capture_recapture_users",
+    # X273: the |nations|-row effect table crossJoins the BROADCAST
+    # single-row pooled-effect aggregate (the X73 shape).
+    "meta_effect_nations",
 }
 
 
