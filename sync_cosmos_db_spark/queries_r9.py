@@ -8,7 +8,8 @@ CORRECTNESS row this round (round-8 verdict item 1's intent).
 
 The second r9 batch (X259-X262) brings the never-swept count to 23,
 the third (X263-X266) to 27, the fourth (X267-X270) to 31, the
-fifth (X271-X274) to 35 — still inside the 50-slot window.
+fifth (X271-X274) to 35, the sixth (X275-X278) to 39 — still inside
+the 50-slot window.
 """
 
 from __future__ import annotations
@@ -1583,3 +1584,390 @@ def nb_fit_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(over, "OVERDISPERSED")
         .when(v < m, "UNDERDISPERSED")
         .otherwise("POISSON").alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X275 — log-rank two-sample survival test
+# ---------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = """
+WITH u AS (
+  SELECT user_id,
+         CASE WHEN translate(substr(sha256(user_id::VARCHAR || ':did'),
+                                    1, 6), 'abcdef', '012345')::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END AS arm,
+         date_diff('day', min(CAST(ts AS DATE)),
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN CAST(ts AS DATE) END)) AS t_event,
+         date_diff('day', min(CAST(ts AS DATE)),
+                   max(CAST(ts AS DATE))) AS t_last
+  FROM events GROUP BY user_id),
+surv AS (
+  SELECT arm,
+         coalesce(t_event, t_last) AS t,
+         CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS died
+  FROM u),
+times AS (SELECT DISTINCT t AS dt FROM surv WHERE died = 1),
+risk AS (
+  SELECT dt,
+         count(*) FILTER (surv.arm = 1)::BIGINT AS n1,
+         count(*)::BIGINT AS n,
+         count(*) FILTER (surv.died = 1 AND surv.t = dt
+                          AND surv.arm = 1)::BIGINT AS d1,
+         count(*) FILTER (surv.died = 1 AND surv.t = dt)::BIGINT AS d
+  FROM times JOIN surv ON surv.t >= times.dt
+  GROUP BY dt),
+terms AS (
+  SELECT sum(d1 - d * n1::DOUBLE / n) AS o_minus_e,
+         sum(CASE WHEN n > 1
+                  THEN d * (n1::DOUBLE / n) * (1 - n1::DOUBLE / n)
+                       * (n - d) / (n - 1)
+                  ELSE 0 END) AS var_sum,
+         count(*)::BIGINT AS n_times
+  FROM risk)
+SELECT n_times,
+       floor(o_minus_e * 1e6 + 0.5) / 1e6 AS o_minus_e,
+       floor(var_sum * 1e6 + 0.5) / 1e6 AS var_sum,
+       floor(o_minus_e * o_minus_e / var_sum * 1e6 + 0.5) / 1e6
+         AS chi2,
+       CASE WHEN o_minus_e * o_minus_e / var_sum > 3.841459
+            THEN 'DIFFERENT' ELSE 'NO_DIFFERENCE' END AS verdict
+FROM terms
+"""
+
+
+@query("logrank_survival_arms", _LOGRANK_ORACLE)
+def logrank_survival_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X275 — log-rank test between the X259 arms on time-to-first-
+    purchase (censored at last observed day): at each death time,
+    O−E = d1 − d·n1/n and the hypergeometric variance, chi² =
+    (ΣO−E)²/ΣV — the standard censoring-correct two-sample survival
+    comparison X148's Kaplan-Meier CURVE cannot give a verdict from.
+    The at-risk table comes from a broadcast |death-times|-row dim
+    range-joined to users (N×|times|, linear — the X246 bounded-BNLJ
+    shape); integer counts keep every term deterministic."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (ev.groupBy("user_id")
+         .agg(F.max((hash_bucket("user_id", 2, "did") == 1).cast("int"))
+              .alias("arm"),
+              F.datediff(
+                  F.min(F.when(F.col("event_type") == "purchase",
+                               F.to_date("ts"))),
+                  F.min(F.to_date("ts"))).alias("t_event"),
+              F.datediff(F.max(F.to_date("ts")),
+                         F.min(F.to_date("ts"))).alias("t_last")))
+    surv = u.select(
+        "arm",
+        F.coalesce("t_event", "t_last").alias("t"),
+        F.when(F.col("t_event").isNotNull(), 1).otherwise(0)
+        .alias("died"))
+    times = (surv.filter(F.col("died") == 1).select(F.col("t").alias("dt"))
+             .distinct())
+    joined = F.broadcast(times).join(surv, surv.t >= times.dt)
+    risk = joined.groupBy("dt").agg(
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n1"),
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("died") == 1) & (F.col("t") == F.col("dt"))
+                       & (F.col("arm") == 1), 1)).alias("d1"),
+        F.count(F.when((F.col("died") == 1) & (F.col("t") == F.col("dt")),
+                       1)).alias("d"))
+    n1n = F.col("n1").cast("double") / F.col("n")
+    terms = risk.agg(
+        F.sum(F.col("d1") - F.col("d") * n1n).alias("o_minus_e"),
+        F.sum(F.when(F.col("n") > 1,
+                     F.col("d") * n1n * (1 - n1n)
+                     * (F.col("n") - F.col("d")) / (F.col("n") - 1))
+              .otherwise(0.0)).alias("var_sum"),
+        F.count(F.lit(1)).alias("n_times"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    chi2 = (F.col("o_minus_e") * F.col("o_minus_e") / F.col("var_sum"))
+    return terms.select(
+        "n_times", r6(F.col("o_minus_e")).alias("o_minus_e"),
+        r6(F.col("var_sum")).alias("var_sum"), r6(chi2).alias("chi2"),
+        F.when(chi2 > 3.841459, "DIFFERENT").otherwise("NO_DIFFERENCE")
+        .alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X276 — permutation test with deterministic relabelings
+# ---------------------------------------------------------------------------
+
+_PERM_B = 50
+
+_PERM_ORACLE = f"""
+WITH o AS (
+  SELECT o_custkey, o_totalprice AS v FROM orders),
+obs AS (
+  SELECT floor((avg(v) FILTER (translate(substr(sha256(
+               o_custkey::VARCHAR || ':did'), 1, 6),
+               'abcdef', '012345')::BIGINT % 2 = 1)
+              - avg(v) FILTER (translate(substr(sha256(
+               o_custkey::VARCHAR || ':did'), 1, 6),
+               'abcdef', '012345')::BIGINT % 2 = 0))
+             * 1e6 + 0.5) / 1e6 AS diff_obs
+  FROM o),
+b AS (SELECT unnest(generate_series(1, {_PERM_B})) AS b),
+perm AS (
+  SELECT b.b,
+         floor((avg(v) FILTER (translate(substr(sha256(
+               o_custkey::VARCHAR || '#' || b.b || ':perm'), 1, 6),
+               'abcdef', '012345')::BIGINT % 2 = 1)
+              - avg(v) FILTER (translate(substr(sha256(
+               o_custkey::VARCHAR || '#' || b.b || ':perm'), 1, 6),
+               'abcdef', '012345')::BIGINT % 2 = 0))
+             * 1e6 + 0.5) / 1e6 AS diff_b
+  FROM o, b GROUP BY b.b)
+SELECT {_PERM_B}::BIGINT AS n_perms, diff_obs,
+       count(*) FILTER (abs(diff_b) >= abs(diff_obs))::BIGINT
+         AS n_extreme,
+       floor((1 + count(*) FILTER (abs(diff_b) >= abs(diff_obs)))::DOUBLE
+             / (1 + {_PERM_B}) * 1e6 + 0.5) / 1e6 AS p_value,
+       CASE WHEN (1 + count(*) FILTER (abs(diff_b)
+                                       >= abs(diff_obs)))::DOUBLE
+                 / (1 + {_PERM_B}) < 0.05
+            THEN 'REJECT' ELSE 'FAIL_TO_REJECT' END AS verdict
+FROM perm, obs
+GROUP BY diff_obs
+"""
+
+
+@query("permutation_test_orders", _PERM_ORACLE)
+def permutation_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X276 — permutation test of the arm difference in mean order
+    value: 50 DETERMINISTIC relabelings via the sha2 bucket salted
+    with the permutation index (the X9 discipline — reproducible
+    "randomness", never rand()), p = (1 + #{|diff_b| ≥ |diff_obs|}) /
+    (B+1) — distribution-free inference where X140's bootstrap gives
+    a CI.  The ×B explode is the X140 bounded fan-out; per-b diffs
+    are 1e-6-rounded before the extreme count so both engines compare
+    identical values."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_totalprice").alias("v"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    arm = hash_bucket("o_custkey", 2, "did")
+    obs = o.agg(r6(F.avg(F.when(arm == 1, F.col("v")))
+                   - F.avg(F.when(arm == 0, F.col("v"))))
+                .alias("diff_obs"))
+    exploded = o.withColumn(
+        "b", F.explode(F.array(*[F.lit(i) for i in range(1, _PERM_B + 1)])))
+    parm = hash_bucket(
+        F.concat(F.col("o_custkey").cast("string"), F.lit("#"),
+                 F.col("b").cast("string")), 2, "perm")
+    perm = (exploded.groupBy("b")
+            .agg(r6(F.avg(F.when(parm == 1, F.col("v")))
+                    - F.avg(F.when(parm == 0, F.col("v"))))
+                 .alias("diff_b")))
+    extreme = (perm.crossJoin(F.broadcast(obs))
+               .agg(F.max("diff_obs").alias("diff_obs"),
+                    F.count(F.when(F.abs(F.col("diff_b"))
+                                   >= F.abs(F.col("diff_obs")), 1))
+                    .alias("n_extreme")))
+    p = ((1 + F.col("n_extreme")).cast("double") / (1 + _PERM_B))
+    return extreme.select(
+        F.lit(_PERM_B).cast("bigint").alias("n_perms"), "diff_obs",
+        "n_extreme", r6(p).alias("p_value"),
+        F.when(p < 0.05, "REJECT").otherwise("FAIL_TO_REJECT")
+        .alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X277 — Mantel-Haenszel stratified odds ratio
+# ---------------------------------------------------------------------------
+
+_MH_ORACLE = """
+WITH o AS (
+  SELECT c_nationkey AS nation,
+         CASE WHEN translate(substr(sha256(o_custkey::VARCHAR || ':did'),
+                                    1, 6), 'abcdef', '012345')::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END AS arm,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders JOIN customer ON c_custkey = o_custkey),
+s AS (
+  SELECT nation,
+         count(*) FILTER (arm = 1 AND y = 1)::BIGINT AS a,
+         count(*) FILTER (arm = 1 AND y = 0)::BIGINT AS b,
+         count(*) FILTER (arm = 0 AND y = 1)::BIGINT AS c,
+         count(*) FILTER (arm = 0 AND y = 0)::BIGINT AS d,
+         count(*)::BIGINT AS n
+  FROM o GROUP BY nation
+  HAVING count(*) FILTER (arm = 1) > 0
+     AND count(*) FILTER (arm = 0) > 0),
+sums AS (
+  SELECT count(*)::BIGINT AS k,
+         sum(a::DOUBLE * d / n) AS r_sum,
+         sum(b::DOUBLE * c / n) AS s_sum,
+         sum((a + d)::DOUBLE / n * a * d / n) AS pr,
+         sum((a + d)::DOUBLE / n * b * c / n
+             + (b + c)::DOUBLE / n * a * d / n) AS ps,
+         sum((b + c)::DOUBLE / n * b * c / n) AS qs
+  FROM s)
+SELECT k,
+       floor(r_sum / s_sum * 1e6 + 0.5) / 1e6 AS or_mh,
+       floor(ln(r_sum / s_sum) * 1e6 + 0.5) / 1e6 AS ln_or,
+       floor(sqrt(pr / (2 * r_sum * r_sum)
+                  + ps / (2 * r_sum * s_sum)
+                  + qs / (2 * s_sum * s_sum)) * 1e6 + 0.5) / 1e6
+         AS se_ln_or
+FROM sums
+"""
+
+
+@query("mh_odds_ratio_nations", _MH_ORACLE)
+def mh_odds_ratio_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X277 — Mantel-Haenszel common odds ratio across nation strata
+    (arm × fulfilled 2×2 per nation) with the Robins-Breslow-Greenland
+    standard error of ln(OR) — the confounding-adjusted effect
+    estimate: a naive pooled 2×2 is Simpson's-paradox-prone exactly
+    where X273's per-stratum effects disagree.  Integer cell counts →
+    every R/S/P/Q term is a deterministic small-integer ratio; one
+    keyed aggregate + one 1-row reduction."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = (o.join(F.broadcast(cust), cust.c_custkey == o.o_custkey)
+         .select(F.col("c_nationkey").alias("nation"),
+                 (hash_bucket("o_custkey", 2, "did") == 1).cast("int")
+                 .alias("arm"),
+                 (F.col("o_orderstatus") == "F").cast("int").alias("y")))
+    s = (j.groupBy("nation")
+         .agg(F.count(F.when((F.col("arm") == 1) & (F.col("y") == 1), 1))
+              .alias("a"),
+              F.count(F.when((F.col("arm") == 1) & (F.col("y") == 0), 1))
+              .alias("b"),
+              F.count(F.when((F.col("arm") == 0) & (F.col("y") == 1), 1))
+              .alias("c"),
+              F.count(F.when((F.col("arm") == 0) & (F.col("y") == 0), 1))
+              .alias("d"),
+              F.count(F.lit(1)).alias("n"))
+         .filter((F.col("a") + F.col("b") > 0)
+                 & (F.col("c") + F.col("d") > 0)))
+    ad = F.col("a").cast("double") * F.col("d") / F.col("n")
+    bc = F.col("b").cast("double") * F.col("c") / F.col("n")
+    sums = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(ad).alias("r_sum"),
+        F.sum(bc).alias("s_sum"),
+        F.sum((F.col("a") + F.col("d")).cast("double") / F.col("n") * ad)
+        .alias("pr"),
+        F.sum((F.col("a") + F.col("d")).cast("double") / F.col("n") * bc
+              + (F.col("b") + F.col("c")).cast("double") / F.col("n") * ad)
+        .alias("ps"),
+        F.sum((F.col("b") + F.col("c")).cast("double") / F.col("n") * bc)
+        .alias("qs"))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    orr = F.col("r_sum") / F.col("s_sum")
+    return sums.select(
+        "k", r6(orr).alias("or_mh"), r6(F.log(orr)).alias("ln_or"),
+        r6(F.sqrt(F.col("pr") / (2 * F.col("r_sum") * F.col("r_sum"))
+                  + F.col("ps") / (2 * F.col("r_sum") * F.col("s_sum"))
+                  + F.col("qs") / (2 * F.col("s_sum") * F.col("s_sum"))))
+        .alias("se_ln_or"))
+
+
+# ---------------------------------------------------------------------------
+# X278 — Cramér's V association matrix
+# ---------------------------------------------------------------------------
+
+_CV_ORACLE = """
+WITH o AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         year(o_orderdate)::VARCHAR AS yr
+  FROM orders),
+pairs AS (
+  SELECT 'status' AS col_a, 'priority' AS col_b, status AS va,
+         priority AS vb FROM o
+  UNION ALL
+  SELECT 'status', 'yr', status, yr FROM o
+  UNION ALL
+  SELECT 'priority', 'yr', priority, yr FROM o),
+cells AS (
+  SELECT col_a, col_b, va, vb, count(*)::BIGINT AS nij
+  FROM pairs GROUP BY col_a, col_b, va, vb),
+margins AS (
+  SELECT col_a, col_b, va, vb, nij,
+         sum(nij) OVER (PARTITION BY col_a, col_b, va) AS ni,
+         sum(nij) OVER (PARTITION BY col_a, col_b, vb) AS nj,
+         sum(nij) OVER (PARTITION BY col_a, col_b) AS n
+  FROM cells),
+chi AS (
+  -- chi2 = n * (sum nij^2/(ni*nj) - 1): algebraically identical to
+  -- sum (nij-eij)^2/eij over the FULL r x c grid (empty cells
+  -- contribute their eij through the -1 term), so zero cells need
+  -- never materialize
+  SELECT col_a, col_b,
+         max(n) * (sum(nij::DOUBLE * nij / (ni::DOUBLE * nj)) - 1)
+           AS chi2,
+         max(n) AS n,
+         count(DISTINCT va)::BIGINT AS r,
+         count(DISTINCT vb)::BIGINT AS c
+  FROM margins GROUP BY col_a, col_b)
+SELECT col_a, col_b, r, c,
+       floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+       floor(sqrt(chi2 / (n * (least(r, c) - 1))) * 1e6 + 0.5) / 1e6
+         AS cramers_v
+FROM chi
+"""
+
+
+@query("cramers_v_matrix_orders", _CV_ORACLE)
+def cramers_v_matrix_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X278 — Cramér's V association matrix over the categorical
+    column pairs (status, priority, order-year): chi² per pair from
+    window-computed margins, V = sqrt(chi²/(n·(min(r,c)−1))) — the
+    normalized [0,1] association strength the raw chi² (X73) cannot
+    compare across pairs with different table sizes.  One in-row
+    stack unpivot fans each row into its 3 pairs, then one (pair,
+    cell) count + pair-partitioned margin windows — the pair list is
+    compile-time, the data is scanned once."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("string").alias("yr"))
+    pairs = o.select(F.expr(
+        "stack(3, 'status', 'priority', status, priority,"
+        " 'status', 'yr', status, yr,"
+        " 'priority', 'yr', priority, yr)")
+        .alias("col_a", "col_b", "va", "vb"))
+    cells = (pairs.groupBy("col_a", "col_b", "va", "vb")
+             .agg(F.count(F.lit(1)).alias("nij")))
+    from pyspark.sql import Window as W
+
+    pa = W.partitionBy("col_a", "col_b", "va")
+    pb = W.partitionBy("col_a", "col_b", "vb")
+    pn = W.partitionBy("col_a", "col_b")
+    m = (cells
+         .withColumn("ni", F.sum("nij").over(pa))
+         .withColumn("nj", F.sum("nij").over(pb))
+         .withColumn("n", F.sum("nij").over(pn)))
+    # chi2 = n * (sum nij^2/(ni*nj) - 1) == the full-grid Pearson sum
+    # including empty cells, without materializing them
+    term = (F.col("nij").cast("double") * F.col("nij")
+            / (F.col("ni").cast("double") * F.col("nj")))
+    chi = (m.groupBy("col_a", "col_b")
+           .agg((F.max("n") * (F.sum(term) - 1)).alias("chi2"),
+                F.max("n").alias("n"),
+                F.count_distinct("va").alias("r"),
+                F.count_distinct("vb").alias("c")))
+
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+    return chi.select(
+        "col_a", "col_b", "r", "c", r6(F.col("chi2")).alias("chi2"),
+        r6(F.sqrt(F.col("chi2")
+                  / (F.col("n") * (F.least("r", "c") - 1))))
+        .alias("cramers_v"))

@@ -196,6 +196,12 @@ BNLJ_ALLOWED = {
     # X273: the |nations|-row effect table crossJoins the BROADCAST
     # single-row pooled-effect aggregate (the X73 shape).
     "meta_effect_nations",
+    # X275: the BROADCAST |death-times|-row dim range-joins the user
+    # survival table — N×|times|, linear (the X246 shape).
+    "logrank_survival_arms",
+    # X276: the 50-row permutation-diff table crossJoins the
+    # BROADCAST single-row observed-diff aggregate (the X73 shape).
+    "permutation_test_orders",
 }
 
 
