@@ -202,6 +202,15 @@ BNLJ_ALLOWED = {
     # X276: the 50-row permutation-diff table crossJoins the
     # BROADCAST single-row observed-diff aggregate (the X73 shape).
     "permutation_test_orders",
+    # X279: the single-row H aggregate crossJoins the BROADCAST
+    # single-row tie-correction aggregate (verify_counts shape).
+    "kruskal_wallis_priority_price",
+    # X280: the |days|-row daily collapse crossJoins the BROADCAST
+    # single-row (d0, n, s, q) stats aggregate (the X73 shape).
+    "periodicity_scan_daily_revenue",
+    # X281: the daily collapse and the 10-row lag table each
+    # crossJoin a BROADCAST single-row aggregate (the X73 shape).
+    "ljung_box_daily_revenue",
 }
 
 
