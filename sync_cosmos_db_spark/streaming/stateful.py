@@ -313,21 +313,29 @@ def transform_with_state_available() -> bool:
     ``transformWithStateInPandas`` — the state-store engine that
     supersedes ``applyInPandasWithState`` (typed value/list/map state,
     timers, TTL).  Its Python↔JVM state-server protocol is
-    protobuf-based, and this sandbox's protobuf install is broken
-    (``STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE`` on first use,
-    root cause ``import google.protobuf.descriptor``) — so the TWS
-    forms and their parity tests gate on this probe: SKIPPED here,
-    live the moment the environment's protobuf works.
+    protobuf-based, and this sandbox has no ``google.protobuf``
+    installed (installs are off-limits).
 
-    Re-checked 2026-08-14 (round 9): ``import google.protobuf`` still
-    raises ``ModuleNotFoundError: No module named 'google'`` — the
-    package is absent outright, and installs are off-limits in this
-    sandbox.  The foreachBatch batch-merge twins remain the blessed
-    scale path (13–15× the live forms at 2M events / 200k keys;
-    SCALING.md)."""
-    try:
-        import google.protobuf.descriptor  # noqa: F401
-    except Exception:
+    RESOLVED 2026-08-15 (round 9): the host's publicly distributed
+    Google Cloud SDK bundles a complete pure-Python protobuf 4.23.2
+    runtime; ``protobuf_shim.install_protobuf_alias`` aliases it as
+    ``google.protobuf`` (with a documented no-op shim for the 5.27+
+    ``runtime_version`` gencode guard — see the module docstring for
+    why the skew is verified-compatible).  Worker processes get the
+    alias through the processors' ``__reduce__`` hook
+    (``protobuf_shim.rebuild_tws_processor``), which runs at command
+    unpickle time, before the API client's first lazy proto import.
+    The TWS parity tests now RUN (not skip).  TWS additionally needs
+    the RocksDB state store provider (column families) — the runners
+    below set ``spark.sql.streaming.stateStore.providerClass`` per
+    query.
+
+    Still per-key Python dispatch: the foreachBatch batch-merge twins
+    remain the blessed scale path (13–15× the live forms at 2M events
+    / 200k keys; SCALING.md)."""
+    from sync_cosmos_db_spark.protobuf_shim import install_protobuf_alias
+
+    if not install_protobuf_alias():
         return False
     try:
         from pyspark.sql.streaming.stateful_processor import (  # noqa: F401
@@ -338,26 +346,46 @@ def transform_with_state_available() -> bool:
     return True
 
 
+_ROCKSDB_PROVIDER = ("org.apache.spark.sql.execution.streaming."
+                     "state.RocksDBStateStoreProvider")
+
+
+def _register_shim_by_value() -> None:
+    """Ship ``protobuf_shim`` by value inside every pickle that
+    references it, so workers never need this repo on their import
+    path (the driver may run from a non-repo cwd)."""
+    from pyspark import cloudpickle
+
+    from sync_cosmos_db_spark import protobuf_shim
+
+    cloudpickle.register_pickle_by_value(protobuf_shim)
+
+
 def rate_limit_stream_tws(events: DataFrame, limit: int = 5) -> DataFrame:
     """X160 on Spark 4's ``transformWithStateInPandas`` — the same
     per-(user, hour) admission counters as ``rate_limit_stream``, held
     in a typed ``ValueState`` instead of the legacy flat state row.
     Output schema and semantics are identical, so the parity test can
     assert TWS == live == batchmerge totals.  Gated behind
-    ``transform_with_state_available()`` (see probe docstring); still
+    ``transform_with_state_available()`` (see probe docstring); the
+    query must run under the RocksDB state store provider
+    (``_ROCKSDB_PROVIDER`` — TWS needs column families).  Still
     per-key Python dispatch, so ``run_rate_limit_batchmerge`` remains
     the scale path regardless of engine."""
     if not transform_with_state_available():
         raise RuntimeError(
-            "transformWithStateInPandas unavailable: protobuf import "
-            "broken in this environment (see "
-            "transform_with_state_available docstring / SCALING.md)")
+            "transformWithStateInPandas unavailable: no usable protobuf "
+            "runtime found (see transform_with_state_available "
+            "docstring / SCALING.md)")
+    _register_shim_by_value()
 
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
+
+    from sync_cosmos_db_spark.protobuf_shim import rebuild_tws_processor
 
     class RateLimitProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -386,7 +414,73 @@ def rate_limit_stream_tws(events: DataFrame, limit: int = 5) -> DataFrame:
         def close(self) -> None:
             pass
 
+        def __reduce__(self):
+            # install the protobuf alias in every unpickling process
+            # (PRE_INIT driver worker + executor workers) before the
+            # API client's first lazy StateMessage_pb2 import
+            return (rebuild_tws_processor,
+                    (type(self), dict(self.__dict__)))
+
     keyed = events.withColumn(
         "__win", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
     return keyed.groupBy("user_id", "__win").transformWithStateInPandas(
         RateLimitProcessor(), _RL_OUT_SCHEMA, "Update", "None")
+
+
+def changelog_compact_stream_tws(changes: DataFrame) -> DataFrame:
+    """X156 on Spark 4's ``transformWithStateInPandas`` — the same
+    per-key changelog winner as ``changelog_compact_stream`` ((seq
+    DESC, op ASC) collapse order), held in a typed ``ValueState``.
+    Identical output schema/semantics, so the parity test asserts
+    TWS == live emissions fold to the same final winners.  Same
+    gating and RocksDB requirement as ``rate_limit_stream_tws``;
+    ``run_changelog_compaction`` remains the scale path."""
+    if not transform_with_state_available():
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: no usable protobuf "
+            "runtime found (see transform_with_state_available "
+            "docstring / SCALING.md)")
+    _register_shim_by_value()
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from sync_cosmos_db_spark.protobuf_shim import rebuild_tws_processor
+
+    class CompactProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "winner", _CDC_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            got = self._state.get() if self._state.exists() else None
+            if got is not None:
+                seq, op, price, status = got
+            else:
+                seq, op, price, status = None, None, None, None
+            for pdf in rows:
+                r = pdf.sort_values(["seq", "op"],
+                                    ascending=[False, True]).iloc[0]
+                if (seq is None or r["seq"] > seq
+                        or (r["seq"] == seq and r["op"] < op)):
+                    seq, op = int(r["seq"]), str(r["op"])
+                    price = float(r["o_totalprice"])
+                    status = str(r["o_orderstatus"])
+            self._state.update((seq, op, price, status))
+            yield _pd.DataFrame({
+                "o_orderkey": [key[0]], "o_totalprice": [price],
+                "o_orderstatus": [status], "seq": [seq], "op": [op]})
+
+        def close(self) -> None:
+            pass
+
+        def __reduce__(self):
+            return (rebuild_tws_processor,
+                    (type(self), dict(self.__dict__)))
+
+    return changes.groupBy("o_orderkey").transformWithStateInPandas(
+        CompactProcessor(), _CDC_OUT_SCHEMA, "Update", "None")

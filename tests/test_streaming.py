@@ -359,13 +359,34 @@ def test_rate_limit_batchmerge_carries_counters_across_batches(
     assert got[h2] == (6, 5, 1)
 
 
+class _rocksdb_provider:
+    """TWS needs the RocksDB state store (column families); scope the
+    provider override to the query under test."""
+
+    def __init__(self, spark):
+        self._spark = spark
+        self._key = "spark.sql.streaming.stateStore.providerClass"
+
+    def __enter__(self):
+        self._old = self._spark.conf.get(self._key, None)
+        self._spark.conf.set(
+            self._key, "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider")
+
+    def __exit__(self, *exc):
+        if self._old is None:
+            self._spark.conf.unset(self._key)
+        else:
+            self._spark.conf.set(self._key, self._old)
+
+
 def test_rate_limit_tws_matches_live_form(spark, tmp_path):
     """Round-7 verdict item 7 — Spark 4 ``transformWithStateInPandas``
-    behind a capability probe: SKIPPED (not failed) while this
-    sandbox's protobuf is broken; the moment the environment can
-    import ``google.protobuf.descriptor`` this runs the TWS rate
-    limiter against the legacy ``applyInPandasWithState`` form and
-    asserts identical per-window admission totals."""
+    behind a capability probe.  Since round 9 the probe PASSES in this
+    sandbox (``protobuf_shim`` aliases the host Cloud SDK's public
+    pure-Python protobuf runtime), so this runs the TWS rate limiter
+    against the legacy ``applyInPandasWithState`` form and asserts
+    identical per-window admission totals."""
     import pandas as pd
     import pytest as _pytest
 
@@ -373,8 +394,8 @@ def test_rate_limit_tws_matches_live_form(spark, tmp_path):
     from sync_cosmos_db_spark.streaming import stateful as ST
 
     if not ST.transform_with_state_available():
-        _pytest.skip("transformWithStateInPandas unavailable: protobuf "
-                     "import broken in this environment")
+        _pytest.skip("transformWithStateInPandas unavailable: no usable "
+                     "protobuf runtime in this environment")
 
     d = tmp_path / "tws_src"
     d.mkdir()
@@ -408,6 +429,66 @@ def test_rate_limit_tws_matches_live_form(spark, tmp_path):
 
     live = totals(lambda s: ST.rate_limit_stream(s, limit=5),
                   "tws_live_mem")
-    tws = totals(lambda s: ST.rate_limit_stream_tws(s, limit=5),
-                 "tws_new_mem")
+    with _rocksdb_provider(spark):
+        tws = totals(lambda s: ST.rate_limit_stream_tws(s, limit=5),
+                     "tws_new_mem")
     assert tws == live
+
+
+def test_changelog_compact_tws_matches_live_form(spark, tmp_path):
+    """X156's TWS twin (round-8 verdict item 5): the TWS changelog
+    compactor and the legacy ``applyInPandasWithState`` form must fold
+    to identical final winners per key under the (seq DESC, op ASC)
+    collapse order, across multiple micro-batches."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+    from sync_cosmos_db_spark.streaming import stateful as ST
+
+    if not ST.transform_with_state_available():
+        _pytest.skip("transformWithStateInPandas unavailable: no usable "
+                     "protobuf runtime in this environment")
+
+    d = tmp_path / "cdc_tws_src"
+    d.mkdir()
+    # two files -> two micro-batches; key 1 upserts then tombstones at
+    # a higher seq, key 2's tie (seq 5) resolves op-ascending (d < u)
+    b0 = pd.DataFrame({
+        "o_orderkey": [1, 1, 2], "o_totalprice": [10.0, 11.0, 20.0],
+        "o_orderstatus": ["O", "O", "F"], "seq": [1, 2, 5],
+        "op": ["u", "u", "u"]})
+    b1 = pd.DataFrame({
+        "o_orderkey": [1, 2, 3], "o_totalprice": [0.0, 21.0, 30.0],
+        "o_orderstatus": ["X", "F", "O"], "seq": [3, 5, 1],
+        "op": ["d", "d", "u"]})
+    b0.to_parquet(str(d / "b0.parquet"))
+    b1.to_parquet(str(d / "b1.parquet"))
+    schema = ("o_orderkey bigint, o_totalprice double, "
+              "o_orderstatus string, seq bigint, op string")
+
+    def winners(make_stream_op, name):
+        from sync_cosmos_db_spark.streaming.windows import (
+            run_stream_to_memory,
+        )
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(d)))
+        out = run_stream_to_memory(spark, make_stream_op(stream),
+                                   name, mode="update")
+        # emissions are monotone under the collapse order: the final
+        # winner per key is the (seq DESC, op ASC) head of emissions
+        w = (W.partitionBy("o_orderkey")
+             .orderBy(F.desc("seq"), F.asc("op")))
+        return sorted(
+            (int(r.o_orderkey), int(r.seq), str(r.op),
+             float(r.o_totalprice), str(r.o_orderstatus))
+            for r in out.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn").collect())
+
+    live = winners(ST.changelog_compact_stream, "cdc_tws_live_mem")
+    with _rocksdb_provider(spark):
+        tws = winners(ST.changelog_compact_stream_tws, "cdc_tws_new_mem")
+    assert tws == live
+    assert [(k, s, o) for k, s, o, *_ in tws] == [
+        (1, 3, "d"), (2, 5, "d"), (3, 1, "u")]
