@@ -906,16 +906,67 @@ def acf(series: DataFrame, time_col: str, value_col: str,
                     fr(F.col("num") / F.col("den")).alias("acf_value")))
 
 
+def value_midranks(vc: DataFrame, value_col: str = "v",
+                   count_col: str = "t", n_buckets: int = 32,
+                   out_col: str = "midrank") -> DataFrame:
+    """Midrank per DISTINCT value WITHOUT a single-partition window
+    (round 9): phase 1 range-buckets the distinct values on
+    approximate quantiles (driver state = n_buckets−1 boundaries),
+    phase 2 cum-counts within buckets and adds the broadcast prefix of
+    earlier buckets' count totals — the X11 two-phase scan applied to
+    rank statistics.  Upgrades the X136 shape, whose ordered window
+    over distinct values still bottlenecks single-partition when the
+    value domain is continuous (distinct ≈ rows).  Midranks are exact
+    (integer-valued double sums plus an exact .0/.5 correction), so
+    swapping this in changes no results.
+
+    ``vc`` must be one row per distinct value with its total count;
+    returns it plus ``out_col`` = cum_count − (count−1)/2.  The input
+    is scope-persisted (``cache_scope``): the two driver actions
+    (quantiles, bucket totals) and the returned plan share one
+    materialization."""
+    from pyspark.sql import Window as W
+
+    from sync_cosmos_db_spark.cache_scope import scoped_persist
+
+    vc = scoped_persist(vc)
+    bounds = vc.approxQuantile(
+        value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
+    bucket = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        bucket = F.when(F.col(value_col) > b, F.lit(i + 1)) \
+            .otherwise(bucket)
+    tagged = vc.withColumn("__bucket", bucket)
+    totals = {r["__bucket"]: r["__t"] for r in
+              tagged.groupBy("__bucket")
+              .agg(F.sum(count_col).alias("__t")).collect()}
+    prefix, acc = {}, 0.0
+    for b in sorted(totals):
+        prefix[b] = acc
+        acc += totals[b]
+    pref_expr = F.lit(0.0)
+    for b, off in sorted(prefix.items()):
+        pref_expr = F.when(F.col("__bucket") == b, F.lit(float(off))) \
+            .otherwise(pref_expr)
+    w = (W.partitionBy("__bucket").orderBy(value_col)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (tagged.withColumn(
+        out_col,
+        pref_expr + F.sum(count_col).over(w)
+        - (F.col(count_col) - 1) / 2)
+        .drop("__bucket"))
+
+
 def rank_sum_test(df: DataFrame, group_col: str, value_col: str,
                   group_a: str, group_b: str,
                   round_digits: int = 6) -> DataFrame:
     """X136 — Mann-Whitney U rank-sum test between two groups: the
     distribution-free "is A systematically larger than B" check that
     survives the heavy tails where a t-test lies.  Midranks via a
-    value-keyed count + ONE ordered cumulative window over DISTINCT
-    values (never a per-row global sort), tie-corrected normal
-    approximation.  Returns one row
-    ``(n_a, n_b, u_a, mean_u, z)``."""
+    value-keyed count + the two-phase distributed scan
+    (:func:`value_midranks` — never a per-row OR per-distinct-value
+    single-partition sort), tie-corrected normal approximation.
+    Returns one row ``(n_a, n_b, u_a, mean_u, z)``."""
     p = 10 ** round_digits
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
     two = (df.filter(F.col(group_col).isin([group_a, group_b]))
@@ -925,11 +976,7 @@ def rank_sum_test(df: DataFrame, group_col: str, value_col: str,
         F.count("*").cast("double").alias("t"),
         F.sum(F.when(F.col("g") == group_a, 1).otherwise(0))
         .cast("double").alias("ta"))
-    w = (Window.orderBy("v")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = vc.withColumn("cum", F.sum("t").over(w)) \
-               .withColumn("midrank",
-                           F.col("cum") - (F.col("t") - 1) / 2)
+    ranked = value_midranks(vc, "v", "t")
     agg = ranked.agg(
         F.sum("ta").alias("na"),
         F.sum(F.col("t") - F.col("ta")).alias("nb"),

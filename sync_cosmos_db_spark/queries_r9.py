@@ -2022,11 +2022,12 @@ def kruskal_wallis_priority_price(spark: SparkSession,
     (which can only compare two groups).  H = 12/(N(N+1)) Σ R_g²/n_g
     − 3(N+1) with the Σ(t³−t)/(N³−N) tie correction, verdict against
     the χ²(k−1) 95% critical value (compile-time CASE, k data-driven).
-    Midranks by the X136 shape — a value-keyed collapse + ONE ordered
-    cumulative window over DISTINCT values (never a per-row global
-    sort); midranks are exact .0/.5 doubles and every rank-sum stays
-    below 2⁵³, so H is deterministic before the final 1e-6 round."""
-    from pyspark.sql import Window as W
+    Midranks by the value-keyed collapse + the two-phase distributed
+    scan (``profiling.value_midranks`` — no single-partition window
+    even over the distinct values); midranks are exact .0/.5 doubles
+    and every rank-sum stays below 2⁵³, so H is deterministic before
+    the final 1e-6 round."""
+    from sync_cosmos_db_spark.operators.profiling import value_midranks
 
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("g"),
@@ -2034,10 +2035,7 @@ def kruskal_wallis_priority_price(spark: SparkSession,
     gv = o.groupBy("g", "v").agg(F.count(F.lit(1)).alias("tg"))
     vc = (gv.groupBy("v")
           .agg(F.sum("tg").cast("double").alias("t")))
-    w = (W.orderBy("v")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    r = vc.withColumn(
-        "midrank", F.sum("t").over(w) - (F.col("t") - 1) / 2)
+    r = value_midranks(vc, "v", "t")
     gr = (gv.join(r, "v")
           .groupBy("g")
           .agg(F.sum("tg").alias("n_g"),
