@@ -4052,10 +4052,13 @@ def diversified_topk_docs(spark: SparkSession,
                                         "doc_id"))
     k = (docs.withColumn("rs", rs).filter(F.col("rs") <= 3)
          .select("doc_id", "source", "n_chars"))
+    # TakeOrderedAndProject over the <=3*|sources| candidates, then
+    # rank the surviving 12 (global rank<=k windows never get the
+    # WindowGroupLimit rewrite — same fix as wilson_return_rate_parts)
+    top = k.orderBy(F.col("n_chars").desc(), "doc_id").limit(12)
     g = F.row_number().over(
         W.orderBy(F.col("n_chars").desc(), "doc_id"))
-    return (k.withColumn("rank", g.cast("long"))
-            .filter(F.col("rank") <= 12)
+    return (top.withColumn("rank", g.cast("long"))
             .select("rank", "doc_id", "source", "n_chars"))
 
 
@@ -4108,10 +4111,15 @@ def wilson_return_rate_parts(spark: SparkSession,
     wl = (pr.filter(n >= 5)
           .withColumn("wilson_lb",
                       F.floor(lb * 1000000 + F.lit(0.5)) / 1000000))
+    # distributed top-k (TakeOrderedAndProject) over the |parts|-row
+    # aggregate, THEN rank the surviving <=20 rows: a global
+    # rank<=k window never gets the WindowGroupLimit rewrite
+    # (InferWindowGroupLimit skips empty partition specs), so the old
+    # form single-partition-sorted every part
+    top = (wl.orderBy(F.col("wilson_lb").desc(), "part").limit(20))
     rk = F.row_number().over(
         W.orderBy(F.col("wilson_lb").desc(), "part"))
-    return (wl.withColumn("rank", rk.cast("long"))
-            .filter(F.col("rank") <= 20)
+    return (top.withColumn("rank", rk.cast("long"))
             .select("rank", "part", "n", "r", "wilson_lb"))
 
 

@@ -55,6 +55,17 @@ def test_count_pushdown_no_row_materialization(spark, sf_dir):
     assert "struct<>" in read_schema
 
 
+def test_global_topk_plans_take_ordered(spark, sf_dir):
+    """Global rank<=k windows never get the WindowGroupLimit rewrite
+    (InferWindowGroupLimit skips empty partition specs), so the two
+    global-top-k queries were rewritten (round 9) to orderBy+limit —
+    TakeOrderedAndProject, a distributed map-side top-k — with the
+    rank window running only over the surviving <=k rows."""
+    for name in ("wilson_return_rate_parts", "diversified_topk_docs"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
 # Queries whose plans are ALLOWED a BroadcastNestedLoopJoin. Every
 # other registered query must plan equi-joins (hash/sort-merge/
 # broadcast-hash) only — a BNLJ elsewhere means a join lost its equi
