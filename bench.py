@@ -107,6 +107,11 @@ HEADLINE_LLM = [
 SEMANTICS = [
     "stream_cdc_apply_orders",
     "stream_rate_limit_hourly",
+    # Round-9: the Spark 4 transformWithStateInPandas engine went live
+    # (protobuf_shim) — its oracle-checked X160 form benches alongside
+    # the legacy state-row and foreachBatch forms (measured ~1.5x the
+    # legacy live form, still ~11x behind the batch merge; SCALING.md).
+    "stream_rate_limit_hourly_tws",
 ]
 
 

@@ -11,6 +11,9 @@ the third (X263-X266) to 27, the fourth (X267-X270) to 31, the
 fifth (X271-X274) to 35, the sixth (X275-X278) to 39, the seventh
 (X279-X281, three queries) to 42 — still inside the 50-slot window
 (driver-confirmed: SWEEP_PRIORITY places them at positions 40-42).
+The eighth addition (`stream_rate_limit_hourly_tws`, the Spark 4 TWS
+engine's oracle-checked form) makes 43 — 7 stale re-check slots
+remain, so every never-swept query still drains this round.
 """
 
 from __future__ import annotations
@@ -2252,3 +2255,83 @@ def ljung_box_daily_revenue(spark: SparkSession,
         "lag", "n_pairs", "rho", "q_lb",
         F.when(F.col("q_lb") > crit, "AUTOCORRELATED").otherwise("WHITE")
         .alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X160-TWS — streaming rate limiter on transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+_RL_TWS_ORACLE = """
+WITH rn AS (
+  SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT
+           AS window_start,
+         row_number() OVER (
+           PARTITION BY user_id, time_bucket(INTERVAL '1 hour', ts)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT window_start, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN rn <= 5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_admitted,
+       sum(CASE WHEN rn > 5 THEN 1 ELSE 0 END)::BIGINT
+         AS n_dropped
+FROM rn GROUP BY 1
+"""
+
+
+@query("stream_rate_limit_hourly_tws", _RL_TWS_ORACLE)
+def stream_rate_limit_hourly_tws(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """X160 on Spark 4's ``transformWithStateInPandas`` (typed
+    ValueState; live in this sandbox since round 9 via
+    ``protobuf_shim`` — see ``streaming/stateful.py``), replaying the
+    SAME real 4-batch availableNow stream as
+    ``stream_rate_limit_hourly`` against the SAME X131 batch oracle —
+    the third engine (legacy state row / TWS / foreachBatch merge) to
+    hash-match the identical admission semantics.  Runs under the
+    RocksDB state store provider (TWS needs column families), scoped
+    to this query."""
+    import os
+    import tempfile
+    import uuid
+
+    from sync_cosmos_db_spark.streaming.stateful import (
+        _ROCKSDB_PROVIDER,
+        rate_limit_stream_tws,
+    )
+    from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    sliced = ev.withColumn(
+        "slice", F.ntile(4).over(W.orderBy("ts", "event_id")))
+    tmp = tempfile.mkdtemp(prefix="rl_tws_stream_")
+    for i in range(1, 5):
+        (sliced.filter(F.col("slice") == i).drop("slice")
+         .coalesce(1).write.mode("append").parquet(tmp))
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                full = os.path.join(tmp, f)
+                cur = os.stat(full)
+                if cur.st_mtime > 1_100_000_000:
+                    os.utime(full, (cur.st_atime, 1_000_000_000 + i * 1000))
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(tmp))
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, _ROCKSDB_PROVIDER)
+    try:
+        emitted = run_stream_to_memory(
+            spark, rate_limit_stream_tws(stream, limit=5),
+            f"rl_tws_mem_{uuid.uuid4().hex[:8]}", mode="update")
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    return (emitted.groupBy("window_start")
+            .agg(F.sum("n_batch").cast("long").alias("n_events"),
+                 F.sum("n_admitted_batch").cast("long")
+                 .alias("n_admitted"),
+                 (F.sum("n_batch") - F.sum("n_admitted_batch"))
+                 .cast("long").alias("n_dropped")))
