@@ -908,7 +908,8 @@ def acf(series: DataFrame, time_col: str, value_col: str,
 
 def value_midranks(vc: DataFrame, value_col: str = "v",
                    count_col: str = "t", n_buckets: int = 32,
-                   out_col: str = "midrank") -> DataFrame:
+                   out_col: str = "midrank",
+                   extra_counts: tuple[str, ...] = ()) -> DataFrame:
     """Midrank per DISTINCT value WITHOUT a single-partition window
     (round 9): phase 1 range-buckets the distinct values on
     approximate quantiles (driver state = n_buckets−1 boundaries),
@@ -924,11 +925,19 @@ def value_midranks(vc: DataFrame, value_col: str = "v",
     returns it plus ``out_col`` = cum_count − (count−1)/2.  The input
     is scope-persisted (``cache_scope``): the two driver actions
     (quantiles, bucket totals) and the returned plan share one
-    materialization."""
+    materialization.
+
+    ``extra_counts`` (round-9 CvM extension): additional per-value
+    count columns (e.g. per-arm counts); for each name ``c`` the
+    output also carries ``midrank_<c>`` — the midrank WITHIN that
+    subpopulation (cum_c − (c−1)/2), computed from the same buckets
+    and the same per-bucket prefix pass, so the whole family costs
+    one extra sum per column, not another scan."""
     from pyspark.sql import Window as W
 
     from sync_cosmos_db_spark.cache_scope import scoped_persist
 
+    all_counts = (count_col,) + tuple(extra_counts)
     vc = scoped_persist(vc)
     bounds = vc.approxQuantile(
         value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
@@ -937,24 +946,30 @@ def value_midranks(vc: DataFrame, value_col: str = "v",
         bucket = F.when(F.col(value_col) > b, F.lit(i + 1)) \
             .otherwise(bucket)
     tagged = vc.withColumn("__bucket", bucket)
-    totals = {r["__bucket"]: r["__t"] for r in
-              tagged.groupBy("__bucket")
-              .agg(F.sum(count_col).alias("__t")).collect()}
-    prefix, acc = {}, 0.0
+    totals = {r["__bucket"]: {c: r[f"__t_{c}"] for c in all_counts}
+              for r in tagged.groupBy("__bucket")
+              .agg(*[F.sum(c).alias(f"__t_{c}") for c in all_counts])
+              .collect()}
+    prefix: dict = {}
+    acc = {c: 0.0 for c in all_counts}
     for b in sorted(totals):
-        prefix[b] = acc
-        acc += totals[b]
-    pref_expr = F.lit(0.0)
-    for b, off in sorted(prefix.items()):
-        pref_expr = F.when(F.col("__bucket") == b, F.lit(float(off))) \
-            .otherwise(pref_expr)
+        prefix[b] = dict(acc)
+        for c in all_counts:
+            acc[c] += totals[b][c]
     w = (W.partitionBy("__bucket").orderBy(value_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (tagged.withColumn(
-        out_col,
-        pref_expr + F.sum(count_col).over(w)
-        - (F.col(count_col) - 1) / 2)
-        .drop("__bucket"))
+    out = tagged
+    for c in all_counts:
+        pref_expr = F.lit(0.0)
+        for b, offs in sorted(prefix.items()):
+            pref_expr = (F.when(F.col("__bucket") == b,
+                                F.lit(float(offs[c])))
+                         .otherwise(pref_expr))
+        col_name = out_col if c == count_col else f"{out_col}_{c}"
+        out = out.withColumn(
+            col_name,
+            pref_expr + F.sum(c).over(w) - (F.col(c) - 1) / 2)
+    return out.drop("__bucket")
 
 
 def rank_sum_test(df: DataFrame, group_col: str, value_col: str,

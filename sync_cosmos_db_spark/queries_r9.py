@@ -13,8 +13,9 @@ fifth (X271-X274) to 35, the sixth (X275-X278) to 39, the seventh
 (driver-confirmed: SWEEP_PRIORITY places them at positions 40-42).
 The eighth and ninth additions (`stream_rate_limit_hourly_tws` and
 `stream_cdc_apply_orders_tws`, the Spark 4 TWS engine's
-oracle-checked forms) make 44 — 6 stale re-check slots remain, so
-every never-swept query still drains this round.
+oracle-checked forms) make 44; the ninth batch (X282-X285,
+distribution-comparison tests) makes 48 — 2 stale re-check slots
+remain, so every never-swept query still drains this round.
 """
 
 from __future__ import annotations
@@ -2423,3 +2424,319 @@ def stream_cdc_apply_orders_tws(spark: SparkSession,
                       (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
                        / 100).alias("o_totalprice"),
                       "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# X282 — Brown-Forsythe variance-homogeneity test
+# ---------------------------------------------------------------------------
+
+# F(k-1, inf) 95% critical values = chi2(k-1)/(k-1): the asymptotic
+# denominator-df limit, identical CASE in both engines.
+_BF_CRIT = ("CASE k - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 2.995732 "
+            "WHEN 3 THEN 2.604909 WHEN 4 THEN 2.371932 "
+            "WHEN 5 THEN 2.214100 ELSE 2.098598 END")
+
+_BF_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+  FROM orders),
+med AS (SELECT g, median(cents) AS med FROM o GROUP BY g),
+dev AS (SELECT o.g, abs(o.cents - med.med) AS z
+        FROM o JOIN med USING (g)),
+s AS (SELECT g, count(*)::BIGINT AS n_g, sum(z) AS s_g,
+             sum(z * z) AS q_g
+      FROM dev GROUP BY g),
+tot AS (
+  SELECT count(*)::BIGINT AS k, sum(n_g)::BIGINT AS n,
+         sum(s_g) AS s, sum(q_g) AS q,
+         sum(s_g * s_g / n_g) AS bterm
+  FROM s),
+f AS (
+  SELECT k, n,
+         ((bterm - s * s / n) / (k - 1))
+           / ((q - bterm) / (n - k)) AS f_stat
+  FROM tot)
+SELECT k, n, floor(f_stat * 1e6 + 0.5) / 1e6 AS f_stat,
+       CASE WHEN f_stat > {_BF_CRIT}
+            THEN 'HETEROSCEDASTIC' ELSE 'HOMOSCEDASTIC' END AS verdict
+FROM f
+"""
+
+
+@query("brown_forsythe_priority_var", _BF_ORACLE)
+def brown_forsythe_priority_var(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """X282 — Brown-Forsythe variance-homogeneity test across the
+    five priorities: one-way ANOVA F on |x − group MEDIAN| (the
+    median-centered Levene variant that stays honest under skew),
+    verdict vs the asymptotic F(k−1, ∞) = χ²(k−1)/(k−1) critical
+    value.  Exact group medians of integer cents interpolate to .0/.5
+    (Spark ``percentile`` and DuckDB ``median`` share the linear
+    interpolation rule), so every |deviation| is an exact half-cent
+    multiple; between/within by the Σ S_g²/n_g identity — one keyed
+    agg + a broadcast 5-row median join + a 1-row reduction."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"))
+    med = o.groupBy("g").agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    dev = (o.join(F.broadcast(med), "g")
+           .select("g", F.abs(F.col("cents") - F.col("med")).alias("z")))
+    s = dev.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"),
+                             F.sum("z").alias("s_g"),
+                             F.sum(F.col("z") * F.col("z")).alias("q_g"))
+    tot = s.agg(F.count(F.lit(1)).alias("k"),
+                F.sum("n_g").alias("n"),
+                F.sum("s_g").alias("s"), F.sum("q_g").alias("q"),
+                F.sum(F.col("s_g") * F.col("s_g") / F.col("n_g"))
+                .alias("bterm"))
+    fstat = (((F.col("bterm") - F.col("s") * F.col("s") / F.col("n"))
+              / (F.col("k") - 1))
+             / ((F.col("q") - F.col("bterm")) / (F.col("n") - F.col("k"))))
+    crit = (F.when(F.col("k") - 1 == 1, 3.841459)
+            .when(F.col("k") - 1 == 2, 2.995732)
+            .when(F.col("k") - 1 == 3, 2.604909)
+            .when(F.col("k") - 1 == 4, 2.371932)
+            .when(F.col("k") - 1 == 5, 2.214100)
+            .otherwise(2.098598))
+    return tot.select(
+        "k", "n",
+        (F.floor(fstat * 1e6 + F.lit(0.5)) / 1e6).alias("f_stat"),
+        F.when(fstat > crit, "HETEROSCEDASTIC")
+        .otherwise("HOMOSCEDASTIC").alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X283 — two-sample Cramér-von Mises test
+# ---------------------------------------------------------------------------
+
+_CVM_ORACLE = """
+WITH o AS (
+  SELECT floor(o_totalprice * 100 + 0.5)::BIGINT AS v,
+         CASE WHEN translate(substr(sha256(o_custkey::VARCHAR || ':did'),
+                                    1, 6), 'abcdef', '012345')::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END AS arm
+  FROM orders),
+vc AS (SELECT v, count(*)::DOUBLE AS t,
+              sum(arm)::DOUBLE AS t1,
+              sum(1 - arm)::DOUBLE AS t0
+       FROM o GROUP BY v),
+r AS (SELECT v, t, t1, t0,
+             sum(t) OVER w - (t - 1) / 2 AS mr,
+             sum(t1) OVER w - (t1 - 1) / 2 AS mr1,
+             sum(t0) OVER w - (t0 - 1) / 2 AS mr0
+      FROM vc
+      WINDOW w AS (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+u AS (
+  SELECT sum(t1)::BIGINT AS n1, sum(t0)::BIGINT AS n0,
+         sum(t1 * (mr - mr1) * (mr - mr1)) AS u1,
+         sum(t0 * (mr - mr0) * (mr - mr0)) AS u0
+  FROM r),
+tstat AS (
+  SELECT n1, n0,
+         (n1 * u1 + n0 * u0)
+           / (n1::DOUBLE * n0 * (n1 + n0))
+           - (4.0 * n1 * n0 - 1) / (6.0 * (n1 + n0)) AS t_cvm
+  FROM u)
+SELECT n1, n0, floor(t_cvm * 1e6 + 0.5) / 1e6 AS t_cvm,
+       CASE WHEN t_cvm > 0.461 THEN 'DIFFERENT'
+            ELSE 'NO_DIFFERENCE' END AS verdict
+FROM tstat
+"""
+
+
+@query("cvm_two_sample_arms", _CVM_ORACLE)
+def cvm_two_sample_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X283 — two-sample Cramér-von Mises test between the X259 arms
+    on order value (integer cents): T = U/(n·m·N) − (4nm−1)/(6N) with
+    U = n Σ_X (r_i − i)² + m Σ_Y (s_j − j)², ranks as midranks (ties
+    get one shared combined/within-arm midrank, weighted by the tie
+    count — the deterministic tie convention BOTH engines implement
+    identically).  Sensitive to distribution shape everywhere the KS
+    statistic only sees the single largest gap.  Ranks come from ONE
+    :func:`profiling.value_midranks` pass with per-arm extra counts —
+    the two-phase distributed scan, no single-partition window;
+    verdict vs the 0.461 asymptotic 5% critical value."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+    from sync_cosmos_db_spark.operators.profiling import value_midranks
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("v"),
+        (hash_bucket("o_custkey", 2, "did") == 1).cast("int").alias("arm"))
+    vc = o.groupBy("v").agg(
+        F.count(F.lit(1)).cast("double").alias("t"),
+        F.sum("arm").cast("double").alias("t1"),
+        F.sum(1 - F.col("arm")).cast("double").alias("t0"))
+    r = value_midranks(vc, "v", "t", out_col="mr",
+                       extra_counts=("t1", "t0"))
+    u = r.agg(
+        F.sum("t1").cast("long").alias("n1"),
+        F.sum("t0").cast("long").alias("n0"),
+        F.sum(F.col("t1") * (F.col("mr") - F.col("mr_t1"))
+              * (F.col("mr") - F.col("mr_t1"))).alias("u1"),
+        F.sum(F.col("t0") * (F.col("mr") - F.col("mr_t0"))
+              * (F.col("mr") - F.col("mr_t0"))).alias("u0"))
+    n1, n0 = F.col("n1"), F.col("n0")
+    t_cvm = ((n1 * F.col("u1") + n0 * F.col("u0"))
+             / (n1.cast("double") * n0 * (n1 + n0))
+             - (4.0 * n1 * n0 - 1) / (6.0 * (n1 + n0)))
+    return u.select(
+        "n1", "n0",
+        (F.floor(t_cvm * 1e6 + F.lit(0.5)) / 1e6).alias("t_cvm"),
+        F.when(t_cvm > 0.461, "DIFFERENT").otherwise("NO_DIFFERENCE")
+        .alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X284 — Mood's median test
+# ---------------------------------------------------------------------------
+
+_MOOD_CRIT = ("CASE k - 1 WHEN 1 THEN 3.841459 WHEN 2 THEN 5.991465 "
+              "WHEN 3 THEN 7.814728 WHEN 4 THEN 9.487729 "
+              "WHEN 5 THEN 11.070498 ELSE 12.591587 END")
+
+_MOOD_ORACLE = f"""
+WITH o AS (
+  SELECT o_orderpriority AS g,
+         floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+  FROM orders),
+med AS (SELECT median(cents) AS med FROM o),
+s AS (SELECT g,
+             sum(CASE WHEN cents > med THEN 1 ELSE 0 END)::BIGINT AS a,
+             sum(CASE WHEN cents <= med THEN 1 ELSE 0 END)::BIGINT AS b
+      FROM o, med GROUP BY g),
+tot AS (SELECT count(*)::BIGINT AS k, sum(a)::BIGINT AS ta,
+               sum(b)::BIGINT AS tb, sum(a + b)::BIGINT AS n FROM s),
+chi AS (
+  SELECT k, n,
+         sum(pow(a - (a + b) * ta::DOUBLE / n, 2)
+               / ((a + b) * ta::DOUBLE / n)
+             + pow(b - (a + b) * tb::DOUBLE / n, 2)
+               / ((a + b) * tb::DOUBLE / n)) AS chi2
+  FROM s, tot GROUP BY k, n)
+SELECT k, n, floor(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+       CASE WHEN chi2 > {_MOOD_CRIT}
+            THEN 'DIFFERENT' ELSE 'NO_DIFFERENCE' END AS verdict
+FROM chi
+"""
+
+
+@query("mood_median_priority", _MOOD_ORACLE)
+def mood_median_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X284 — Mood's median test across the five priorities: each
+    group's above/not-above counts vs the GLOBAL median (values equal
+    to the median count as "not above" — the convention both engines
+    implement), chi² against the margin-expected counts, df = k−1.
+    The crudest but most outlier-proof of the k-sample location tests
+    (X279 uses full rank information; Mood only the median split).
+    Exact global median of integer cents (.0/.5 interpolation shared
+    by both engines) broadcast via a 1-row crossJoin (the X73
+    shape)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint").alias("cents"))
+    med = o.agg(F.expr("percentile(cents, 0.5)").alias("med"))
+    s = (o.crossJoin(F.broadcast(med))
+         .groupBy("g")
+         .agg(F.sum((F.col("cents") > F.col("med")).cast("int"))
+              .cast("long").alias("a"),
+              F.sum((F.col("cents") <= F.col("med")).cast("int"))
+              .cast("long").alias("b")))
+    tot = s.agg(F.count(F.lit(1)).alias("k"), F.sum("a").alias("ta"),
+                F.sum("b").alias("tb"),
+                F.sum(F.col("a") + F.col("b")).alias("n"))
+    j = s.crossJoin(F.broadcast(tot))
+    ea = (F.col("a") + F.col("b")) * F.col("ta").cast("double") / F.col("n")
+    eb = (F.col("a") + F.col("b")) * F.col("tb").cast("double") / F.col("n")
+    chi = (j.groupBy("k", "n")
+           .agg(F.sum(F.pow(F.col("a") - ea, 2) / ea
+                      + F.pow(F.col("b") - eb, 2) / eb).alias("chi2")))
+    crit = (F.when(F.col("k") - 1 == 1, 3.841459)
+            .when(F.col("k") - 1 == 2, 5.991465)
+            .when(F.col("k") - 1 == 3, 7.814728)
+            .when(F.col("k") - 1 == 4, 9.487729)
+            .when(F.col("k") - 1 == 5, 11.070498)
+            .otherwise(12.591587))
+    return chi.select(
+        "k", "n",
+        (F.floor(F.col("chi2") * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
+        F.when(F.col("chi2") > crit, "DIFFERENT")
+        .otherwise("NO_DIFFERENCE").alias("verdict"))
+
+
+# ---------------------------------------------------------------------------
+# X285 — Hellinger / Bhattacharyya / total-variation arm distance
+# ---------------------------------------------------------------------------
+
+_HELLINGER_ORACLE = """
+WITH o AS (
+  SELECT length(floor(o_totalprice * 100 + 0.5)::BIGINT::VARCHAR)
+           AS bucket,
+         CASE WHEN translate(substr(sha256(o_custkey::VARCHAR || ':did'),
+                                    1, 6), 'abcdef', '012345')::BIGINT
+                   % 2 = 1 THEN 1 ELSE 0 END AS arm
+  FROM orders),
+c AS (SELECT bucket, sum(arm)::BIGINT AS c1,
+             sum(1 - arm)::BIGINT AS c0
+      FROM o GROUP BY bucket),
+tot AS (SELECT sum(c1)::BIGINT AS n1, sum(c0)::BIGINT AS n0 FROM c),
+d AS (
+  SELECT count(*)::BIGINT AS n_buckets, max(n1) AS n1, max(n0) AS n0,
+         sum(sqrt(c1::DOUBLE * c0)) / sqrt(max(n1)::DOUBLE * max(n0))
+           AS bc,
+         sum(abs(c1::DOUBLE / n1 - c0::DOUBLE / n0)) / 2
+           AS tv
+  FROM c, tot)
+SELECT n_buckets, n1, n0,
+       floor(bc * 1e6 + 0.5) / 1e6 AS bhattacharyya,
+       floor(sqrt(1 - least(bc, 1.0)) * 1e6 + 0.5) / 1e6 AS hellinger,
+       floor(tv * 1e6 + 0.5) / 1e6 AS total_variation
+FROM d
+"""
+
+
+@query("hellinger_arm_price_digits", _HELLINGER_ORACLE)
+def hellinger_arm_price_digits(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """X285 — Hellinger / Bhattacharyya / total-variation distance
+    between the two X259 arms' order-value distributions, bucketed by
+    DIGIT COUNT of the integer cents (an exact, transcendental-free
+    log10 decade — ``length(cast(bigint as string))``, the X280
+    discipline of never letting a float log() near a bucket
+    boundary).  BC = Σ√(c1·c0)/√(n1·n0) folds the per-arm
+    normalization out of the per-bucket terms, so one keyed count +
+    ONE 1-row reduction computes all three distances; buckets missing
+    from one arm contribute 0 to BC and their full mass to TV
+    automatically (no dense grid, no outer join)."""
+    from sync_cosmos_db_spark.operators.curation import hash_bucket
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.length(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                 .cast("bigint").cast("string")).alias("bucket"),
+        (hash_bucket("o_custkey", 2, "did") == 1).cast("int").alias("arm"))
+    c = o.groupBy("bucket").agg(
+        F.sum("arm").cast("long").alias("c1"),
+        F.sum(1 - F.col("arm")).cast("long").alias("c0"))
+    tot = c.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
+    d = (c.crossJoin(F.broadcast(tot))
+         .agg(F.count(F.lit(1)).alias("n_buckets"),
+              F.max("n1").alias("n1"), F.max("n0").alias("n0"),
+              (F.sum(F.sqrt(F.col("c1").cast("double") * F.col("c0")))
+               / F.sqrt(F.max("n1").cast("double") * F.max("n0")))
+              .alias("bc"),
+              (F.sum(F.abs(F.col("c1").cast("double") / F.col("n1")
+                           - F.col("c0").cast("double") / F.col("n0")))
+               / 2).alias("tv")))
+
+    def r6(c_):
+        return F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6
+
+    return d.select(
+        "n_buckets", "n1", "n0", r6(F.col("bc")).alias("bhattacharyya"),
+        r6(F.sqrt(1 - F.least(F.col("bc"), F.lit(1.0))))
+        .alias("hellinger"),
+        r6(F.col("tv")).alias("total_variation"))

@@ -222,6 +222,12 @@ BNLJ_ALLOWED = {
     # X281: the daily collapse and the 10-row lag table each
     # crossJoin a BROADCAST single-row aggregate (the X73 shape).
     "ljung_box_daily_revenue",
+    # X284: the orders scan crossJoins the BROADCAST 1-row global
+    # median, and the 5-row group table the 1-row margins (X73 shape).
+    "mood_median_priority",
+    # X285: the |digit-buckets|-row count table crossJoins the
+    # BROADCAST single-row per-arm totals aggregate (the X73 shape).
+    "hellinger_arm_price_digits",
 }
 
 
