@@ -117,3 +117,81 @@ def test_cramers_v_bounds_and_perfect_association(spark, cells):
     v_perfect = v_of([(a, recode[a]) for a, _ in cells])
     if v_perfect is not None:
         assert abs(v_perfect - 1.0) < 1e-9
+
+
+@_SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 1), st.integers(100, 999)),
+                min_size=8, max_size=120))
+def test_cvm_is_arm_symmetric(spark, pairs):
+    """The two-sample CvM statistic is symmetric in the two samples:
+    swapping arm labels leaves T unchanged."""
+    from sync_cosmos_db_spark.cache_scope import release_persisted
+    from sync_cosmos_db_spark.operators.profiling import value_midranks
+
+    def t_of(data):
+        n1 = sum(1 for a, _ in data if a == 1)
+        n0 = len(data) - n1
+        if n1 == 0 or n0 == 0:
+            return None
+        vc = spark.createDataFrame(
+            [(v, 1.0, 1.0 if a == 1 else 0.0, 0.0 if a == 1 else 1.0)
+             for a, v in data], "v long, one double, a1 double, a0 double"
+        ).groupBy("v").agg(F.sum("one").alias("t"),
+                           F.sum("a1").alias("t1"),
+                           F.sum("a0").alias("t0"))
+        r = value_midranks(vc, "v", "t", out_col="mr",
+                           extra_counts=("t1", "t0"))
+        row = r.agg(
+            F.sum(F.col("t1") * (F.col("mr") - F.col("mr_t1")) ** 2)
+            .alias("u1"),
+            F.sum(F.col("t0") * (F.col("mr") - F.col("mr_t0")) ** 2)
+            .alias("u0")).collect()[0]
+        release_persisted()
+        nn = n1 + n0
+        return ((n1 * row.u1 + n0 * row.u0) / (n1 * n0 * nn)
+                - (4.0 * n1 * n0 - 1) / (6.0 * nn))
+
+    t_a = t_of(pairs)
+    t_b = t_of([(1 - a, v) for a, v in pairs])
+    if t_a is not None and t_b is not None:
+        assert abs(t_a - t_b) < 1e-9
+
+
+@_SETTINGS
+@given(st.lists(st.integers(0, 500), min_size=5, max_size=80),
+       st.integers(1, 1000))
+def test_brown_forsythe_deviations_shift_invariant(spark, vals, shift):
+    """|x − median| is shift-invariant, so the Brown-Forsythe F over
+    any grouping must not change when every value shifts by a
+    constant (pure-Python check of the statistic the query
+    implements)."""
+    import math
+
+    def f_of(xs):
+        groups = {0: xs[::2], 1: xs[1::2]}
+        groups = {g: v for g, v in groups.items() if v}
+        if len(groups) < 2 or sum(len(v) for v in groups.values()) <= len(groups):
+            return None
+        devs = {}
+        for g, v in groups.items():
+            s = sorted(v)
+            n = len(s)
+            mid = (n - 1) / 2
+            med = (s[int(math.floor(mid))]
+                   + (s[int(math.ceil(mid))] - s[int(math.floor(mid))])
+                   * (mid - math.floor(mid)))
+            devs[g] = [abs(x - med) for x in v]
+        k = len(devs)
+        n = sum(len(v) for v in devs.values())
+        s = sum(sum(v) for v in devs.values())
+        q = sum(x * x for v in devs.values() for x in v)
+        bt = sum(sum(v) ** 2 / len(v) for v in devs.values())
+        within = q - bt
+        if within <= 0:
+            return None
+        return ((bt - s * s / n) / (k - 1)) / (within / (n - k))
+
+    f1 = f_of(vals)
+    f2 = f_of([x + shift for x in vals])
+    if f1 is not None and f2 is not None:
+        assert abs(f1 - f2) < 1e-9 * max(1.0, abs(f1))
