@@ -48,6 +48,26 @@ def fround(c, n: int):
     return F.floor(c * s + F.lit(0.5)) / s
 
 
+def fsum(c, n: int):
+    """Reorder-proof cross-engine SUM at the 10^-n grid.
+
+    ``fround(F.sum(x), n)`` rounds AFTER an order-dependent double sum:
+    Spark accumulates in partition order, DuckDB in its own scan order,
+    and once the accumulated reorder error approaches half a grid unit
+    (cents-rounds of million-scale revenue sums — the round-9
+    ``effective_rate_revenue`` driver flip) the floor lands on different
+    integers.  This instead snaps EVERY ROW to an integer number of grid
+    units (one identical IEEE multiply+floor per row on both engines),
+    sums exact BIGINTs (no float accumulation at all, associative), and
+    divides back once.  For 10^-n-grid-valued inputs (prices are cents)
+    the result equals the intended exact sum at ANY scale and ANY
+    partitioning. SQL twin: ``sum(floor(x * 10^n + 0.5)::BIGINT) / 10^n.0``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    s = 10 ** n
+    return F.sum(F.floor(c * s + F.lit(0.5)).cast("long")) / float(s)
+
+
 def query(name: str, oracle: str | None = None):
     """Register a query (and optionally its DuckDB oracle SQL)."""
     def deco(fn):

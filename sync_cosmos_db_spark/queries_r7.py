@@ -4459,7 +4459,7 @@ def gains_table_orders(spark: SparkSession,
       FROM orders o JOIN rates r ON r.eff <= o.o_orderdate::DATE)
     SELECT prio, eff AS rate_from, rate,
            count(*)::BIGINT AS n_orders,
-           floor(sum(o_totalprice * rate) * 100 + 0.5) / 100
+           sum(floor(o_totalprice * rate * 100 + 0.5)::BIGINT) / 100.0
              AS converted_revenue
     FROM m WHERE rn = 1 GROUP BY 1, 2, 3
     """,
@@ -4500,9 +4500,9 @@ def effective_rate_revenue(spark: SparkSession,
     return (j.groupBy("prio",
                       F.to_date("eff").alias("rate_from"), "rate")
             .agg(F.count("*").cast("long").alias("n_orders"),
-                 (F.floor(F.sum(F.col("o_totalprice")
-                                * F.col("rate")) * 100 + F.lit(0.5))
-                  / 100).alias("converted_revenue")))
+                 (F.sum(F.floor(F.col("o_totalprice") * F.col("rate")
+                                * 100 + F.lit(0.5)).cast("long"))
+                  / 100.0).alias("converted_revenue")))
 
 
 # ===========================================================================

@@ -743,7 +743,7 @@ WITH m AS (
 p AS (
   SELECT a.priority, sign(b.cents - a.cents)::BIGINT AS sg
   FROM m a JOIN m b ON b.priority = a.priority AND b.month > a.month),
-sstat AS (SELECT priority, sum(sg) AS s_stat FROM p GROUP BY priority),
+sstat AS (SELECT priority, sum(sg)::BIGINT AS s_stat FROM p GROUP BY priority),
 nn AS (SELECT priority, count(*)::BIGINT AS n FROM m GROUP BY priority),
 ties AS (
   SELECT priority, sum(t * (t - 1) * (2 * t + 5)) AS tie_term
@@ -840,7 +840,7 @@ WITH g AS (
          count(*) FILTER (o_orderstatus = 'F')::BIGINT AS x
   FROM orders GROUP BY 1),
 s AS (
-  SELECT sum(n) AS nn, sum(x) AS xx,
+  SELECT sum(n)::BIGINT AS nn, sum(x)::BIGINT AS xx,
          sum(w * x) AS swx, sum(w * n) AS swn,
          sum(w * w * n) AS swwn
   FROM g),
@@ -1067,7 +1067,8 @@ daily AS (
   FROM e GROUP BY event_type, day),
 cum AS (
   SELECT event_type, day,
-         sum(n_t) OVER w AS cum_t, sum(n_c) OVER w AS cum_c
+         (sum(n_t) OVER w)::BIGINT AS cum_t,
+         (sum(n_c) OVER w)::BIGINT AS cum_c
   FROM daily
   WINDOW w AS (PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
@@ -1226,7 +1227,7 @@ wc AS (SELECT source, word, count(*)::BIGINT AS c
        FROM tok GROUP BY source, word),
 s AS (
   SELECT source,
-         sum(c) AS n_tokens,
+         sum(c)::BIGINT AS n_tokens,
          count(*)::BIGINT AS vocab,
          count(*) FILTER (c = 1)::BIGINT AS n1,
          count(*) FILTER (c = 2)::BIGINT AS n2

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import fround, query
+from sync_cosmos_db_spark.queries import fround, fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -37,8 +37,8 @@ from sync_cosmos_db_spark.session import load_table
     """
     SELECT l_returnflag, l_linestatus,
            floor((sum(l_quantity)) * 100 + 0.5) / 100 AS sum_qty,
-           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS sum_base_price,
-           floor((sum(l_extendedprice * (1 - l_discount))) * 100 + 0.5) / 100 AS sum_disc_price,
+           sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) / 100.0 AS sum_base_price,
+           sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT) / 100.0 AS sum_disc_price,
            floor((avg(l_quantity)) * 10000 + 0.5) / 10000 AS avg_qty,
            floor((avg(l_discount)) * 10000 + 0.5) / 10000 AS avg_disc,
            count(*) AS count_order
@@ -58,8 +58,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             fround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            fsum("l_extendedprice", 2).alias("sum_base_price"),
+            fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
             .alias("sum_disc_price"),
             fround(F.avg("l_quantity"), 4).alias("avg_qty"),
             fround(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -75,7 +75,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue,
+           sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT) / 100.0 AS revenue,
            epoch(o.o_orderdate)::BIGINT AS orderdate_epoch,
            o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
@@ -98,7 +98,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
              .alias("revenue"))
         .select(
             "l_orderkey", "revenue",
@@ -113,7 +113,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5) / 100 AS revenue
+           sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT) / 100.0 AS revenue
     FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
                   JOIN customer c ON c.c_nationkey = n.n_nationkey
                   JOIN orders o ON o.o_custkey = c.c_custkey
@@ -143,7 +143,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
              .alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
@@ -202,7 +202,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast_part_brand",
     """
     SELECT p.p_brand,
-           floor((sum(l.l_extendedprice)) * 100 + 0.5) / 100 AS total_price,
+           sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT) / 100.0 AS total_price,
            count(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand ORDER BY p_brand
@@ -217,7 +217,7 @@ def join_broadcast_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
-        .agg(fround(F.sum("l_extendedprice"), 2).alias("total_price"),
+        .agg(fsum("l_extendedprice", 2).alias("total_price"),
              F.count(F.lit(1)).alias("n_items"))
         .orderBy("p_brand")
     )
@@ -256,10 +256,10 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_revenue",
     """
     SELECT o_custkey, o_orderkey,
-           floor((sum(o_totalprice) OVER (
+           (sum(floor(o_totalprice * 100 + 0.5)::BIGINT) OVER (
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100 + 0.5) / 100 AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) / 100.0 AS running_total
     FROM orders
     """,
 )
@@ -269,9 +269,10 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return o.select(
         "o_custkey", "o_orderkey",
-        fround(F.sum("o_totalprice").over(w), 2).alias("running_total"))
+        (F.sum(cents).over(w) / 100.0).alias("running_total"))
 
 
 @query(
@@ -402,7 +403,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority,
-           floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS total, count(*) AS n
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS total, count(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
@@ -412,7 +413,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")
-        .agg(fround(F.sum("o_totalprice"), 2).alias("total"),
+        .agg(fsum("o_totalprice", 2).alias("total"),
              F.count(F.lit(1)).alias("n"))
         .orderBy(F.asc_nulls_first("o_orderstatus"),
                  F.asc_nulls_first("o_orderpriority"))
@@ -527,7 +528,7 @@ def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT epoch(date_trunc('month', o_orderdate))::BIGINT AS month_epoch,
            count(*) AS n_orders,
-           floor((sum(o_totalprice)) * 100 + 0.5) / 100 AS month_total
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS month_total
     FROM orders GROUP BY 1 ORDER BY month_epoch
     """,
 )
@@ -537,7 +538,7 @@ def scalar_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate")))
                   .alias("month_epoch"))
         .agg(F.count(F.lit(1)).alias("n_orders"),
-             fround(F.sum("o_totalprice"), 2).alias("month_total"))
+             fsum("o_totalprice", 2).alias("month_total"))
         .orderBy("month_epoch")
     )
 
@@ -573,7 +574,7 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_salted_revenue_by_flag",
     """
     SELECT l_returnflag, count(*) AS n,
-           floor((sum(l_extendedprice)) * 100 + 0.5) / 100 AS revenue
+           sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) / 100.0 AS revenue
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -585,12 +586,15 @@ def agg_salted_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the plain GROUP BY the oracle runs."""
     from sync_cosmos_db_spark.operators.skew import salted_agg
 
-    li = load_table(spark, sf_dir, "lineitem")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .withColumn("__cents",
+                      F.floor(F.col("l_extendedprice") * 100
+                              + F.lit(0.5)).cast("long")))
     out = salted_agg(li, ["l_returnflag"],
-                     {"n": "count", "revenue": "sum:l_extendedprice"},
+                     {"n": "count", "revenue": "sum:__cents"},
                      buckets=32)
     return out.select("l_returnflag", "n",
-                      fround("revenue", 2).alias("revenue"))
+                      (F.col("revenue") / 100.0).alias("revenue"))
 
 
 # --- A1 + temporal: as-of join and bucketed range join ---------------------
@@ -681,7 +685,7 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q6_forecast_revenue",
     """
-    SELECT floor((sum(l_extendedprice * l_discount)) * 100 + 0.5) / 100
+    SELECT sum(floor(l_extendedprice * l_discount * 100 + 0.5)::BIGINT) / 100.0
            AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01'
@@ -699,7 +703,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1996-01-01")
         & (F.col("l_discount").between(0.05, 0.07))
         & (F.col("l_quantity") < 24))
-        .agg(fround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+        .agg(fsum(F.col("l_extendedprice") * F.col("l_discount"), 2)
              .alias("revenue")))
 
 
@@ -707,8 +711,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_revenue_by_customer",
     """
     SELECT c.c_custkey, c.c_name, n.n_name,
-           floor((sum(l.l_extendedprice * (1 - l.l_discount))) * 100 + 0.5)
-           / 100 AS revenue
+           sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)::BIGINT)
+           / 100.0 AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -735,7 +739,7 @@ def q10_returned_revenue_by_customer(spark: SparkSession,
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(fround(F.sum(rev), 2).alias("revenue"))
+        .agg(fsum(rev, 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import fround, query
+from sync_cosmos_db_spark.queries import fround, fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -98,7 +98,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, l_year,
-           floor(sum(volume) * 100 + 0.5) / 100 AS revenue
+           sum(floor(volume * 100 + 0.5)::BIGINT) / 100.0 AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  year(l.l_shipdate)::BIGINT AS l_year,
                  l.l_extendedprice * (1 - l.l_discount) AS volume
@@ -140,7 +140,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(pair)
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
              .alias("revenue")))
 
 
@@ -205,7 +205,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_type_profit",
     """
-    SELECT nation, o_year, floor(sum(amount) * 100 + 0.5) / 100 AS sum_profit
+    SELECT nation, o_year,
+           sum(floor(amount * 100 + 0.5)::BIGINT) / 100.0 AS sum_profit
     FROM (SELECT n.n_name AS nation, year(o.o_orderdate)::BIGINT AS o_year,
                  l.l_extendedprice * (1 - l.l_discount)
                    - 0.4 * p.p_retailprice * l.l_quantity AS amount
@@ -238,7 +239,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("nation", "o_year")
-        .agg(fround(F.sum(amount), 2).alias("sum_profit")))
+        .agg(fsum(amount, 2).alias("sum_profit")))
 
 
 # --- Q11: important stock (HAVING over scalar subquery) --------------------
@@ -248,8 +249,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH v AS (
       SELECT l.l_partkey,
-             floor(sum(l.l_extendedprice * l.l_quantity) * 100 + 0.5) / 100
-               AS value
+             sum(floor(l.l_extendedprice * l.l_quantity * 100 + 0.5)::BIGINT)
+               / 100.0 AS value
       FROM lineitem l
       JOIN supplier s ON s.s_suppkey = l.l_suppkey
       JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -258,7 +259,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY l.l_partkey)
     SELECT l_partkey, value
     FROM v
-    WHERE value > (SELECT floor(0.001 * sum(value) * 100 + 0.5) / 100 FROM v)
+    WHERE value > (SELECT floor(0.001 * (sum(floor(value * 100 + 0.5)::BIGINT)
+                                         / 100.0) * 100 + 0.5) / 100 FROM v)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,9 +279,9 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("s_suppkey"))
     v = (li.join(F.broadcast(eu), li.l_suppkey == eu.s_suppkey)
          .groupBy("l_partkey")
-         .agg(fround(F.sum(F.col("l_extendedprice") * F.col("l_quantity")), 2)
+         .agg(fsum(F.col("l_extendedprice") * F.col("l_quantity"), 2)
               .alias("value")))
-    thresh = v.agg(fround(0.001 * F.sum("value"), 2).alias("__thresh"))
+    thresh = v.agg(fround(0.001 * fsum("value", 2), 2).alias("__thresh"))
     return (v.crossJoin(F.broadcast(thresh))
             .filter(F.col("value") > F.col("__thresh"))
             .select("l_partkey", "value"))
@@ -360,8 +362,8 @@ def q13_customer_order_distribution(spark: SparkSession,
     """
     WITH rev AS (
       SELECT l_suppkey,
-             floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100
-               AS total_revenue
+             sum(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)::BIGINT)
+               / 100.0 AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -382,8 +384,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1996-04-01"))
     s = _t(spark, sf_dir, "supplier")
     rev = (li.groupBy("l_suppkey")
-           .agg(fround(F.sum(F.col("l_extendedprice")
-                             * (1 - F.col("l_discount"))), 2)
+           .agg(fsum(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount")), 2)
                 .alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     return (rev.crossJoin(F.broadcast(mx))
@@ -435,7 +437,8 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_partkey,
              floor(0.2 * avg(l_quantity) * 10000 + 0.5) / 10000 AS qty_thresh
       FROM lineitem GROUP BY l_partkey)
-    SELECT floor(sum(l.l_extendedprice) / 7.0 * 100 + 0.5) / 100 AS avg_yearly
+    SELECT floor(sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT) / 7.0
+                 + 0.5) / 100.0 AS avg_yearly
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     JOIN pa ON pa.l_partkey = l.l_partkey
@@ -459,7 +462,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(pa), li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(fround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+        .agg((F.floor(F.sum(F.floor(F.col("l_extendedprice") * 100
+                                    + F.lit(0.5)).cast("long")) / 7.0
+                      + F.lit(0.5)) / 100.0).alias("avg_yearly")))
 
 
 # --- Q19: disjunctive multi-attribute predicates ---------------------------
@@ -467,8 +472,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     """
-    SELECT floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5)
-           / 100 AS revenue
+    SELECT sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                     + 0.5)::BIGINT) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 5
            AND l.l_quantity BETWEEN 1 AND 11)
@@ -495,8 +500,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & q.between(20, 30)))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .filter(cond)
-            .agg(fround(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2)
+            .agg(fsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount")), 2)
                  .alias("revenue")))
 
 
@@ -608,7 +613,7 @@ def q21_sole_returning_supplier(spark: SparkSession,
       SELECT floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS a
       FROM pot WHERE c_acctbal > 0.0)
     SELECT cntrycode, count(*) AS numcust,
-           floor(sum(c_acctbal) * 100 + 0.5) / 100 AS totacctbal
+           sum(floor(c_acctbal * 100 + 0.5)::BIGINT) / 100.0 AS totacctbal
     FROM pot, thresh
     WHERE pot.c_acctbal > thresh.a
       AND NOT EXISTS (SELECT 1 FROM orders o
@@ -638,4 +643,4 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(urgent, pot.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("cntrycode")
         .agg(F.count(F.lit(1)).alias("numcust"),
-             fround(F.sum("c_acctbal"), 2).alias("totacctbal")))
+             fsum("c_acctbal", 2).alias("totacctbal")))

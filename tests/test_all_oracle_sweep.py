@@ -24,7 +24,13 @@ from tests.oracle_utils import compare, duckdb_connect
 import __spark_entry__ as entrymod
 
 N_CHUNKS = 4
-CHUNK_BUDGET_SEC = 300.0
+# sf0.001 CI budget; the sf0.01 driver-scale sweep (SPARK_GRAFT_TEST_SF_DIR)
+# gets proportionally more — the point of that run is value fidelity at the
+# scale where reorder-precision bugs manifest, not wall-clock.
+import os as _os  # noqa: E402
+
+CHUNK_BUDGET_SEC = (
+    300.0 if "SPARK_GRAFT_TEST_SF_DIR" not in _os.environ else 1200.0)
 
 _Q = entrymod.queries()
 _O = entrymod.oracle_sql()
