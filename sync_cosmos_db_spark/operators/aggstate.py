@@ -30,14 +30,23 @@ from pyspark.sql import functions as F
 
 STATE_COLS = ("cnt", "s_sum", "s_min", "s_max")
 
+#: grid for the integer sum state: values snap to 10^-SUM_DIGITS per
+#: row, so every state merge is exact BIGINT addition — a double
+#: s_sum would drift from the full-recompute by its own merge order,
+#: breaking the "any merge tree yields identical states" contract.
+SUM_DIGITS = 4
+
 
 def agg_state(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
     """Per-group mergeable state ``(keys..., cnt, s_sum, s_min,
-    s_max)`` for one numeric column.  One group-keyed shuffle with
+    s_max)`` for one numeric column — ``s_sum`` in exact integer
+    10^-SUM_DIGITS grid units.  One group-keyed shuffle with
     map-side partials."""
+    p = 10 ** SUM_DIGITS
     return df.groupBy(*keys).agg(
         F.count("*").cast("long").alias("cnt"),
-        F.sum(value_col).alias("s_sum"),
+        F.sum(F.floor(F.col(value_col) * p + F.lit(0.5)).cast("long"))
+        .alias("s_sum"),
         F.min(value_col).alias("s_min"),
         F.max(value_col).alias("s_max"))
 
@@ -58,8 +67,12 @@ def merge_states(base: DataFrame, delta: DataFrame,
 def finalize(state: DataFrame, keys: list[str],
              round_digits: int = 4) -> DataFrame:
     """Derive the user-facing aggregate row from a state: count, sum,
-    min, max, and avg = s_sum/cnt.  Pure projection — no shuffle."""
+    min, max, and avg = s_sum/cnt.  Pure projection — no shuffle.
+    ``s_sum`` is in integer 10^-SUM_DIGITS units (see ``agg_state``);
+    total and mean convert back with one exact-integer division each.
+    ``round_digits`` still rounds min/max (raw doubles)."""
     p = 10 ** round_digits
+    sp = 10 ** SUM_DIGITS
 
     def r(c):
         return F.floor(c * p + F.lit(0.5)) / p
@@ -67,7 +80,8 @@ def finalize(state: DataFrame, keys: list[str],
     return state.select(
         *keys,
         F.col("cnt").alias("n"),
-        r(F.col("s_sum")).alias("total"),
+        (F.col("s_sum") / float(sp)).alias("total"),
         r(F.col("s_min")).alias("lo"),
         r(F.col("s_max")).alias("hi"),
-        r(F.col("s_sum") / F.col("cnt")).alias("mean"))
+        (F.floor(F.col("s_sum").cast("double") / F.col("cnt")
+                 + F.lit(0.5)) / sp).alias("mean"))

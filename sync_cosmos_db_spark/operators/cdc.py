@@ -98,31 +98,37 @@ def ivm_apply_agg(snapshot: DataFrame, changelog: DataFrame,
     is the DELTA's size, not the base's — the whole point), one
     key-keyed full-outer merge with the snapshot; at 100 TB the
     snapshot is a bucketed table and the merge is shuffle-free on
-    its bucket key.  Returns ``(key, n, s)`` with ``s``
-    floor-rounded.
+    its bucket key.  All value accumulation is INTEGER in units of
+    10^−round_digits (values snap per row, the snapshot's ``s``
+    snaps once): a maintained double sum drifts from the direct
+    recompute by its own accumulation order, which is exactly the
+    equivalence IVM must preserve.  Returns ``(key, n, s)``.
     """
+    p = 10 ** round_digits
+    snap = lambda c: (F.floor(c.cast("double") * p  # noqa: E731
+                              + F.lit(0.5)).cast("long"))
     op = F.col(op_col)
     delta = (changelog.groupBy(F.col(key_col))
              .agg((F.sum(F.when(op == "I", 1).otherwise(0))
                    - F.sum(F.when(op == "D", 1).otherwise(0)))
                   .cast("long").alias("__dn"),
                   F.sum(
-                      F.when(op == "I", F.col(new_col))
-                      .when(op == "D", -F.col(old_col))
+                      F.when(op == "I", snap(F.col(new_col)))
+                      .when(op == "D", -snap(F.col(old_col)))
                       .when(op == "U",
-                            F.col(new_col) - F.col(old_col))
-                      .otherwise(0.0)).alias("__ds")))
+                            snap(F.col(new_col))
+                            - snap(F.col(old_col)))
+                      .otherwise(F.lit(0).cast("long")))
+                  .alias("__ds")))
     merged = (snapshot.join(delta, key_col, "full")
               .select(
                   F.col(key_col),
                   (F.coalesce(F.col("n"), F.lit(0))
                    + F.coalesce(F.col("__dn"), F.lit(0)))
                   .cast("long").alias("n"),
-                  (F.coalesce(F.col("s"), F.lit(0.0))
-                   + F.coalesce(F.col("__ds"), F.lit(0.0)))
+                  (F.coalesce(snap(F.col("s")), F.lit(0))
+                   + F.coalesce(F.col("__ds"), F.lit(0)))
                   .alias("__s")))
-    p = 10 ** round_digits
     return (merged.filter(F.col("n") > 0)
             .select(key_col, "n",
-                    (F.floor(F.col("__s") * p + F.lit(0.5)) / p)
-                    .alias("s")))
+                    (F.col("__s") / float(p)).alias("s")))

@@ -701,22 +701,31 @@ def target_encode(df: DataFrame, cat_col: str, target_col: str,
     back on a derived constant equi-key (the non-foldable
     ``floor(x*0)`` trick — BroadcastHashJoin, never BNLJ).  At 100 TB
     the encoding table is category-cardinality-sized and broadcasts
-    onto the feature frame.  Returns
+    onto the feature frame.  Targets accumulate as EXACT integers in
+    1e-2 grid units (per-row snap, BIGINT sums — category sums of a
+    money column rounded at 1e-4 reorder-flip between engines
+    otherwise); the means divide the exact sums once.  Returns
     ``(cat, n, raw_mean, encoded)``."""
-    t = F.col(target_col).cast("double")
+    snap = 100  # integer grid for the target accumulation
+    p = 10 ** round_digits
+    scale = p // snap
+    tc = F.floor(F.col(target_col).cast("double") * snap
+                 + F.lit(0.5)).cast("long")
     per = (df.groupBy(F.col(cat_col).alias("cat"))
            .agg(F.count("*").cast("long").alias("n"),
-                F.sum(t).alias("__s")))
-    g = (df.agg(F.avg(t).alias("__gm"))
+                F.sum(tc).alias("__s")))
+    g = (df.agg((F.sum(tc).cast("double")
+                 / F.count("*")).alias("__gm"))
          .withColumn("__k", F.floor(F.col("__gm") * 0)))
-    p = 10 ** round_digits
-    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    sd = F.col("__s").cast("double")
     return (per.withColumn("__k", F.floor(F.col("__s") * 0))
             .join(F.broadcast(g), "__k")
             .select("cat", "n",
-                    fr(F.col("__s") / F.col("n")).alias("raw_mean"),
-                    fr((F.col("__s") + F.lit(m) * F.col("__gm"))
-                       / (F.col("n") + F.lit(m))).alias("encoded")))
+                    (F.floor(sd / F.col("n") * scale + F.lit(0.5)) / p)
+                    .alias("raw_mean"),
+                    (F.floor((sd + F.lit(m) * F.col("__gm"))
+                             / (F.col("n") + F.lit(m)) * scale
+                             + F.lit(0.5)) / p).alias("encoded")))
 
 
 def group_split_audit(df: DataFrame, id_col: str, group_col: str,

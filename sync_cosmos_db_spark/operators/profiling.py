@@ -835,31 +835,40 @@ def changepoint_scan(series: DataFrame, time_col: str, value_col: str,
     at 100 TB the per-period reduce has already collapsed the data to
     one row per period, so this whole scan runs on a tiny table): ONE
     ordered cumulative-sum window over the period sort, then a rank.
-    Per-period values are floor-rounded BEFORE the cumulative pass on
-    both engines so summation-order ulps cannot move a mean.
+    All accumulation is INTEGER in units of 10^−round_digits (the
+    ``cusum`` discipline): per-period values quantize to the grid
+    FIRST, so the cumulative sum and the grand total are exact BIGINTs
+    — the grand total Σv is an UNORDERED reduce whose double form
+    reorders between engines, and mean_after divides it by (n−i),
+    which amplifies the ulp drift a millionfold near the series end.
     Returns ``(split_<time>, n_before, n_after, mean_before,
     mean_after, gap)`` — the split row is the LAST period of the left
     segment."""
     p = 10 ** round_digits
-    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
     w = (Window.orderBy(time_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vi = (F.floor(F.col(value_col).cast("double") * p + F.lit(0.5))
+          .cast("long"))
     base = (series
-            .select(F.col(time_col),
-                    fr(F.col(value_col).cast("double")).alias("v"))
+            .select(F.col(time_col), vi.alias("vi"))
             .withColumn("i", F.row_number().over(Window.orderBy(time_col)))
-            .withColumn("cum", F.sum("v").over(w)))
-    tot = base.agg(F.max("i").alias("n"), F.sum("v").alias("s"))
+            .withColumn("cum", F.sum("vi").over(w)))
+    tot = base.agg(F.max("i").alias("n"), F.sum("vi").alias("s"))
     j = base.crossJoin(F.broadcast(tot)).filter(F.col("i") < F.col("n"))
-    mean_l = F.col("cum") / F.col("i")
-    mean_r = (F.col("s") - F.col("cum")) / (F.col("n") - F.col("i"))
+    # means in ORIGINAL units, rounded on the same grid: cum/i is in
+    # grid units, so floor(cum/i + 0.5)/p == fr(mean) with zero float
+    # accumulation (one exact-int division per cell on both engines)
+    mean_l_g = F.col("cum").cast("double") / F.col("i")
+    mean_r_g = ((F.col("s") - F.col("cum")).cast("double")
+                / (F.col("n") - F.col("i")))
     scored = j.select(
         F.col(time_col).alias(f"split_{time_col}"),
         F.col("i").cast("long").alias("n_before"),
         (F.col("n") - F.col("i")).cast("long").alias("n_after"),
-        fr(mean_l).alias("mean_before"),
-        fr(mean_r).alias("mean_after"),
-        fr(F.abs(mean_l - mean_r)).alias("gap"))
+        (F.floor(mean_l_g + F.lit(0.5)) / p).alias("mean_before"),
+        (F.floor(mean_r_g + F.lit(0.5)) / p).alias("mean_after"),
+        (F.floor(F.abs(mean_l_g - mean_r_g) + F.lit(0.5)) / p)
+        .alias("gap"))
     r = F.row_number().over(
         Window.orderBy(F.col("gap").desc(), F.col(f"split_{time_col}")))
     return (scored.withColumn("rnk", r).filter(F.col("rnk") <= top_k)
@@ -1084,23 +1093,31 @@ def gini(df: DataFrame, group_col: str, value_col: str,
     inequality audit (is one customer 60% of a nation's book?).
 
     ONE group-keyed sort window (row_number + running position sum is
-    the same sort), one group reduce.  Σ i·x is invariant to how ties
-    are ordered (equal x contribute identically), so no tiebreak
-    column is needed for determinism.  Groups where Σx = 0 report
-    null.  Returns ``(group, n, total, gini)``."""
+    the same sort), one group reduce.  All accumulation is INTEGER in
+    units of 10^−round_digits (the ``cusum`` discipline): values are
+    quantized to the grid FIRST, so Σx and Σi·x are exact BIGINTs and
+    no summation-order ulps exist — a double Σx over a nation-sized
+    group rounded at 1e-6 flips between engines otherwise.  Σ i·x is
+    invariant to how ties are ordered (equal quantized x contribute
+    identically; the sort key IS the quantized value), so no tiebreak
+    column is needed.  Σi·x must fit a BIGINT: fine up to ~10^18 grid
+    units·rank — at larger scales pass a coarser round_digits.  Groups
+    where Σx = 0 report null.  Returns ``(group, n, total, gini)``."""
     p = 10 ** round_digits
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
-    w = Window.partitionBy("grp").orderBy("v")
-    base = (df.select(F.col(group_col).alias("grp"),
-                      F.col(value_col).cast("double").alias("v"))
+    vi = (F.floor(F.col(value_col).cast("double") * p + F.lit(0.5))
+          .cast("long"))
+    w = Window.partitionBy("grp").orderBy("vi")
+    base = (df.select(F.col(group_col).alias("grp"), vi.alias("vi"))
             .withColumn("i", F.row_number().over(w)))
     n = F.count("*").cast("double")
+    sv = F.sum("vi").cast("double")
+    siv = F.sum(F.col("i") * F.col("vi")).cast("double")
     return (base.groupBy(F.col("grp").alias(group_col))
             .agg(F.count("*").cast("long").alias("n"),
-                 fr(F.sum("v")).alias("total"),
-                 fr(F.try_divide(
-                     2 * F.sum(F.col("i") * F.col("v")),
-                     n * F.sum("v")) - (n + 1) / n).alias("gini")))
+                 (F.sum("vi") / float(p)).alias("total"),
+                 fr(F.try_divide(2.0 * siv, n * sv)
+                    - (n + 1) / n).alias("gini")))
 
 
 def cusum(series: DataFrame, time_col: str, value_col: str,
@@ -1127,10 +1144,17 @@ def cusum(series: DataFrame, time_col: str, value_col: str,
     vi = F.floor(F.col(value_col).cast("double") * scale
                  + F.lit(0.5)).cast("long")
     base = series.select(F.col(time_col).alias("t"), vi.alias("vi"))
-    vd = F.col("vi").cast("double")
-    mu_d = F.avg(vd)
-    sd_d = F.sqrt((F.sum(vd * vd) - F.count("*") * mu_d * mu_d)
-                  / (F.count("*") - 1))
+    # μ and σ from EXACT sums (Σv as BIGINT, Σv² as DECIMAL(38,0) —
+    # grid-unit squares overflow BIGINT), then a fixed chain of double
+    # ops — avg()/sum() over doubles is an unordered reduce whose last
+    # ulps differ between engines, and the floor() here quantizes the
+    # thresholds every downstream row compares against.
+    s1 = F.sum("vi").cast("double")
+    s2 = F.sum(F.col("vi").cast("decimal(38,0)")
+               * F.col("vi")).cast("double")
+    nn = F.count("*").cast("double")
+    mu_d = s1 / nn
+    sd_d = F.sqrt((s2 - s1 * s1 / nn) / (nn - 1))
     params = base.agg(
         F.floor(mu_d + F.lit(0.5)).cast("long").alias("mui"),
         F.floor(sd_d * k_mult + F.lit(0.5)).cast("long").alias("ki"),
@@ -1686,8 +1710,8 @@ def price_volume_decomposition(df: DataFrame, group_col: str,
     """
     per = (df.groupBy(F.col(group_col).alias("g"),
                       period_col.alias("per"))
-           .agg((F.floor(F.sum(rev_col) * 100 + F.lit(0.5)) / 100)
-                .alias("rev"),
+           .agg((F.sum(F.floor(F.col(rev_col) * 100 + F.lit(0.5))
+                       .cast("long")) / 100.0).alias("rev"),
                 F.sum(qty_col).alias("q")))
     piv = (per.groupBy("g")
            .agg(F.max(F.when(F.col("per") == 0, F.col("rev")))

@@ -294,29 +294,33 @@ def max_drawdown(series, group_col: str, time_col: str, value_col: str,
     ``changepoint_scan`` contract).  ONE group-keyed sort carries
     both windows (cumulative sum and running max of it); the trough
     row is elected per group by a max-struct aggregate, so no second
-    sort or self-join.  Per-period values are floor-rounded before
-    the cumulative pass on both engines.  Returns
+    sort or self-join.  All accumulation is INTEGER in units of
+    10^−round_digits (the ``cusum`` discipline): values quantize to
+    the grid FIRST, so the cumulative path, the drawdowns, the
+    trough-election equality, and the unordered final-value reduce
+    are all exact — no summation-order ulps on either engine.
+    Returns
     ``(group, n_periods, final_value, max_drawdown, trough_<time>)``
     — trough is the FIRST period attaining the maximum drawdown."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     p = 10 ** round_digits
-    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    vi = (F.floor(F.col(value_col).cast("double") * p + F.lit(0.5))
+          .cast("long"))
     w = (Window.partitionBy("g").orderBy("t")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     wg = Window.partitionBy("g")
     base = (series.select(F.col(group_col).alias("g"),
-                          F.col(time_col).alias("t"),
-                          fr(F.col(value_col).cast("double")).alias("v"))
-            .withColumn("cum", F.sum("v").over(w))
+                          F.col(time_col).alias("t"), vi.alias("vi"))
+            .withColumn("cum", F.sum("vi").over(w))
             .withColumn("peak", F.max("cum").over(w))
             .withColumn("dd", F.col("peak") - F.col("cum"))
             .withColumn("mdd", F.max("dd").over(wg)))
     return (base.groupBy(F.col("g").alias(group_col))
             .agg(F.count("*").cast("long").alias("n_periods"),
-                 fr(F.sum("v")).alias("final_value"),
-                 fr(F.max("mdd")).alias("max_drawdown"),
+                 (F.sum("vi") / float(p)).alias("final_value"),
+                 (F.max("mdd") / float(p)).alias("max_drawdown"),
                  F.min(F.when(F.col("dd") == F.col("mdd"),
                               F.col("t"))).alias(f"trough_{time_col}")))
 
@@ -545,11 +549,15 @@ def semi_additive_balance(df: DataFrame, key_col: str, ts_col: str,
                                 F.col(id_col).alias("i"),
                                 F.col(value_col).alias("v")))
                  .alias("__last")))
+    # sum pre-snapped integer grid units (the cusum discipline): the
+    # cross-key reduce is unordered, and a double sum rounded at the
+    # grid afterwards can flip between engines at scale
     p = 10 ** round_digits
+    vi = (F.floor(F.col("__last.v").cast("double") * p + F.lit(0.5))
+          .cast("long"))
     return (last.groupBy(F.col("__m").cast("date").alias("month"))
             .agg(F.count("*").cast("long").alias("n_keys"),
-                 (F.floor(F.sum(F.col("__last.v")) * p + F.lit(0.5))
-                  / p).alias("total_balance")))
+                 (F.sum(vi) / float(p)).alias("total_balance")))
 
 
 def negative_balance_episodes(df: DataFrame, key_col: str,
@@ -603,19 +611,25 @@ def seasonal_index_monthly(df: DataFrame, ts_col: str,
     rounded BEFORE the ratio so both engines divide identical
     numbers.  Returns ``(month_of_year, n_obs, seasonal_index)``.
     """
+    # monthly totals and the centered MA both accumulate in INTEGER
+    # cents (per-row snap, exact BIGINT sums): the month total is an
+    # unordered reduce and the framed mean re-associates differently
+    # per engine — either can flip the cents floor at scale
     monthly = (df.groupBy(
         F.date_trunc("month", F.col(ts_col)).alias("__m"))
-        .agg((F.floor(F.sum(value_col) * 100 + F.lit(0.5)) / 100)
-             .alias("__v")))
+        .agg(F.sum(F.floor(F.col(value_col) * 100 + F.lit(0.5))
+                   .cast("long")).alias("__vc")))
     w = W.orderBy("__m").rowsBetween(-6, 5)
     ma = (monthly
           .withColumn("__n", F.count("*").over(w))
-          .withColumn("__ma",
-                      F.floor(F.avg("__v").over(w) * 100
-                              + F.lit(0.5)) / 100)
+          .withColumn("__mac",
+                      F.floor(F.sum("__vc").over(w).cast("double")
+                              / F.col("__n") + F.lit(0.5))
+                      .cast("long"))
           .filter(F.col("__n") == 12))
     ratios = ma.select(F.month("__m").alias("month_of_year"),
-                       (F.col("__v") / F.col("__ma")).alias("__r"))
+                       (F.col("__vc").cast("double")
+                        / F.col("__mac")).alias("__r"))
     idx = ratios.groupBy("month_of_year").agg(
         F.count("*").cast("long").alias("n_obs"),
         F.avg("__r").alias("__idx"))

@@ -23,7 +23,7 @@ from sync_cosmos_db_spark.operators import profiling as P
 from sync_cosmos_db_spark.operators.curation import cap_per_group
 from sync_cosmos_db_spark.operators.graph import pagerank
 from sync_cosmos_db_spark.operators.text import bigram_pmi
-from sync_cosmos_db_spark.queries import query
+from sync_cosmos_db_spark.queries import fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -485,7 +485,7 @@ def session_stats_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_enrich_segment",
     """
     SELECT c.c_mktsegment AS segment, count(*)::BIGINT AS n_events,
-           floor(sum(e.value) * 100 + 0.5) / 100 AS sum_value
+           sum(floor(e.value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value
     FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -512,7 +512,8 @@ def stream_enrich_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = SW.enrich_stream(src, dim, "user_id")
     agg = (enriched.groupBy("segment")
            .agg(F.count("*").cast("long").alias("n_events"),
-                (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100)
+                (F.sum(F.floor(F.col("value") * 100
+                               + F.lit(0.5)).cast("long")) / 100.0)
                 .alias("sum_value")))
     return SW.run_stream_to_memory(
         spark, agg, f"enrich_mem_{uuid.uuid4().hex[:8]}", mode="complete")

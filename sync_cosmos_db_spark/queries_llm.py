@@ -528,7 +528,7 @@ def text_fingerprint64(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_tumbling_hourly",
     """
     SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start,
-           event_type, count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+           event_type, count(*) AS n_events, sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -550,7 +550,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest(generate_series((SELECT lo FROM b), (SELECT hi FROM b),
                                     INTERVAL 30 MINUTE)) AS ws)
     SELECT epoch(s.ws)::BIGINT AS window_start, e.event_type,
-           count(*) AS n_events, floor((sum(e.value)) * 100 + 0.5) / 100 AS sum_value
+           count(*) AS n_events, sum(floor(e.value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value
     FROM events e JOIN starts s
       ON e.ts >= s.ws AND e.ts < s.ws + INTERVAL 1 HOUR
     GROUP BY 1, 2
@@ -586,7 +586,7 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM lagged)
     SELECT floor(epoch(min(ts)))::BIGINT AS session_start, user_id,
-           count(*) AS n_events, floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+           count(*) AS n_events, sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value
     FROM sess GROUP BY user_id, sess_id
     """,
 )
@@ -601,7 +601,7 @@ def events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_stateful_user_totals",
     """
     SELECT user_id, count(*) AS n_events,
-           floor((sum(value)) * 100 + 0.5) / 100 AS sum_value
+           sum(floor(value * 100 + 0.5)::BIGINT) / 100.0 AS sum_value
     FROM events GROUP BY user_id
     """,
 )

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import query
+from sync_cosmos_db_spark.queries import fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -430,7 +430,8 @@ def mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_decile_profile",
     """
     WITH spend AS (
-      SELECT o_custkey, sum(o_totalprice) AS spend
+      SELECT o_custkey,
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS spend
       FROM orders GROUP BY 1),
     b AS (SELECT quantile_cont(spend,
                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
@@ -440,7 +441,7 @@ def mad_outlier_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS decile
           FROM spend CROSS JOIN b)
     SELECT decile, count(*)::BIGINT AS n_customers,
-           floor(sum(spend) * 10000 + 0.5) / 10000 AS total_spend,
+           sum(floor(spend * 100 + 0.5)::BIGINT) / 100.0 AS total_spend,
            floor(min(spend) * 10000 + 0.5) / 10000 AS min_spend,
            floor(max(spend) * 10000 + 0.5) / 10000 AS max_spend
     FROM d GROUP BY decile
@@ -457,7 +458,7 @@ def revenue_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantics a revenue-band report actually wants."""
     spend = (load_table(spark, sf_dir, "orders")
              .groupBy("o_custkey")
-             .agg(F.sum("o_totalprice").alias("spend")))
+             .agg(fsum("o_totalprice", 2).alias("spend")))
     qs = [i / 10 for i in range(1, 10)]
     bounds = spend.agg(F.expr(
         f"percentile(spend, array({', '.join(str(q) for q in qs)}))")
@@ -470,8 +471,7 @@ def revenue_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                          lambda x: F.col("spend") > x)) + 1).cast("long")))
     return (d.groupBy("decile")
             .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
-                 (F.floor(F.sum("spend") * p + F.lit(0.5)) / p)
-                 .alias("total_spend"),
+                 fsum("spend", 2).alias("total_spend"),
                  (F.floor(F.min("spend") * p + F.lit(0.5)) / p)
                  .alias("min_spend"),
                  (F.floor(F.max("spend") * p + F.lit(0.5)) / p)
@@ -902,7 +902,8 @@ def canonical_doc_election(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_totalprice
       FROM orders)
     SELECT bucket, count(*)::BIGINT AS n_rows,
-           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS sum_price
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0
+             AS sum_price
     FROM b GROUP BY bucket
     """,
 )
@@ -926,8 +927,7 @@ def pagination_buckets_orders(spark: SparkSession,
             .withColumn("bucket", hash_bucket("o_orderkey", 8, "page"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
-                 (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100)
-                 .alias("sum_price")))
+                 fsum("o_totalprice", 2).alias("sum_price")))
 
 
 # ---------------------------------------------------------------------------
@@ -1377,7 +1377,7 @@ def flesch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            (grouping(o_orderstatus) * 2 + grouping(o_orderpriority))
              ::BIGINT AS gid,
            count(*)::BIGINT AS n,
-           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -1393,8 +1393,7 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.cube("o_orderstatus", "o_orderpriority")
             .agg(F.grouping_id().cast("long").alias("gid"),
                  F.count(F.lit(1)).cast("long").alias("n"),
-                 (F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)) / 100)
-                 .alias("revenue"))
+                 fsum("o_totalprice", 2).alias("revenue"))
             .select(F.coalesce("o_orderstatus", F.lit("<all>"))
                     .alias("status"),
                     F.coalesce("o_orderpriority", F.lit("<all>"))
@@ -1468,7 +1467,8 @@ def view_purchase_hourly_corr(spark: SparkSession,
              date_diff('day', max(o_orderdate), (SELECT mxd FROM mx))
                AS recency_days,
              count(*)::BIGINT AS frequency,
-             sum(o_totalprice) AS monetary
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0
+               AS monetary
       FROM orders GROUP BY 1),
     scored AS (
       SELECT CASE WHEN recency_days <= 365 THEN 3
@@ -1481,7 +1481,8 @@ def view_purchase_hourly_corr(spark: SparkSession,
       FROM rfm)
     SELECT (r_score * 100 + f_score * 10 + m_score)::BIGINT AS segment,
            count(*)::BIGINT AS n_customers,
-           floor(sum(monetary) * 100 + 0.5) / 100 AS total_monetary
+           sum(floor(monetary * 100 + 0.5)::BIGINT) / 100.0
+             AS total_monetary
     FROM scored GROUP BY 1
     """,
 )
@@ -1498,7 +1499,7 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = (o.groupBy("o_custkey")
            .agg(F.max("o_orderdate").alias("last_order"),
                 F.count(F.lit(1)).cast("long").alias("frequency"),
-                F.sum("o_totalprice").alias("monetary"))
+                fsum("o_totalprice", 2).alias("monetary"))
            .crossJoin(F.broadcast(mx))
            .withColumn("recency_days",
                        F.datediff("mxd", "last_order")))
@@ -1512,8 +1513,7 @@ def rfm_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                            (r_s * 100 + f_s * 10 + m_s).cast("long"))
             .groupBy("segment")
             .agg(F.count(F.lit(1)).cast("long").alias("n_customers"),
-                 (F.floor(F.sum("monetary") * 100 + F.lit(0.5)) / 100)
-                 .alias("total_monetary")))
+                 fsum("monetary", 2).alias("total_monetary")))
 
 
 # ---------------------------------------------------------------------------

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import query
+from sync_cosmos_db_spark.queries import fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -345,13 +345,15 @@ def out_of_order_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "target_encode_segments",
     """
     WITH j AS (
-      SELECT c.c_mktsegment AS cat, o.o_totalprice::DOUBLE AS t
+      SELECT c.c_mktsegment AS cat,
+             floor(o.o_totalprice * 100 + 0.5)::BIGINT AS tc
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
-    g AS (SELECT avg(t) AS gm FROM j)
+    g AS (SELECT sum(tc)::DOUBLE / count(*) AS gm FROM j)
     SELECT cat, count(*)::BIGINT AS n,
-           floor(avg(t) * 10000 + 0.5) / 10000 AS raw_mean,
-           floor((sum(t) + 10.0 * (SELECT gm FROM g))
-                 / (count(*) + 10.0) * 10000 + 0.5) / 10000 AS encoded
+           floor(sum(tc)::DOUBLE / count(*) * 100 + 0.5) / 10000
+             AS raw_mean,
+           floor((sum(tc)::DOUBLE + 10.0 * (SELECT gm FROM g))
+                 / (count(*) + 10.0) * 100 + 0.5) / 10000 AS encoded
     FROM j GROUP BY 1
     """,
 )
@@ -675,21 +677,27 @@ from sync_cosmos_db_spark.session import load_table
     """
     WITH s AS (
       SELECT o_orderdate::DATE AS day,
-             floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS v
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS v
       FROM orders GROUP BY 1),
-    b AS (SELECT day, v, row_number() OVER (ORDER BY day) AS i,
-                 sum(v) OVER (ORDER BY day
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum
+    b AS (SELECT day,
+                 row_number() OVER (ORDER BY day) AS i,
+                 sum(floor(v * 10000 + 0.5)::BIGINT)
+                   OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
           FROM s),
-    t AS (SELECT max(i) AS n, sum(v) AS st FROM b),
+    t AS (SELECT max(i) AS n,
+                 (SELECT sum(floor(v * 10000 + 0.5)::BIGINT) FROM s)::BIGINT
+                   AS st
+          FROM b),
     sc AS (SELECT day AS split_day, i::BIGINT AS n_before,
                   (t.n - i)::BIGINT AS n_after,
-                  floor(cum / i * 10000 + 0.5) / 10000 AS mean_before,
-                  floor((t.st - cum) / (t.n - i) * 10000 + 0.5) / 10000
+                  floor(cum::DOUBLE / i + 0.5) / 10000 AS mean_before,
+                  floor((t.st - cum)::DOUBLE / (t.n - i) + 0.5) / 10000
                     AS mean_after,
-                  floor(abs(cum / i - (t.st - cum) / (t.n - i)) * 10000
-                        + 0.5) / 10000 AS gap
+                  floor(abs(cum::DOUBLE / i
+                            - (t.st - cum)::DOUBLE / (t.n - i)) + 0.5)
+                    / 10000 AS gap
            FROM b, t WHERE i < t.n)
     SELECT split_day, n_before, n_after, mean_before, mean_after, gap
     FROM sc
@@ -709,7 +717,7 @@ def changepoint_daily_revenue(spark: SparkSession,
     orders = load_table(spark, sf_dir, "orders")
     series = (orders
               .groupBy(F.to_date(F.col("o_orderdate")).alias("day"))
-              .agg(F.sum("o_totalprice").alias("rev")))
+              .agg(fsum("o_totalprice", 2).alias("rev")))
     return changepoint_scan(series, "day", "rev", top_k=5)
 
 
@@ -961,17 +969,19 @@ def quantile_align_doc_lengths(spark: SparkSession,
     "gini_nation_revenue",
     """
     WITH rev AS (SELECT o_custkey,
-                        floor(sum(o_totalprice) * 10000 + 0.5) / 10000
+                        sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0
                           AS v
                  FROM orders GROUP BY 1),
-    j AS (SELECT c.c_nationkey AS grp, rev.v
+    j AS (SELECT c.c_nationkey AS grp,
+                 floor(rev.v * 1000000 + 0.5)::BIGINT AS vi
           FROM rev JOIN customer c ON c.c_custkey = rev.o_custkey),
-    r AS (SELECT grp, v,
-                 row_number() OVER (PARTITION BY grp ORDER BY v) AS i
+    r AS (SELECT grp, vi,
+                 row_number() OVER (PARTITION BY grp ORDER BY vi) AS i
           FROM j)
     SELECT grp AS c_nationkey, count(*)::BIGINT AS n,
-           floor(sum(v) * 1000000 + 0.5) / 1000000 AS total,
-           floor((2 * sum(i * v) / (count(*) * sum(v))
+           sum(vi)::BIGINT / 1000000.0 AS total,
+           floor((2.0 * sum(i * vi)::DOUBLE
+                  / (count(*)::DOUBLE * sum(vi)::DOUBLE)
                   - (count(*) + 1.0) / count(*)) * 1000000 + 0.5)
              / 1000000 AS gini
     FROM r GROUP BY 1
@@ -988,10 +998,8 @@ def gini_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    p = 10 ** 4
     rev = (orders.groupBy("o_custkey")
-           .agg((F.floor(F.sum("o_totalprice") * p + F.lit(0.5)) / p)
-                .alias("v")))
+           .agg(fsum("o_totalprice", 2).alias("v")))
     j = rev.join(F.broadcast(cust),
                  rev["o_custkey"] == cust["c_custkey"])
     return gini(j, "c_nationkey", "v")
@@ -1151,16 +1159,19 @@ from sync_cosmos_db_spark.session import load_table
     """
     WITH RECURSIVE s AS (
       SELECT o_orderdate::DATE AS day,
-             floor(sum(o_totalprice) * 10000 + 0.5)::BIGINT AS vi
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) * 100 AS vi
       FROM orders GROUP BY 1),
-    prm AS (SELECT floor(avg(vi) + 0.5)::BIGINT AS mui,
-                   floor(sqrt((sum(vi::DOUBLE * vi::DOUBLE)
-                               - count(*) * avg(vi) * avg(vi))
-                              / (count(*) - 1)) * 0.5 + 0.5)::BIGINT
+    prm AS (SELECT floor(sum(vi)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+                     AS mui,
+                   floor(sqrt((sum(vi::HUGEINT * vi)::DOUBLE
+                               - sum(vi)::DOUBLE * sum(vi)::DOUBLE
+                                 / count(*)::DOUBLE)
+                              / (count(*)::DOUBLE - 1)) * 0.5 + 0.5)::BIGINT
                      AS ki,
-                   floor(sqrt((sum(vi::DOUBLE * vi::DOUBLE)
-                               - count(*) * avg(vi) * avg(vi))
-                              / (count(*) - 1)) * 4.0 + 0.5)::BIGINT
+                   floor(sqrt((sum(vi::HUGEINT * vi)::DOUBLE
+                               - sum(vi)::DOUBLE * sum(vi)::DOUBLE
+                                 / count(*)::DOUBLE)
+                              / (count(*)::DOUBLE - 1)) * 4.0 + 0.5)::BIGINT
                      AS hi
             FROM s),
     i AS (SELECT row_number() OVER (ORDER BY day) AS i, day, vi
@@ -1197,7 +1208,7 @@ def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     series = (orders
               .groupBy(F.to_date(F.col("o_orderdate")).alias("day"))
-              .agg(F.sum("o_totalprice").alias("rev")))
+              .agg(fsum("o_totalprice", 2).alias("rev")))
     return cusum(series, "day", "rev", k_mult=0.5, h_mult=4.0)
 
 
@@ -1210,26 +1221,28 @@ def cusum_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (
       SELECT o_orderpriority AS g, o_orderdate::DATE AS day,
-             floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS rev
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) * 100 AS ri
       FROM orders GROUP BY 1, 2),
-    m AS (SELECT g, floor(avg(rev) * 10000 + 0.5) / 10000 AS mrev
+    m AS (SELECT g,
+                 floor(sum(ri)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+                   AS mi
           FROM s GROUP BY 1),
-    x AS (SELECT s.g, s.day, s.rev - m.mrev AS v
+    x AS (SELECT s.g, s.day, (s.ri - m.mi)::BIGINT AS vi
           FROM s JOIN m USING (g)),
-    c AS (SELECT g, day, v,
-                 sum(v) OVER (PARTITION BY g ORDER BY day
-                              ROWS BETWEEN UNBOUNDED PRECEDING
-                              AND CURRENT ROW) AS cum
+    c AS (SELECT g, day, vi,
+                 (sum(vi) OVER (PARTITION BY g ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW))::BIGINT AS cum
           FROM x),
-    d AS (SELECT g, day, v, cum,
+    d AS (SELECT g, day, vi, cum,
                  max(cum) OVER (PARTITION BY g ORDER BY day
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) - cum AS dd
           FROM c),
     e AS (SELECT *, max(dd) OVER (PARTITION BY g) AS mdd FROM d)
     SELECT g AS o_orderpriority, count(*)::BIGINT AS n_periods,
-           floor(sum(v) * 10000 + 0.5) / 10000 AS final_value,
-           floor(max(mdd) * 10000 + 0.5) / 10000 AS max_drawdown,
+           sum(vi)::BIGINT / 10000.0 AS final_value,
+           max(mdd)::BIGINT / 10000.0 AS max_drawdown,
            min(CASE WHEN dd = mdd THEN day END) AS trough_day
     FROM e GROUP BY 1
     """,
@@ -1247,12 +1260,14 @@ def max_drawdown_priority_revenue(spark: SparkSession,
 
     orders = load_table(spark, sf_dir, "orders")
     p = 10 ** 4
-    fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
     s = (orders
          .groupBy(F.col("o_orderpriority").alias("g"),
                   F.to_date(F.col("o_orderdate")).alias("day"))
-         .agg(fr(F.sum("o_totalprice")).alias("rev")))
-    m = s.groupBy("g").agg(fr(F.avg("rev")).alias("mrev"))
+         .agg(fsum("o_totalprice", 2).alias("rev")))
+    ri = F.floor(F.col("rev") * p + F.lit(0.5)).cast("long")
+    m = s.groupBy("g").agg(
+        (F.floor(F.sum(ri).cast("double") / F.count("*")
+                 + F.lit(0.5)) / p).alias("mrev"))
     x = (s.join(F.broadcast(m), "g")
          .select(F.col("g").alias("o_orderpriority"), F.col("day"),
                  (F.col("rev") - F.col("mrev")).alias("v")))
@@ -2178,7 +2193,7 @@ def prefix_index_documents(spark: SparkSession,
     """
     WITH m AS (
       SELECT c.c_nationkey, o.o_custkey,
-             floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS spend,
+             sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS spend,
              count(*)::BIGINT AS n_orders
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2)
@@ -2207,12 +2222,10 @@ def pareto_frontier_customers(spark: SparkSession,
     both engines."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    p = 10 ** 2
     m = (orders.join(F.broadcast(cust),
                      orders["o_custkey"] == cust["c_custkey"])
          .groupBy("c_nationkey", "o_custkey")
-         .agg((F.floor(F.sum("o_totalprice") * p + F.lit(0.5)) / p)
-              .alias("spend"),
+         .agg(fsum("o_totalprice", 2).alias("spend"),
               F.count("*").cast("long").alias("n_orders")))
     g = (m.groupBy("c_nationkey", "spend")
          .agg(F.max("n_orders").alias("gmax")))

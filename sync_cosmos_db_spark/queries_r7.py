@@ -82,7 +82,7 @@ the two fuzzy-matching flavors the dedup/linkage chain still lacked
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import fround, query
+from sync_cosmos_db_spark.queries import fround, fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -1277,7 +1277,7 @@ def pr_threshold_sweep_events(spark: SparkSession,
     """
     WITH daily AS (
       SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
-             floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS rev
       FROM orders WHERE o_orderkey % 50 = 0 GROUP BY prio, d),
     bounds AS (SELECT prio, min(d) AS lo, max(d) AS hi
                FROM daily GROUP BY prio),
@@ -1330,7 +1330,7 @@ def interp_daily_order_revenue(spark: SparkSession,
     daily = (orders.where(F.col("o_orderkey") % 50 == 0)
              .groupBy(F.col("o_orderpriority").alias("prio"),
                       F.to_date("o_orderdate").alias("d"))
-             .agg(fround(F.sum("o_totalprice"), 2).alias("rev")))
+             .agg(fsum("o_totalprice", 2).alias("rev")))
     return gap_fill_interpolate(daily, ["prio"], "d", "rev").select(
         "prio", "d", "rev", F.col("rev_interp"))
 
@@ -1421,7 +1421,7 @@ def km_survival_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pr AS (
       SELECT l_partkey AS k,
-             floor(sum(l_extendedprice) * 100 + 0.5)::BIGINT AS c
+             sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS c
       FROM lineitem GROUP BY 1),
     t AS (SELECT sum(c)::BIGINT AS total FROM pr),
     cum AS (
@@ -1455,7 +1455,7 @@ def abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     pr = (li.groupBy(F.col("l_partkey").alias("k"))
-          .agg(F.sum("l_extendedprice").alias("v")))
+          .agg(fsum("l_extendedprice", 2).alias("v")))
     return abc_classification(pr, "k", "v")
 
 
@@ -1643,7 +1643,7 @@ def nearest_purchase_per_click(spark: SparkSession,
     """
     WITH daily AS (
       SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
-             floor(sum(o_totalprice) * 100 + 0.5)::BIGINT AS y
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS y
       FROM orders GROUP BY 1, 2),
     x AS (SELECT prio, d,
                  date_diff('day', DATE '1992-01-01', d) AS xd, y
@@ -1681,8 +1681,8 @@ def rolling_ols_daily_revenue(spark: SparkSession,
     daily = (orders.groupBy(
         F.col("o_orderpriority").alias("prio"),
         F.to_date("o_orderdate").alias("d"))
-        .agg(F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-             .cast("long").alias("y")))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")).alias("y")))
     return rolling_ols_slope(daily, "prio", "d", "y",
                              window_days=28)
 
@@ -2254,7 +2254,7 @@ from sync_cosmos_db_spark.session import load_table
       SELECT o_orderpriority, o_totalprice FROM orders
       WHERE o_orderkey % 3 = 0)
     SELECT key, count(*)::BIGINT AS n,
-           floor(sum(v) * 100 + 0.5) / 100 AS s
+           sum(floor(v * 100 + 0.5)::BIGINT) / 100.0 AS s
     FROM final GROUP BY 1
     """,
 )
@@ -2275,7 +2275,7 @@ def ivm_orders_priority(spark: SparkSession,
     base = orders.filter(k % 3 != 0)
     snapshot = (base.groupBy(prio.alias("key"))
                 .agg(F.count("*").cast("long").alias("n"),
-                     F.sum(v).alias("s")))
+                     fsum(v, 2).alias("s")))
     ins = orders.filter(k % 3 == 0).select(
         prio.alias("key"), F.lit("I").alias("op"),
         v.alias("v_new"), F.lit(None).cast("double").alias("v_old"))
@@ -2304,7 +2304,7 @@ def ivm_orders_priority(spark: SparkSession,
                ORDER BY ts DESC, event_id DESC) AS rn
       FROM events)
     SELECT m::DATE AS month, count(*)::BIGINT AS n_keys,
-           floor(sum(value) * 10000 + 0.5) / 10000
+           sum(floor(value * 10000 + 0.5)::BIGINT) / 10000.0
              AS total_balance
     FROM l WHERE rn = 1 GROUP BY 1
     """,
@@ -2517,7 +2517,7 @@ def denylist_documents_sources(spark: SparkSession,
       FROM lineitem l JOIN orders o
         ON l.l_orderkey = o.o_orderkey),
     per AS (SELECT g, per,
-                   floor(sum(r) * 100 + 0.5) / 100 AS rev,
+                   sum(floor(r * 100 + 0.5)::BIGINT) / 100.0 AS rev,
                    sum(q) AS q
             FROM j GROUP BY 1, 2),
     piv AS (SELECT g,
@@ -2703,17 +2703,18 @@ def conversion_latency_events(spark: SparkSession,
     """
     WITH m AS (
       SELECT date_trunc('month', o_orderdate) AS mo,
-             floor(sum(o_totalprice) * 100 + 0.5) / 100 AS v
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS vc
       FROM orders GROUP BY 1),
     ma AS (
-      SELECT mo, v,
+      SELECT mo, vc,
              count(*) OVER w AS n,
-             floor(avg(v) OVER w * 100 + 0.5) / 100 AS ma
+             floor((sum(vc) OVER w)::DOUBLE
+                   / (count(*) OVER w) + 0.5)::BIGINT AS mac
       FROM m
       WINDOW w AS (ORDER BY mo
                    ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)),
     r AS (SELECT date_part('month', mo)::BIGINT AS month_of_year,
-                 v / ma AS ratio
+                 vc::DOUBLE / mac AS ratio
           FROM ma WHERE n = 12),
     idx AS (SELECT month_of_year, count(*)::BIGINT AS n_obs,
                    avg(ratio) AS i
@@ -2792,7 +2793,8 @@ def exp_fit_ks_event_types(spark: SparkSession,
     """
     WITH sr AS (
       SELECT s.s_nationkey AS nation, l.l_suppkey AS sk,
-             floor(sum(l.l_extendedprice) * 100 + 0.5) / 100 AS rev
+             sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT) / 100.0
+               AS rev
       FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
       GROUP BY 1, 2),
     rk AS (SELECT nation, sk, rev,
@@ -2803,7 +2805,7 @@ def exp_fit_ks_event_types(spark: SparkSession,
            CASE WHEN rn <= 3 THEN sk::VARCHAR ELSE 'OTHER' END
              AS supplier,
            count(*)::BIGINT AS n_suppliers,
-           floor(sum(rev) * 100 + 0.5) / 100 AS revenue
+           sum(floor(rev * 100 + 0.5)::BIGINT) / 100.0 AS revenue
     FROM rk GROUP BY 1, 2
     """,
 )
@@ -2819,8 +2821,7 @@ def topn_other_suppliers_by_nation(spark: SparkSession,
     sr = (li.join(sup, li.l_suppkey == sup.s_suppkey)
           .groupBy(F.col("s_nationkey").alias("nation"),
                    F.col("l_suppkey").alias("sk"))
-          .agg((F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5))
-                / 100).alias("rev")))
+          .agg(fsum("l_extendedprice", 2).alias("rev")))
     rn = F.row_number().over(
         W.partitionBy("nation").orderBy(F.col("rev").desc(), "sk"))
     lab = F.when(F.col("rn") <= 3,
@@ -2828,8 +2829,7 @@ def topn_other_suppliers_by_nation(spark: SparkSession,
     return (sr.withColumn("rn", rn)
             .groupBy("nation", lab.alias("supplier"))
             .agg(F.count("*").cast("long").alias("n_suppliers"),
-                 (F.floor(F.sum("rev") * 100 + F.lit(0.5)) / 100)
-                 .alias("revenue")))
+                 fsum("rev", 2).alias("revenue")))
 
 
 # ===========================================================================
@@ -2862,7 +2862,7 @@ from sync_cosmos_db_spark.session import load_table
     """
     WITH nr AS (
       SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
-             floor(sum(o.o_totalprice) * 100 + 0.5)::BIGINT AS c
+             sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT) AS c
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -2892,8 +2892,8 @@ def share_of_parent_nations(spark: SparkSession,
           .join(nation, cust.c_nationkey == nation.n_nationkey)
           .groupBy(F.col("n_regionkey").alias("region"),
                    F.col("c_nationkey").alias("nation"))
-          .agg(F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-               .cast("long").alias("c")))
+          .agg(F.sum(F.floor(F.col("o_totalprice") * 100
+                              + F.lit(0.5)).cast("long")).alias("c")))
     wr = W.partitionBy("region")
     wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return nr.select(
@@ -3614,7 +3614,7 @@ def woe_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH cr AS (
       SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
-             floor(sum(o.o_totalprice) * 100 + 0.5)::BIGINT AS c
+             sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT) AS c
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2),
     t AS (SELECT segment, sum(c)::BIGINT AS tot,
@@ -3639,8 +3639,8 @@ def hhi_segment_customers(spark: SparkSession,
     cr = (orders.join(cust, orders.o_custkey == cust.c_custkey)
           .groupBy(F.col("c_mktsegment").alias("segment"),
                    F.col("o_custkey").alias("cust"))
-          .agg(F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-               .cast("long").alias("c")))
+          .agg(F.sum(F.floor(F.col("o_totalprice") * 100
+                              + F.lit(0.5)).cast("long")).alias("c")))
     t = cr.groupBy("segment").agg(
         F.sum("c").alias("tot"),
         F.count("*").cast("long").alias("n_cust"))
@@ -3702,7 +3702,7 @@ def peak_concurrency_daily(spark: SparkSession,
     """
     WITH daily AS (
       SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
-             floor(sum(o_totalprice) * 100 + 0.5)::BIGINT AS y
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS y
       FROM orders GROUP BY 1, 2),
     x AS (SELECT prio, d,
                  date_diff('day', DATE '1992-01-01', d) AS xd, y
@@ -3740,8 +3740,8 @@ def rolling_robust_z_revenue(spark: SparkSession,
     daily = (orders.groupBy(
         F.col("o_orderpriority").alias("prio"),
         F.to_date("o_orderdate").alias("d"))
-        .agg(F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-             .cast("long").alias("y")))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")).alias("y")))
     return rolling_robust_z(daily, "prio", "d", "y",
                             window_days=28, min_obs=10)
 
@@ -4642,7 +4642,7 @@ def nearest_centroid_eval_embeddings(spark: SparkSession,
     """
     WITH daily AS (
       SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
-             floor(sum(o_totalprice) * 100 + 0.5)::BIGINT AS y
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS y
       FROM orders GROUP BY 1, 2)
     SELECT a.prio, a.d, a.y,
            l1.y AS y_lag1, l7.y AS y_lag7,
@@ -4669,8 +4669,8 @@ def lag_features_daily_revenue(spark: SparkSession,
     daily = (orders.groupBy(
         F.col("o_orderpriority").alias("prio"),
         F.to_date("o_orderdate").alias("d"))
-        .agg(F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
-             .cast("long").alias("y")))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                    .cast("long")).alias("y")))
     l1 = daily.select(F.col("prio").alias("p1"),
                       F.col("d").alias("d1"),
                       F.col("y").alias("y_lag1"))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import query
+from sync_cosmos_db_spark.queries import fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 # ---------------------------------------------------------------------------
@@ -271,7 +271,7 @@ WITH e AS (
                    % 2 = 1 THEN 1 ELSE 0 END AS treat,
          CASE WHEN ts < TIMESTAMP '{_DID_CUTOFF} 00:00:00'
               THEN 1 ELSE 0 END AS pre,
-         value
+         floor(value * 1e6 + 0.5)::BIGINT AS vi
   FROM events),
 cells AS (
   SELECT event_type,
@@ -279,14 +279,18 @@ cells AS (
          count(*) FILTER (treat = 1 AND pre = 0)  AS n_t_post,
          count(*) FILTER (treat = 0 AND pre = 1)  AS n_c_pre,
          count(*) FILTER (treat = 0 AND pre = 0)  AS n_c_post,
-         floor(avg(value) FILTER (treat = 1 AND pre = 1)
-               * 1e6 + 0.5) / 1e6 AS m_t_pre,
-         floor(avg(value) FILTER (treat = 1 AND pre = 0)
-               * 1e6 + 0.5) / 1e6 AS m_t_post,
-         floor(avg(value) FILTER (treat = 0 AND pre = 1)
-               * 1e6 + 0.5) / 1e6 AS m_c_pre,
-         floor(avg(value) FILTER (treat = 0 AND pre = 0)
-               * 1e6 + 0.5) / 1e6 AS m_c_post
+         floor((sum(vi) FILTER (treat = 1 AND pre = 1))::DOUBLE
+               / count(*) FILTER (treat = 1 AND pre = 1)
+               + 0.5) / 1e6 AS m_t_pre,
+         floor((sum(vi) FILTER (treat = 1 AND pre = 0))::DOUBLE
+               / count(*) FILTER (treat = 1 AND pre = 0)
+               + 0.5) / 1e6 AS m_t_post,
+         floor((sum(vi) FILTER (treat = 0 AND pre = 1))::DOUBLE
+               / count(*) FILTER (treat = 0 AND pre = 1)
+               + 0.5) / 1e6 AS m_c_pre,
+         floor((sum(vi) FILTER (treat = 0 AND pre = 0))::DOUBLE
+               / count(*) FILTER (treat = 0 AND pre = 0)
+               + 0.5) / 1e6 AS m_c_post
   FROM e GROUP BY event_type)
 SELECT event_type, n_t_pre, n_t_post, n_c_pre, n_c_post,
        m_t_pre, m_t_post, m_c_pre, m_c_post,
@@ -317,15 +321,24 @@ def did_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     def r6(c):
         return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
 
+    # cell means from EXACT integer-micro sums (sum(vi)::double / n,
+    # floored on the grid): avg(value) is an unordered double reduce
+    # whose 1e-6 floor can flip between engines at sf0.1 cell sizes
+    vi = F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("long")
+
+    def m(cond):
+        return (F.floor(F.sum(F.when(cond, vi)).cast("double")
+                        / F.count(F.when(cond, 1)) + F.lit(0.5)) / 1e6)
+
     cells = ev.groupBy("event_type").agg(
         F.count(F.when(treat & pre, 1)).alias("n_t_pre"),
         F.count(F.when(treat & ~pre, 1)).alias("n_t_post"),
         F.count(F.when(~treat & pre, 1)).alias("n_c_pre"),
         F.count(F.when(~treat & ~pre, 1)).alias("n_c_post"),
-        r6(F.avg(F.when(treat & pre, F.col("value")))).alias("m_t_pre"),
-        r6(F.avg(F.when(treat & ~pre, F.col("value")))).alias("m_t_post"),
-        r6(F.avg(F.when(~treat & pre, F.col("value")))).alias("m_c_pre"),
-        r6(F.avg(F.when(~treat & ~pre, F.col("value")))).alias("m_c_post"))
+        m(treat & pre).alias("m_t_pre"),
+        m(treat & ~pre).alias("m_t_post"),
+        m(~treat & pre).alias("m_c_pre"),
+        m(~treat & ~pre).alias("m_c_post"))
     return cells.withColumn(
         "did",
         r6((F.col("m_t_post") - F.col("m_t_pre"))

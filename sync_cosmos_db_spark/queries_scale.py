@@ -23,7 +23,7 @@ from sync_cosmos_db_spark.operators.profiling import centroid_outliers
 from sync_cosmos_db_spark.operators.pruning import runtime_filter_semi_join
 from sync_cosmos_db_spark.operators.retrieval import tfidf_related
 from sync_cosmos_db_spark.operators.temporal import gap_fill
-from sync_cosmos_db_spark.queries import fround, query
+from sync_cosmos_db_spark.queries import fround, fsum, query
 from sync_cosmos_db_spark.session import load_table
 
 
@@ -36,7 +36,8 @@ from sync_cosmos_db_spark.session import load_table
     """
     SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
            count(*)::BIGINT AS n_orders,
-           floor(sum(o.o_totalprice) * 100 + 0.5) / 100 AS revenue
+           sum(floor(o.o_totalprice * 100 + 0.5)::BIGINT) / 100.0
+             AS revenue
     FROM orders o
     WHERE o.o_custkey IN (
       SELECT c_custkey FROM customer
@@ -58,7 +59,7 @@ def runtime_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(F.count("*").cast("long").alias("n_orders"),
-             fround(F.sum("o_totalprice"), 2).alias("revenue")))
+             fsum("o_totalprice", 2).alias("revenue")))
 
 
 # ---------------------------------------------------------------------------
@@ -70,7 +71,7 @@ def runtime_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH daily AS (
       SELECT o_orderpriority AS prio, o_orderdate::DATE AS d,
-             floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+             sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS rev
       FROM orders WHERE o_orderkey % 50 = 0 GROUP BY prio, d),
     bounds AS (SELECT prio, min(d) AS lo, max(d) AS hi
                FROM daily GROUP BY prio),
@@ -97,7 +98,7 @@ def gapfill_daily_order_revenue(spark: SparkSession,
     daily = (orders.where(F.col("o_orderkey") % 50 == 0)
              .groupBy(F.col("o_orderpriority").alias("prio"),
                       F.to_date("o_orderdate").alias("d"))
-             .agg(fround(F.sum("o_totalprice"), 2).alias("rev")))
+             .agg(fsum("o_totalprice", 2).alias("rev")))
     return gap_fill(daily, ["prio"], "d", ["rev"], step="1 day").select(
         "prio", "d", "rev", F.col("rev_filled"))
 
@@ -168,11 +169,12 @@ def tfidf_related_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderstatus, o_orderpriority,
            count(*)::BIGINT AS n,
-           floor(sum(o_totalprice) * 10000 + 0.5) / 10000 AS total,
+           sum(floor(o_totalprice * 10000 + 0.5)::BIGINT) / 10000.0
+             AS total,
            floor(min(o_totalprice) * 10000 + 0.5) / 10000 AS lo,
            floor(max(o_totalprice) * 10000 + 0.5) / 10000 AS hi,
-           floor(sum(o_totalprice) / count(*) * 10000 + 0.5) / 10000
-             AS mean
+           floor(sum(floor(o_totalprice * 10000 + 0.5)::BIGINT)::DOUBLE
+                 / count(*) + 0.5) / 10000 AS mean
     FROM orders GROUP BY o_orderstatus, o_orderpriority
     """,
 )
@@ -400,7 +402,7 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT year(o_orderdate)::BIGINT AS y,
            month(o_orderdate)::BIGINT AS mo,
            count(*)::BIGINT AS n,
-           floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT) / 100.0 AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((year(o_orderdate)),
                             (year(o_orderdate), month(o_orderdate)))
@@ -418,7 +420,8 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT year(o_orderdate) AS y,
                month(o_orderdate) AS mo,
                count(*) AS n,
-               floor(sum(o_totalprice) * 100 + 0.5) / 100 AS revenue
+               sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 / CAST(100.0 AS DOUBLE) AS revenue
         FROM __orders_th
         GROUP BY GROUPING SETS ((year(o_orderdate)),
                                 (year(o_orderdate), month(o_orderdate)))
@@ -849,11 +852,11 @@ def schema_evolution_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey,
            o_orderstatus,
-           floor(sum(o_totalprice) OVER (
+           sum(floor(o_totalprice * 100 + 0.5)::BIGINT) OVER (
              PARTITION BY o_orderstatus
              ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate)
              RANGE BETWEEN 7 PRECEDING AND CURRENT ROW
-           ) * 100 + 0.5) / 100 AS rev_7d
+           ) / 100.0 AS rev_7d
     FROM orders WHERE o_orderkey % 5 = 0
     """,
 )
@@ -873,10 +876,10 @@ def window_range_frame_revenue(spark: SparkSession,
     day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
     w = (W.partitionBy("o_orderstatus").orderBy(day.cast("long"))
          .rangeBetween(-7, 0))
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return orders.select(
         "o_orderkey", "o_orderstatus",
-        (F.floor(F.sum("o_totalprice").over(w) * 100 + F.lit(0.5)) / 100)
-        .alias("rev_7d"))
+        (F.sum(cents).over(w) / 100.0).alias("rev_7d"))
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,10 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from sync_cosmos_db_spark.streaming.windows import DEFAULT_WATERMARK
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
-_STATE_SCHEMA = "n bigint, s double"
+# state sum is INTEGER CENTS: per-group pandas float accumulation uses
+# pairwise summation whose association differs from the batch oracle's;
+# snapping each value to cents first makes the running sum exact
+_STATE_SCHEMA = "n bigint, s bigint"
 
 
 def running_user_totals(events: DataFrame,
@@ -43,15 +46,17 @@ def running_user_totals(events: DataFrame,
 
     def update(key: Any, pdfs: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as _np
         import pandas as _pd
 
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf["value"].sum())
+            s += int(_np.floor(pdf["value"].to_numpy() * 100
+                               + 0.5).astype("int64").sum())
         state.update((n, s))
         yield _pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                             "sum_value": [s]})
+                             "sum_value": [s / 100.0]})
 
     ev = events.withWatermark("ts", watermark)
     return ev.groupBy("user_id").applyInPandasWithState(
@@ -111,6 +116,38 @@ def changelog_compact_stream(changes: DataFrame) -> DataFrame:
         GroupStateTimeout.NoTimeout)
 
 
+def make_compaction_merge_batch(state_dir: str, keys: list[str],
+                                seq_col: str, op_col: str,
+                                versions: dict[int, str]):
+    """The ``foreachBatch`` body of ``run_changelog_compaction``,
+    exposed as a factory so the retry-idempotence contract is directly
+    testable: calling the returned function TWICE with the same
+    ``batch_id`` (a Structured-Streaming micro-batch retry) must leave
+    the version list and the final compacted state identical to a
+    single call.  ``versions`` is keyed by batch_id (not "latest"): on
+    a retry the previous state must be the last version BEFORE this
+    batch — a bare latest-pointer would hand the retry its own partial
+    output, lazily reading the very path the overwrite is about to
+    clobber."""
+    import os
+
+    from sync_cosmos_db_spark.operators.cdc import collapse_changelog
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        compact = collapse_changelog(batch_df, keys, seq_col, op_col)
+        prior = [versions[b] for b in sorted(versions) if b < batch_id]
+        if prior:
+            prev = spark.read.parquet(prior[-1])
+            compact = collapse_changelog(
+                prev.unionByName(compact), keys, seq_col, op_col)
+        out = os.path.join(state_dir, f"v{batch_id:020d}")
+        compact.write.mode("overwrite").parquet(out)
+        versions[batch_id] = out
+
+    return merge_batch
+
+
 def run_changelog_compaction(changes: DataFrame, state_dir: str,
                              keys: list[str], seq_col: str,
                              op_col: str = "op") -> DataFrame:
@@ -137,25 +174,9 @@ def run_changelog_compaction(changes: DataFrame, state_dir: str,
     """
     import os
 
-    from sync_cosmos_db_spark.operators.cdc import collapse_changelog
-
-    # Keyed by batch_id (not "latest"): on a micro-batch RETRY the
-    # previous state must be the last version BEFORE this batch — a
-    # bare latest-pointer would hand the retry its own partial output,
-    # lazily reading the very path the overwrite is about to clobber.
     versions: dict[int, str] = {}
-
-    def merge_batch(batch_df, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        compact = collapse_changelog(batch_df, keys, seq_col, op_col)
-        prior = [versions[b] for b in sorted(versions) if b < batch_id]
-        if prior:
-            prev = spark.read.parquet(prior[-1])
-            compact = collapse_changelog(
-                prev.unionByName(compact), keys, seq_col, op_col)
-        out = os.path.join(state_dir, f"v{batch_id:020d}")
-        compact.write.mode("overwrite").parquet(out)
-        versions[batch_id] = out
+    merge_batch = make_compaction_merge_batch(
+        state_dir, keys, seq_col, op_col, versions)
 
     q = (changes.writeStream.foreachBatch(merge_batch)
          .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))
@@ -167,39 +188,19 @@ def run_changelog_compaction(changes: DataFrame, state_dir: str,
     return spark.read.parquet(versions[max(versions)])
 
 
-def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
-                              limit: int = 5) -> DataFrame:
-    """X160 SCALE form (round-7 verdict item 2) — per-key rate limiting
-    via ``foreachBatch`` + a keys-sized counter table, the mirror of
-    ``run_changelog_compaction``: each micro-batch is reduced to ONE
-    row per (user, hour) key JVM-side (``groupBy().count()`` with
-    map-side partial aggregation), full-outer-joined against the
-    previous keys-sized admitted-counter table, and the merged
-    counters are written as a new parquet version the next batch
-    reads.  Admission COUNTS depend only on sizes — the first
-    ``max(limit - admitted_so_far, 0)`` events of a key's batch are
-    admitted — so the whole batch step is one aggregate + one
-    keys-sized join, ZERO per-key Python dispatch.  Semantically
-    identical to ``rate_limit_stream`` (the ``applyInPandasWithState``
-    live form, measured ~20k keys/s/batch because every pandas group
-    crosses the Python boundary individually); same oracle, the X131
-    batch row_number SQL.
-
-    At pipeline cardinality the counter table is a bucketed table or
-    Delta/Iceberg MERGE target co-located on the key; dormant windows
-    age out of it with a watermark filter instead of a state-store
-    timeout.  Returns the per-window admission totals
-    ``(window_start, n_events, n_admitted, n_dropped)``."""
+def make_rate_limit_merge_batch(state_dir: str, limit: int,
+                                versions: dict[int, str]):
+    """The ``foreachBatch`` body of ``run_rate_limit_batchmerge``,
+    exposed as a factory so the retry-idempotence contract is directly
+    testable (see ``make_compaction_merge_batch``).  ``versions`` is
+    keyed by batch_id so a micro-batch RETRY is idempotent: the
+    overwrite write already was, but a list-append would double-count
+    that version's partials in the final read-all-versions sum, and
+    ``versions[-1]`` would hand the retry its OWN partial output as
+    "prev" (advisor r8 finding)."""
     import os
 
     from pyspark.sql import functions as F
-
-    # Keyed by batch_id so a Structured-Streaming micro-batch RETRY is
-    # idempotent: the overwrite write already was, but a list-append
-    # would double-count that version's partials in the final
-    # read-all-versions sum, and ``versions[-1]`` would hand the retry
-    # its OWN partial output as "prev" (advisor r8 finding).
-    versions: dict[int, str] = {}
 
     def merge_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -234,6 +235,39 @@ def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
         out = os.path.join(state_dir, f"v{batch_id:020d}")
         merged.write.mode("overwrite").parquet(out)
         versions[batch_id] = out
+
+    return merge_batch
+
+
+def run_rate_limit_batchmerge(events_stream: DataFrame, state_dir: str,
+                              limit: int = 5) -> DataFrame:
+    """X160 SCALE form (round-7 verdict item 2) — per-key rate limiting
+    via ``foreachBatch`` + a keys-sized counter table, the mirror of
+    ``run_changelog_compaction``: each micro-batch is reduced to ONE
+    row per (user, hour) key JVM-side (``groupBy().count()`` with
+    map-side partial aggregation), full-outer-joined against the
+    previous keys-sized admitted-counter table, and the merged
+    counters are written as a new parquet version the next batch
+    reads.  Admission COUNTS depend only on sizes — the first
+    ``max(limit - admitted_so_far, 0)`` events of a key's batch are
+    admitted — so the whole batch step is one aggregate + one
+    keys-sized join, ZERO per-key Python dispatch.  Semantically
+    identical to ``rate_limit_stream`` (the ``applyInPandasWithState``
+    live form, measured ~20k keys/s/batch because every pandas group
+    crosses the Python boundary individually); same oracle, the X131
+    batch row_number SQL.
+
+    At pipeline cardinality the counter table is a bucketed table or
+    Delta/Iceberg MERGE target co-located on the key; dormant windows
+    age out of it with a watermark filter instead of a state-store
+    timeout.  Returns the per-window admission totals
+    ``(window_start, n_events, n_admitted, n_dropped)``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    versions: dict[int, str] = {}
+    merge_batch = make_rate_limit_merge_batch(state_dir, limit, versions)
 
     q = (events_stream.writeStream.foreachBatch(merge_batch)
          .option("checkpointLocation", os.path.join(state_dir, "_ckpt"))

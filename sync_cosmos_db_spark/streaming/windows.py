@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.queries import fround
+from sync_cosmos_db_spark.queries import fround, fsum
 
 #: Watermark delay used by the streaming forms — how much event-time
 #: lateness we absorb before dropping (state-size vs completeness trade).
@@ -36,7 +36,7 @@ def _win_agg(df: DataFrame, window_col, group_cols: list[str]) -> DataFrame:
     return (
         df.groupBy(window_col.alias("__w"), *group_cols)
         .agg(F.count(F.lit(1)).alias("n_events"),
-             fround(F.sum("value"), 2).alias("sum_value"))
+             fsum("value", 2).alias("sum_value"))
         .select(
             F.unix_timestamp(F.col("__w.start")).alias("window_start"),
             *group_cols, "n_events", "sum_value")
@@ -75,7 +75,7 @@ def session_counts(events: DataFrame, gap: str = "5 minutes",
     return (
         events.groupBy(F.session_window("ts", gap).alias("__w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             fround(F.sum("value"), 2).alias("sum_value"))
+             fsum("value", 2).alias("sum_value"))
         .select(F.unix_timestamp(F.col("__w.start")).alias("session_start"),
                 key_col, "n_events", "sum_value")
     )
@@ -168,7 +168,7 @@ def session_counts_stream(events: DataFrame, gap: str = "5 minutes",
     return (
         ev.groupBy(F.session_window("ts", gap).alias("__w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             fround(F.sum("value"), 2).alias("sum_value"))
+             fsum("value", 2).alias("sum_value"))
         .select(F.unix_timestamp(F.col("__w.start")).alias("session_start"),
                 key_col, "n_events", "sum_value")
     )
