@@ -24,13 +24,15 @@ from tests.oracle_utils import compare, duckdb_connect
 import __spark_entry__ as entrymod
 
 N_CHUNKS = 4
-# sf0.001 CI budget; the sf0.01 driver-scale sweep (SPARK_GRAFT_TEST_SF_DIR)
-# gets proportionally more — the point of that run is value fidelity at the
-# scale where reorder-precision bugs manifest, not wall-clock.
+# sf0.001 CI budget; larger-SF sweeps (SPARK_GRAFT_TEST_SF_DIR) get
+# proportionally more — the point of those runs is value fidelity at the
+# scale where reorder-precision bugs manifest, not wall-clock.  Override
+# with SPARK_GRAFT_SWEEP_BUDGET_SEC (the sf0.1 sweep needs it).
 import os as _os  # noqa: E402
 
-CHUNK_BUDGET_SEC = (
-    300.0 if "SPARK_GRAFT_TEST_SF_DIR" not in _os.environ else 1200.0)
+CHUNK_BUDGET_SEC = float(_os.environ.get(
+    "SPARK_GRAFT_SWEEP_BUDGET_SEC",
+    300.0 if "SPARK_GRAFT_TEST_SF_DIR" not in _os.environ else 1200.0))
 
 _Q = entrymod.queries()
 _O = entrymod.oracle_sql()
