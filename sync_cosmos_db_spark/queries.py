@@ -356,10 +356,11 @@ SWEEP_WINDOW_SIZE = 50
 SWEEP_PRIORITY: list[str] = []
 
 
-def _swept_rounds() -> dict[str, int]:
-    """Map query name -> latest round with a driver CORRECTNESS row,
-    read from the CORRECTNESS_r*.json files at the repo root (the same
-    files the sweep-invariant test reads)."""
+def _swept_rounds() -> tuple[dict[str, int], dict[str, bool]]:
+    """Map query name -> (latest round with a driver CORRECTNESS row,
+    whether that LATEST row passed), read from the CORRECTNESS_r*.json
+    files at the repo root (the same files the sweep-invariant test
+    reads)."""
     import glob
     import json
     import os
@@ -367,6 +368,7 @@ def _swept_rounds() -> dict[str, int]:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, int] = {}
+    passed: dict[str, bool] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         m = re.search(r"_r0*(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -375,23 +377,36 @@ def _swept_rounds() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+        for name, row in rows.items():
+            if rnd >= latest.get(name, -1):
+                latest[name] = max(latest.get(name, 0), rnd)
+                ok = (isinstance(row, dict)
+                      and bool(row.get("hash_match"))
+                      and bool(row.get("rows_match"))
+                      and bool(row.get("schema_match"))
+                      and not row.get("err"))
+                passed[name] = ok
+    return latest, passed
 
 
 def _refresh_sweep_priority() -> None:
     """Recompute the sweep window from the live registry + on-disk
     driver reports: never-swept oracle-bearing queries first (in
-    registration order), then re-checks stalest-first."""
-    swept = _swept_rounds()
+    registration order), then queries whose LATEST driver row FAILED
+    (a fix must be re-verified the very next round, not after a full
+    staleness rotation), then re-checks stalest-first."""
+    swept, passed = _swept_rounds()
     eligible = [n for n in QUERIES if n in ORACLE_SQL]
     backlog = [n for n in eligible if n not in swept]
+    failed = sorted((n for n in eligible
+                     if n in swept and not passed.get(n, True)),
+                    key=lambda n: swept[n])
     # sorted() is stable: ties on the last-swept round keep
     # registration order.
-    recheck = sorted((n for n in eligible if n in swept),
+    recheck = sorted((n for n in eligible
+                      if n in swept and passed.get(n, True)),
                      key=lambda n: swept[n])
-    SWEEP_PRIORITY[:] = (backlog + recheck)[:SWEEP_WINDOW_SIZE]
+    SWEEP_PRIORITY[:] = (backlog + failed + recheck)[:SWEEP_WINDOW_SIZE]
 
 
 def _sweep_ordered(mapping: dict) -> dict:

@@ -64,12 +64,31 @@ def test_sweep_window_covers_every_family():
             f"{len(backlog)} never-swept queries wait: {wasted}")
 
     # Structural rotation: backlog (never-swept) fills the window
-    # front in registration order; re-check slots are ordered by
+    # front in registration order; queries whose LATEST driver row
+    # FAILED come next (a fix is re-verified the very next round,
+    # round-10 change); remaining re-check slots are ordered by
     # last-swept round ascending (stalest evidence re-verified first).
-    rounds = _swept_rounds()
-    window_rounds = [rounds[n] for n in names[:50] if n in rounds]
+    rounds, passed = _swept_rounds()
+    assert rounds, "no CORRECTNESS_r*.json parsed — test is vacuous"
+    failed_in_window = [n for n in names[:50]
+                        if n in rounds and not passed.get(n, True)]
+    green_in_window = [n for n in names[:50]
+                       if n in rounds and passed.get(n, True)]
+    all_failed = [n for n in names if n in oracles
+                  and n in rounds and not passed.get(n, True)]
+    # every latest-failed query is re-checked before any green re-check
+    if len(backlog) + len(all_failed) <= 50:
+        missing_failed = [n for n in all_failed if n not in names[:50]]
+        assert not missing_failed, (
+            f"latest-failed queries missed by the window: {missing_failed}")
+    if failed_in_window and green_in_window:
+        last_failed_pos = max(names[:50].index(n) for n in failed_in_window)
+        first_green_pos = min(names[:50].index(n) for n in green_in_window)
+        assert last_failed_pos < first_green_pos, (
+            "failed re-checks must precede green re-checks")
+    window_rounds = [rounds[n] for n in green_in_window]
     assert window_rounds == sorted(window_rounds), (
-        "re-check slots not stalest-first")
+        "green re-check slots not stalest-first")
     n_backlog_in_window = sum(1 for n in names[:50] if n not in swept)
     assert n_backlog_in_window == min(len(backlog), 50)
 
