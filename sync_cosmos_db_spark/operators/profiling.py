@@ -1623,17 +1623,21 @@ def group_medoid(df: DataFrame, group_col: str, value_col: str,
     Scale shape: one group aggregate for the mean, a group-keyed
     join back (both sides partitioned the same), one min-struct
     election — the (diff, id, …) struct-min pattern X91/X172 use.
-    The mean is ROUNDED to the value grid before the distance so
-    both engines compute the identical |v − mean| (an unrounded
-    mean's last-ulp drift could flip an election between two
-    near-equidistant rows).  Returns
+    The mean comes from an EXACT integer-grid sum (per-row snap,
+    BIGINT sum, one division) and is rounded to the value grid before
+    the distance, so both engines compute the identical |v − mean| —
+    an unordered double avg's reorder drift could flip an election
+    between two near-equidistant rows AND flip the rounded mean
+    itself on group sums large enough.  Returns
     ``(group, n, mean_value, rep_id, rep_value)``.
     """
     p = 10 ** round_digits
+    vi = F.floor(F.col(value_col).cast("double") * p
+                 + F.lit(0.5)).cast("long")
     means = df.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n"),
-        (F.floor(F.avg(value_col) * p + F.lit(0.5)) / p)
-        .alias("mean_value"))
+        (F.floor(F.sum(vi).cast("double") / F.count("*")
+                 + F.lit(0.5)) / p).alias("mean_value"))
     j = df.join(means, group_col)
     diff = F.abs(F.col(value_col) - F.col("mean_value"))
     pick = F.min(F.struct(diff.alias("d"),

@@ -1916,7 +1916,8 @@ def dimension_orders_priority_status(spark: SparkSession,
                       l_orderkey * 8 + l_linenumber AS lid
                FROM lineitem),
     m AS (SELECT g, count(*)::BIGINT AS n,
-                 floor(avg(v) * 100 + 0.5) / 100 AS mean_value
+                 floor(sum(floor(v * 100 + 0.5)::BIGINT)::DOUBLE
+                       / count(*) + 0.5) / 100 AS mean_value
           FROM d GROUP BY 1),
     j AS (SELECT d.g, d.v, d.lid, m.n, m.mean_value,
                  abs(d.v - m.mean_value) AS diff

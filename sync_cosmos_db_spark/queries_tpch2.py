@@ -610,7 +610,8 @@ def q21_sole_returning_supplier(spark: SparkSession,
       SELECT c_custkey, c_acctbal, c_nationkey % 5 AS cntrycode
       FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)),
     thresh AS (
-      SELECT floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS a
+      SELECT floor(sum(floor(c_acctbal * 100 + 0.5)::BIGINT)::DOUBLE
+                   / count(*) * 100 + 0.5) / 10000 AS a
       FROM pot WHERE c_acctbal > 0.0)
     SELECT cntrycode, count(*) AS numcust,
            sum(floor(c_acctbal * 100 + 0.5)::BIGINT) / 100.0 AS totacctbal
@@ -633,8 +634,11 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     pot = (c.filter(F.pmod(F.col("c_nationkey"), F.lit(5)).isin(0, 1, 2))
            .select("c_custkey", "c_acctbal",
                    F.pmod(F.col("c_nationkey"), F.lit(5)).alias("cntrycode")))
+    bal_cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
     thresh = (pot.filter(F.col("c_acctbal") > 0.0)
-              .agg(fround(F.avg("c_acctbal"), 4).alias("__a")))
+              .agg((F.floor(F.sum(bal_cents).cast("double")
+                            / F.count("*") * 100 + F.lit(0.5)) / 10000)
+                   .alias("__a")))
     urgent = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     return (
