@@ -292,14 +292,20 @@ def winsorized_stats(df: DataFrame, group_col: str, value_col: str,
                   F.col(value_col).cast("double").alias("v")) \
         .join(F.broadcast(pcts), "g")
     clamped = F.least(F.greatest(F.col("v"), F.col("plo")), F.col("phi"))
+    # means from exact integer sums on a 100×-finer grid (the cusum
+    # discipline): an unordered double avg of money-scale groups
+    # floored at 10^-round_digits reorder-flips between engines
+    s = p * 100
+    vi = F.floor(F.col("v") * s + F.lit(0.5)).cast("long")
+    ci = F.floor(clamped * s + F.lit(0.5)).cast("long")
     return (r.groupBy("g")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  (F.floor(F.min("plo") * p + F.lit(0.5)) / p).alias("p_lo"),
                  (F.floor(F.min("phi") * p + F.lit(0.5)) / p).alias("p_hi"),
-                 (F.floor(F.avg("v") * p + F.lit(0.5)) / p)
-                 .alias("mean_raw"),
-                 (F.floor(F.avg(clamped) * p + F.lit(0.5)) / p)
-                 .alias("mean_winsorized"))
+                 (F.floor(F.sum(vi).cast("double") / F.count("*") / 100
+                          + F.lit(0.5)) / p).alias("mean_raw"),
+                 (F.floor(F.sum(ci).cast("double") / F.count("*") / 100
+                          + F.lit(0.5)) / p).alias("mean_winsorized"))
             .select(F.col("g").alias(group_col), "n", "p_lo", "p_hi",
                     "mean_raw", "mean_winsorized"))
 

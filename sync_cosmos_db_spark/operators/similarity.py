@@ -391,9 +391,10 @@ def centroid_cosine_matrix(df: DataFrame, group_col: str = "label",
                     F.posexplode(vec_col).alias("dim", "v"))
           .withColumn("v", F.col("v").cast("double")))
     p10 = 10 ** 10
+    vi = F.floor(F.col("v") * p10 + F.lit(0.5)).cast("long")
     cent = (dv.groupBy("g", "dim")
-            .agg((F.floor(F.avg("v") * p10 + F.lit(0.5)) / p10)
-                 .alias("c")))
+            .agg((F.floor(F.sum(vi).cast("double") / F.count("*")
+                          + F.lit(0.5)) / p10).alias("c")))
     norm = (cent.groupBy("g")
             .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")))
     a = cent.select(F.col("g").alias("ga"), "dim", F.col("c").alias("ca"))

@@ -122,8 +122,11 @@ def chi2_orders_status_priority(spark: SparkSession,
     SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
            floor(min(plo) * 10000 + 0.5) / 10000 AS p_lo,
            floor(min(phi) * 10000 + 0.5) / 10000 AS p_hi,
-           floor(avg(v) * 10000 + 0.5) / 10000 AS mean_raw,
-           floor(avg(least(greatest(v, plo), phi)) * 10000 + 0.5) / 10000
+           floor(sum(floor(v * 1000000 + 0.5)::BIGINT)::DOUBLE
+                 / count(*) / 100 + 0.5) / 10000 AS mean_raw,
+           floor(sum(floor(least(greatest(v, plo), phi) * 1000000
+                           + 0.5)::BIGINT)::DOUBLE
+                 / count(*) / 100 + 0.5) / 10000
              AS mean_winsorized
     FROM r GROUP BY g
     """,

@@ -470,7 +470,8 @@ def twa_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(embedding::DOUBLE[]) AS v
       FROM embeddings),
     cent AS (SELECT g, dim,
-                    floor(avg(v) * 10000000000 + 0.5) / 10000000000 AS c
+                    floor(sum(floor(v * 10000000000 + 0.5)::BIGINT)::DOUBLE
+                          / count(*) + 0.5) / 10000000000 AS c
              FROM dv GROUP BY 1, 2),
     nrm AS (SELECT g, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY 1),
     dots AS (SELECT a.g AS ga, b.g AS gb, sum(a.c * b.c) AS dot
