@@ -12,8 +12,10 @@ relational surface via Catalyst:
 * A5 set ops — union/intersect/except
 * A6 scalars — string/date/math/json/array function parity
 
-Oracle-parity rules: floats rounded in-query on BOTH sides, timestamps
-surfaced as epoch BIGINT, every computed column aliased identically.
+Oracle-parity rules: money SUMS via ``fsum`` (per-row integer-cents
+snap, exact BIGINT accumulation — round-10 audit, SCALING.md), other
+floats rounded in-query on BOTH sides, timestamps surfaced as epoch
+BIGINT, every computed column aliased identically.
 
 Scale notes are on each query: what shuffles, what broadcasts, what
 prunes — the plan we'd want on a 1000-executor cluster, not just the one

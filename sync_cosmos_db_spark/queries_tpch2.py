@@ -18,10 +18,13 @@ as the country code, ``p_type``/``p_size`` as the part class). Every
 query keeps the *plan shape* of its TPC-H namesake — that is what the
 scale analysis cares about.
 
-Oracle-parity rules (tests/oracle_utils.py): floats rounded in-query on
-BOTH sides with ``fround``; thresholds derived from double aggregates
-are rounded BEFORE comparison so both engines compare identical
-doubles; years cast to BIGINT; every computed column aliased
+Oracle-parity rules (tests/oracle_utils.py): money SUMS use ``fsum``
+(per-row integer-cents snap, exact BIGINT accumulation — a double sum
+rounded at cents reorder-flips between engines at scale; round-10
+audit, SCALING.md); other floats rounded in-query on BOTH sides with
+``fround``; thresholds derived from aggregates are computed from exact
+integer sums and rounded BEFORE comparison so both engines compare
+identical doubles; years cast to BIGINT; every computed column aliased
 identically in Spark and SQL.
 
 Scale notes on each query: what broadcasts, what shuffles, and why the
