@@ -2,10 +2,13 @@
 judge-style DuckDB compare over EVERY oracle-bearing registered query in
 one pytest session, chunked so (a) a failure in one chunk still reports
 every failing query in that chunk, and (b) pytest-xdist workers can
-split the chunks.  Each chunk asserts a runtime budget — the whole sweep
-must stay under ~20 minutes on the CI shape (local[4], sf0.001; override
-the data dir with SPARK_GRAFT_TEST_SF_DIR to sweep at sf0.01 the way the
-driver does).
+split the chunks.  Each chunk asserts a runtime budget.
+
+THIS MODULE SWEEPS AT sf0.01 BY DEFAULT — the driver's correctness
+scale (round-9 verdict item 3: the effective_rate_revenue cent flip was
+invisible at sf0.001, where reorder error never reaches the rounding
+grids).  The rest of the suite stays on the conftest default (sf0.001);
+override this module alone with SPARK_GRAFT_TEST_SF_DIR.
 
 This file is the ONE place the full per-query sweep runs;
 tests/test_oracle.py keeps the structural invariants (sweep-window
@@ -32,7 +35,12 @@ import os as _os  # noqa: E402
 
 CHUNK_BUDGET_SEC = float(_os.environ.get(
     "SPARK_GRAFT_SWEEP_BUDGET_SEC",
-    300.0 if "SPARK_GRAFT_TEST_SF_DIR" not in _os.environ else 1200.0))
+    600.0 if "SPARK_GRAFT_TEST_SF_DIR" not in _os.environ else 1200.0))
+
+#: the sweep's own scale factor: the driver checks at sf0.01, so the
+#: committed sweep must too (env-overridable for sf0.1 spot sweeps)
+SWEEP_SF_DIR = _os.environ.get("SPARK_GRAFT_TEST_SF_DIR",
+                               "/root/testdata/sf0.01")
 
 _Q = entrymod.queries()
 _O = entrymod.oracle_sql()
@@ -41,19 +49,24 @@ CHUNKS = [NAMES[i::N_CHUNKS] for i in range(N_CHUNKS)]
 
 
 @pytest.fixture(scope="module")
-def con(sf_dir):
-    c = duckdb_connect(sf_dir)
+def sweep_sf_dir():
+    return SWEEP_SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con(sweep_sf_dir):
+    c = duckdb_connect(sweep_sf_dir)
     yield c
     c.close()
 
 
 @pytest.mark.parametrize("chunk_id", range(N_CHUNKS))
-def test_oracle_sweep_chunk(spark, sf_dir, con, chunk_id):
+def test_oracle_sweep_chunk(spark, sweep_sf_dir, con, chunk_id):
     t0 = time.monotonic()
     failures: list[str] = []
     for name in CHUNKS[chunk_id]:
         try:
-            compare(_Q[name](spark, sf_dir), con, _O[name], name=name)
+            compare(_Q[name](spark, sweep_sf_dir), con, _O[name], name=name)
         except Exception as exc:  # noqa: BLE001 — oracle mismatches AND
             # execution errors (AnalysisException, Py4JJavaError) must
             # both be COLLECTED, not abort the chunk mid-loop, so one
