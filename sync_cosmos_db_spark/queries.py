@@ -340,7 +340,11 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   1. every oracle-bearing query with NO row in any CORRECTNESS_r*.json
 #      (the backlog), in registration order — new queries enter the
 #      window the moment they are registered, no manual step;
-#   2. remaining slots are re-checks, STALEST driver evidence first
+#   2. queries whose LATEST driver row FAILED (fixes re-verified the
+#      very next round);
+#   3. queries EDITED after their latest driver row (EDITED_ROUND
+#      below — pre-edit green evidence is not evidence);
+#   4. remaining slots are re-checks, STALEST driver evidence first
 #      (lowest last-swept round; registration order breaks ties) — so
 #      green rows age out and get re-verified round-robin.
 #
@@ -354,6 +358,47 @@ SWEEP_WINDOW_SIZE = 50
 # registration imports).  A list object, not a recomputed value, so
 # existing importers keep seeing the live window.
 SWEEP_PRIORITY: list[str] = []
+
+# Queries whose body or oracle SQL was semantically edited in a given
+# round (round-10 verdict item 2): a green driver row OLDER than the
+# edit round is pre-edit evidence and must be re-verified ahead of the
+# ordinary staleness rotation.  Maintained by hand when editing a
+# query; `tools/edited_queries.py` recomputes the direct-edit set from
+# `git diff` against the last round boundary, and
+# tests/test_oracle.py::test_edited_queries_registered trips if an
+# edit lands without an entry here.  The round-10 backfill below is
+# the tool's output for `git diff c7fdf62..` (the fsum reorder-proof
+# sum conversions and TPC-H integer-cent snaps) plus the queries the
+# AST tool cannot attribute because their edit lives in a shared
+# operator module (operators/cdc.py, operators/profiling.py,
+# streaming/stateful.py — the round-10 verdict's named list).
+EDITED_ROUND: dict[str, int] = dict.fromkeys("""
+abc_parts_revenue agg_cube_status_priority agg_salted_revenue_by_flag
+centroid_cosine_labels changepoint_daily_revenue covariate_balance_users
+cube_status_priority cusum_daily_revenue did_event_value
+effective_rate_revenue events_session_5m events_sliding_1h_30m
+events_tumbling_hourly gapfill_daily_order_revenue gini_nation_revenue
+hhi_segment_customers incr_agg_orders_merge interp_daily_order_revenue
+ivm_orders_priority jackknife_ratio_orders join_broadcast_part_brand
+lag_features_daily_revenue max_drawdown_priority_revenue
+medoid_lineitem_price minhash_estimate_calibration
+pagerank_customer_supplier pagination_buckets_orders
+pareto_frontier_customers pv_decomposition_priority q1_pricing_summary
+q3_shipping_priority q5_region_revenue q6_forecast_revenue
+q7_volume_shipping q9_product_type_profit q10_returned_revenue_by_customer
+q11_important_stock q15_top_supplier q17_small_quantity_revenue
+q19_disjunctive_revenue q22_dormant_customers recursive_reach_nations
+revenue_decile_profile rfm_segment_counts rolling_ols_daily_revenue
+rolling_robust_z_revenue rollup_time_hierarchy runtime_filter_orders
+scalar_date_trunc_monthly seasonal_index_order_revenue
+semi_additive_user_value share_of_parent_nations
+stream_cdc_apply_orders stream_cdc_apply_orders_batchmerge
+stream_cdc_apply_orders_tws stream_enrich_segment
+stream_stateful_user_totals stylometry_delta_sources
+target_encode_segments topn_other_suppliers_by_nation
+window_range_frame_revenue window_running_revenue
+winsorized_price_by_priority
+""".split(), 10)
 
 
 def _swept_rounds() -> tuple[dict[str, int], dict[str, bool]]:
@@ -394,7 +439,9 @@ def _refresh_sweep_priority() -> None:
     driver reports: never-swept oracle-bearing queries first (in
     registration order), then queries whose LATEST driver row FAILED
     (a fix must be re-verified the very next round, not after a full
-    staleness rotation), then re-checks stalest-first."""
+    staleness rotation), then queries EDITED after their latest driver
+    row (pre-edit green evidence proves nothing about the new body —
+    round-10 verdict item 2), then re-checks stalest-first."""
     swept, passed = _swept_rounds()
     eligible = [n for n in QUERIES if n in ORACLE_SQL]
     backlog = [n for n in eligible if n not in swept]
@@ -402,11 +449,18 @@ def _refresh_sweep_priority() -> None:
                      if n in swept and not passed.get(n, True)),
                     key=lambda n: swept[n])
     # sorted() is stable: ties on the last-swept round keep
-    # registration order.
+    # registration order.  A driver row from round R postdates every
+    # round-R edit (the driver sweeps at round end), so a row is
+    # pre-edit exactly when its round < EDITED_ROUND[name].
+    edited = sorted((n for n in eligible
+                     if n in swept and passed.get(n, True)
+                     and swept[n] < EDITED_ROUND.get(n, 0)),
+                    key=lambda n: swept[n])
     recheck = sorted((n for n in eligible
-                      if n in swept and passed.get(n, True)),
+                      if n in swept and passed.get(n, True)
+                      and swept[n] >= EDITED_ROUND.get(n, 0)),
                      key=lambda n: swept[n])
-    SWEEP_PRIORITY[:] = (backlog + failed + recheck)[:SWEEP_WINDOW_SIZE]
+    SWEEP_PRIORITY[:] = (backlog + failed + edited + recheck)[:SWEEP_WINDOW_SIZE]
 
 
 def _sweep_ordered(mapping: dict) -> dict:

@@ -66,16 +66,27 @@ def test_sweep_window_covers_every_family():
     # Structural rotation: backlog (never-swept) fills the window
     # front in registration order; queries whose LATEST driver row
     # FAILED come next (a fix is re-verified the very next round,
-    # round-10 change); remaining re-check slots are ordered by
+    # round-10 change); queries EDITED after their latest driver row
+    # come next (round-10 verdict item 2 — pre-edit green evidence is
+    # not evidence); remaining re-check slots are ordered by
     # last-swept round ascending (stalest evidence re-verified first).
+    from sync_cosmos_db_spark.queries import EDITED_ROUND
+
     rounds, passed = _swept_rounds()
     assert rounds, "no CORRECTNESS_r*.json parsed — test is vacuous"
     failed_in_window = [n for n in names[:50]
                         if n in rounds and not passed.get(n, True)]
     green_in_window = [n for n in names[:50]
                        if n in rounds and passed.get(n, True)]
+    edited_in_window = [n for n in green_in_window
+                        if rounds[n] < EDITED_ROUND.get(n, 0)]
+    fresh_in_window = [n for n in green_in_window
+                       if rounds[n] >= EDITED_ROUND.get(n, 0)]
     all_failed = [n for n in names if n in oracles
                   and n in rounds and not passed.get(n, True)]
+    all_edited = [n for n in names if n in oracles and n in rounds
+                  and passed.get(n, True)
+                  and rounds[n] < EDITED_ROUND.get(n, 0)]
     # every latest-failed query is re-checked before any green re-check
     if len(backlog) + len(all_failed) <= 50:
         missing_failed = [n for n in all_failed if n not in names[:50]]
@@ -86,11 +97,60 @@ def test_sweep_window_covers_every_family():
         first_green_pos = min(names[:50].index(n) for n in green_in_window)
         assert last_failed_pos < first_green_pos, (
             "failed re-checks must precede green re-checks")
-    window_rounds = [rounds[n] for n in green_in_window]
-    assert window_rounds == sorted(window_rounds), (
-        "green re-check slots not stalest-first")
+    # every edited-unverified query is re-checked before any fresh
+    # green re-check (window permitting)
+    if len(backlog) + len(all_failed) + len(all_edited) <= 50:
+        missing_edited = [n for n in all_edited if n not in names[:50]]
+        assert not missing_edited, (
+            f"edited-unverified queries missed by the window: "
+            f"{missing_edited}")
+    if edited_in_window and fresh_in_window:
+        last_edited_pos = max(names[:50].index(n) for n in edited_in_window)
+        first_fresh_pos = min(names[:50].index(n) for n in fresh_in_window)
+        assert last_edited_pos < first_fresh_pos, (
+            "edited re-checks must precede fresh-green re-checks")
+    # each tier is internally stalest-first
+    for tier in (edited_in_window, fresh_in_window):
+        tier_rounds = [rounds[n] for n in tier]
+        assert tier_rounds == sorted(tier_rounds), (
+            "re-check tier not stalest-first")
     n_backlog_in_window = sum(1 for n in names[:50] if n not in swept)
     assert n_backlog_in_window == min(len(backlog), 50)
+
+
+def test_edited_queries_registered():
+    """Tripwire (round-10 verdict item 2): any @query-registered
+    function textually edited since the last driver round boundary
+    must carry an EDITED_ROUND entry for the CURRENT round, so the
+    sweep prioritizer re-verifies it next driver pass.  Uses
+    tools/edited_queries.py (AST spans ∩ git diff).  Shared-operator
+    edits can't be auto-attributed — those still rely on the editor's
+    discipline; this catches the common direct-edit case."""
+    import glob
+    import os
+    import re
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(repo, "tools", "edited_queries.py")
+    proc = subprocess.run([sys.executable, tool], cwd=repo,
+                          capture_output=True, text=True)
+    if proc.returncode != 0:  # no git / shallow clone — skip, not fail
+        import pytest
+        pytest.skip(f"edited_queries.py unavailable: {proc.stderr[:200]}")
+    edited_now = set(proc.stdout.split())
+
+    rounds = [int(re.search(r"_r0*(\d+)\.json$", p).group(1))
+              for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))]
+    current_round = max(rounds) + 1 if rounds else 1
+
+    from sync_cosmos_db_spark.queries import EDITED_ROUND
+    missing = sorted(n for n in edited_now
+                     if EDITED_ROUND.get(n, 0) < current_round)
+    assert not missing, (
+        f"queries edited this round without an EDITED_ROUND={current_round} "
+        f"entry (sweep would trust pre-edit driver rows): {missing}")
 
 
 def test_entry_smoke(spark):
