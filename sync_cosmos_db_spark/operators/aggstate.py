@@ -69,19 +69,27 @@ def finalize(state: DataFrame, keys: list[str],
     """Derive the user-facing aggregate row from a state: count, sum,
     min, max, and avg = s_sum/cnt.  Pure projection — no shuffle.
     ``s_sum`` is in integer 10^-SUM_DIGITS units (see ``agg_state``);
-    total and mean convert back with one exact-integer division each.
-    ``round_digits`` still rounds min/max (raw doubles)."""
+    total and mean convert back with one exact-integer division each,
+    so they land on the SUM_DIGITS grid natively.  ``round_digits``
+    rounds min/max (raw doubles) and, when COARSER than SUM_DIGITS,
+    re-rounds total/mean onto the requested grid too; a finer
+    ``round_digits`` cannot add precision the state never carried
+    (total/mean stay on the SUM_DIGITS grid)."""
     p = 10 ** round_digits
     sp = 10 ** SUM_DIGITS
 
     def r(c):
         return F.floor(c * p + F.lit(0.5)) / p
 
+    total = F.col("s_sum") / float(sp)
+    mean = (F.floor(F.col("s_sum").cast("double") / F.col("cnt")
+                    + F.lit(0.5)) / sp)
+    if round_digits < SUM_DIGITS:
+        total, mean = r(total), r(mean)
     return state.select(
         *keys,
         F.col("cnt").alias("n"),
-        (F.col("s_sum") / float(sp)).alias("total"),
+        total.alias("total"),
         r(F.col("s_min")).alias("lo"),
         r(F.col("s_max")).alias("hi"),
-        (F.floor(F.col("s_sum").cast("double") / F.col("cnt")
-                 + F.lit(0.5)) / sp).alias("mean"))
+        mean.alias("mean"))

@@ -704,9 +704,16 @@ def target_encode(df: DataFrame, cat_col: str, target_col: str,
     onto the feature frame.  Targets accumulate as EXACT integers in
     1e-2 grid units (per-row snap, BIGINT sums — category sums of a
     money column rounded at 1e-4 reorder-flip between engines
-    otherwise); the means divide the exact sums once.  Returns
+    otherwise); the means divide the exact sums once.  Requires
+    ``round_digits >= 2``: the output grid must be at least as fine as
+    the 1e-2 accumulation grid, else ``scale`` would floor to 0 and
+    every mean would silently collapse to a constant.  Returns
     ``(cat, n, raw_mean, encoded)``."""
     snap = 100  # integer grid for the target accumulation
+    if round_digits < 2:
+        raise ValueError("round_digits must be >= 2 (the target "
+                         "accumulates on a 1e-2 grid); got "
+                         f"{round_digits}")
     p = 10 ** round_digits
     scale = p // snap
     tc = F.floor(F.col(target_col).cast("double") * snap

@@ -1106,8 +1106,11 @@ def gini(df: DataFrame, group_col: str, value_col: str,
     group rounded at 1e-6 flips between engines otherwise.  Σ i·x is
     invariant to how ties are ordered (equal quantized x contribute
     identically; the sort key IS the quantized value), so no tiebreak
-    column is needed.  Σi·x must fit a BIGINT: fine up to ~10^18 grid
-    units·rank — at larger scales pass a coarser round_digits.  Groups
+    column is needed.  Σi·x accumulates in DECIMAL(38,0) (the cusum
+    Σv² idiom): a BIGINT Σi·x would WRAP silently past ~10^18 grid
+    units·rank with ANSI off while the DuckDB oracle widens to
+    HUGEINT — decimal is exact to 10^38 and overflows to NULL (a
+    null gini, visibly wrong) instead of to a plausible lie.  Groups
     where Σx = 0 report null.  Returns ``(group, n, total, gini)``."""
     p = 10 ** round_digits
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
@@ -1118,7 +1121,7 @@ def gini(df: DataFrame, group_col: str, value_col: str,
             .withColumn("i", F.row_number().over(w)))
     n = F.count("*").cast("double")
     sv = F.sum("vi").cast("double")
-    siv = F.sum(F.col("i") * F.col("vi")).cast("double")
+    siv = F.sum(F.col("i").cast("decimal(38,0)") * F.col("vi")).cast("double")
     return (base.groupBy(F.col("grp").alias(group_col))
             .agg(F.count("*").cast("long").alias("n"),
                  (F.sum("vi") / float(p)).alias("total"),

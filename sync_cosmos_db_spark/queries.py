@@ -400,6 +400,13 @@ window_range_frame_revenue window_running_revenue
 winsorized_price_by_priority
 """.split(), 10)
 
+# Round-11 edits (ADVICE items): gini's Σi·x moved from BIGINT to
+# DECIMAL(38,0) accumulation, target_encode gained the round_digits>=2
+# guard, aggstate.finalize re-rounds total/mean for coarse grids.
+EDITED_ROUND.update(dict.fromkeys(
+    ["gini_nation_revenue", "target_encode_segments",
+     "incr_agg_orders_merge"], 11))
+
 
 def _swept_rounds() -> tuple[dict[str, int], dict[str, bool]]:
     """Map query name -> (latest round with a driver CORRECTNESS row,

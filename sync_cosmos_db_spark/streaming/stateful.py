@@ -28,7 +28,12 @@ from sync_cosmos_db_spark.streaming.windows import DEFAULT_WATERMARK
 _OUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double"
 # state sum is INTEGER CENTS: per-group pandas float accumulation uses
 # pairwise summation whose association differs from the batch oracle's;
-# snapping each value to cents first makes the running sum exact
+# snapping each value to cents first makes the running sum exact.
+# OPERATIONAL CAVEAT: `s` was `double` before round 10 — the state-store
+# schema is part of a streaming checkpoint, so a query restarted from a
+# checkpoint written by the old schema will fail (or misread `s` by a
+# factor of 100).  Start upgraded queries from a FRESH checkpoint
+# location; the availableNow test runs here always do.
 _STATE_SCHEMA = "n bigint, s bigint"
 
 

