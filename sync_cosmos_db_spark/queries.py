@@ -494,6 +494,7 @@ def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sync_cosmos_db_spark import queries_r7  # noqa: F401
     from sync_cosmos_db_spark import queries_r8  # noqa: F401
     from sync_cosmos_db_spark import queries_r9  # noqa: F401
+    from sync_cosmos_db_spark import queries_r11  # noqa: F401
     return _sweep_ordered(QUERIES)
 
 
@@ -511,6 +512,7 @@ def get_oracle_sql() -> dict[str, str]:
     from sync_cosmos_db_spark import queries_r7  # noqa: F401
     from sync_cosmos_db_spark import queries_r8  # noqa: F401
     from sync_cosmos_db_spark import queries_r9  # noqa: F401
+    from sync_cosmos_db_spark import queries_r11  # noqa: F401
     return _sweep_ordered(ORACLE_SQL)
 
 
