@@ -115,10 +115,36 @@ SEMANTICS = [
 ]
 
 
+def _live_spark_drivers() -> list[int]:
+    """PIDs of OTHER live Spark JVMs on this host (bench-hygiene rule,
+    BASELINE.md: a bench overlapping a registry sweep produced a 71.9 s
+    setsim tail vs 6.4 s quiet — contended numbers are garbage)."""
+    pids = []
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit() or int(pid) == me:
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                cmd = fh.read().decode("utf-8", "replace")
+        except OSError:
+            continue
+        if "org.apache.spark" in cmd and "java" in cmd.split("\x00")[0]:
+            pids.append(int(pid))
+    return pids
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    contended = _live_spark_drivers()
+    if contended:
+        print(f"WARNING: {len(contended)} other Spark driver(s) live "
+              f"(pids {contended}) — timings will be contended garbage; "
+              f"re-run on a quiet machine (BASELINE.md bench-hygiene "
+              f"rule)", file=sys.stderr)
 
     spark = get_spark(app_name="bench")
     queries = get_queries()
@@ -187,6 +213,7 @@ def main() -> int:
     # best-of/cold diagnostics go first — a truncated prefix then costs
     # only diagnostics, never the headline per-query numbers.
     print(json.dumps({
+        "contended_spark_drivers": len(contended),
         "queries_cold_run": cold,
         "queries_best_of_3": best_of,
         "llm_queries_cold_run": llm_cold,

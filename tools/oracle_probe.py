@@ -44,6 +44,8 @@ sf_dir, sql, limit_gb = sys.argv[1], sys.argv[2], sys.argv[3]
 con = duckdb.connect()
 con.execute(f"SET memory_limit='{limit_gb}GB'")
 con.execute("SET threads=8")
+# spill OUTSIDE the repo — an uncapped probe once left 24 GB in ./.tmp
+con.execute("SET temp_directory='/tmp/duckdb_probe.tmp'")
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM "

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Full-registry driver-style sweep at sf0.1 (round-10 verdict item 4).
+
+The committed CI sweep runs at the driver's sf0.01; this tool runs the
+same hash compare (tests/oracle_utils.compare) at sf0.1 for every
+oracle-bearing query EXCEPT the deliberately-quadratic oracles
+(tools/oracle_probe.QUADRATIC — each of those has a bounded or sampled
+twin that IS swept here).  Results land as JSONL, one line per query:
+  {"name":..., "status":"match|mismatch|oracle_timeout|error",
+   "sec":..., "spark_sec":...}
+
+Safety rails (the round-10 lesson — a hostile oracle took a 70 GB
+working set): DuckDB runs under ``memory_limit`` (default 8 GB) with
+``temp_directory`` redirected OUT of the repo (a prior run spilled
+24 GB into ./.tmp), and a watchdog thread calls ``con.interrupt()``
+after ``--timeout`` seconds so one slow oracle can't stall the sweep.
+
+Resume: names already present in the output file are skipped, so a
+crashed run continues where it left off.
+
+Usage:
+  python tools/sf01_sweep.py --out /tmp/sf01_sweep.jsonl [--sf DIR]
+                             [--timeout S] [--limit-gb N] [names...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--timeout", type=float, default=180.0)
+    ap.add_argument("--limit-gb", type=int, default=8)
+    ap.add_argument("--cpus", type=int, default=16)
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import __spark_entry__ as e
+    from oracle_utils import compare, duckdb_connect
+    from tools.oracle_probe import QUADRATIC
+
+    done: set[str] = set()
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            done = {json.loads(l)["name"] for l in fh if l.strip()}
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(f"local[{args.cpus}]")
+             .config("spark.sql.shuffle.partitions", str(args.cpus))
+             .config("spark.sql.session.timeZone", "UTC")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "24g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb_connect(args.sf)
+    con.execute(f"SET memory_limit='{args.limit_gb}GB'")
+    con.execute("SET threads=8")
+    con.execute("SET temp_directory='/tmp/duckdb_sf01_sweep.tmp'")
+
+    q, o = e.queries(), e.oracle_sql()
+    names = args.names or sorted(o)
+    out = open(args.out, "a", buffering=1)
+    for name in names:
+        if name in done or name not in o:
+            continue
+        if name in QUADRATIC:
+            out.write(json.dumps({"name": name,
+                                  "status": "skipped_quadratic"}) + "\n")
+            continue
+        t0 = time.time()
+        timer = threading.Timer(args.timeout, con.interrupt)
+        timer.start()
+        try:
+            # Spark side first so spark_sec is attributable.
+            ts = time.time()
+            df = q[name](spark, args.sf)
+            df.collect()
+            spark_sec = round(time.time() - ts, 2)
+            compare(q[name](spark, args.sf), con, o[name], name=name)
+            status = "match"
+        except AssertionError as ex:
+            status, detail = "mismatch", str(ex)[:300]
+        except Exception as ex:  # noqa: BLE001
+            msg = str(ex)[:300]
+            status = ("oracle_timeout" if "INTERRUPT" in msg.upper()
+                      or "interrupted" in msg.lower() else "error")
+            detail = msg
+        finally:
+            timer.cancel()
+        rec = {"name": name, "status": status,
+               "sec": round(time.time() - t0, 2)}
+        if status == "match":
+            rec["spark_sec"] = spark_sec
+        elif status in ("mismatch", "error", "oracle_timeout"):
+            rec["detail"] = detail
+        out.write(json.dumps(rec) + "\n")
+        try:
+            from sync_cosmos_db_spark.cache_scope import release_persisted
+            release_persisted()
+        except Exception:
+            pass
+    out.close()
+
+
+if __name__ == "__main__":
+    main()
