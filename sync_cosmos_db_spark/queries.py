@@ -348,6 +348,15 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      (lowest last-swept round; registration order breaks ties) — so
 #      green rows age out and get re-verified round-robin.
 #
+# Round-11 window arithmetic: 54 round-10-edited queries carry
+# pre-edit driver rows (the fsum conversion touched far more than the
+# verdict's 11 — every converted TPC-H/money aggregate counts), so
+# tier 3 fills the whole round-11 window after the 3-query backlog
+# (3 + 47 = 50); the 7 overflow edited queries plus the non-edited
+# r3-stale cohort drain from round 12 on.  Deliberate: the verdict ordered
+# failed > edited > stalest, and an edited query's old green row is
+# WORSE evidence than an unedited query's old green row.
+#
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
 # pytest.  tests/test_oracle.py still sweeps ALL oracles locally.

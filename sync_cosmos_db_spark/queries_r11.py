@@ -223,6 +223,80 @@ def curation_pipeline_stats_sampled(spark: SparkSession,
 
 
 # ---------------------------------------------------------------------------
+# Bounded twin 3: LSH⊆exact containment on a 1-in-5 sub-corpus
+# ---------------------------------------------------------------------------
+# Found by the round-11 sf0.1 full sweep (tools/sf01_sweep.py), not the
+# first-85 probe: dedup_lsh_containment's oracle replays the SAME
+# lang-blocked all-pairs shingle Jaccard as canonical_doc_election and
+# times out identically at sf0.1.  Same treatment: original stays
+# (fine at sf0.01, listed QUADRATIC), twin keeps the containment
+# invariant checkable at any SF.
+
+
+@query(
+    "dedup_lsh_containment_sampled",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text || ' zz yy' AS text, lang
+      FROM documents WHERE doc_id % 11 = 0 AND doc_id % 5 = 0
+    ),
+    sh AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(w) - 2, 0)),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM corpus)
+    )
+    SELECT 0 AS n_violations, count(*) AS n_exact_pairs
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+    """,
+)
+def dedup_lsh_containment_sampled(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Bounded twin of ``dedup_lsh_containment``: LSH pairs ⊆ exact
+    Jaccard pairs (violations must be 0) with the exact-pair count
+    recomputed independently by DuckDB, on the ``doc_id % 5 = 0``
+    sub-corpus (near-dup plant offset 200000 ≡ 0 mod 5, so sampling
+    preserves each kept doc's planted twin)."""
+    from sync_cosmos_db_spark.operators import dedup as D
+    from sync_cosmos_db_spark.queries_llm import _corpus_with_near_dups
+
+    corpus = (_corpus_with_near_dups(spark, sf_dir)
+              .where(F.col("doc_id") % 5 == 0))
+    langs = corpus.select(F.col("doc_id"), F.col("lang"))
+    lsh = D.minhash_lsh_pairs(corpus, id_col="doc_id", text_col="text",
+                              shingle_n=3, num_hashes=64, bands=16,
+                              threshold=0.5)
+    lsh_within = (
+        lsh.select("id_a", "id_b")
+        .join(langs.select(F.col("doc_id").alias("id_a"),
+                           F.col("lang").alias("__la")), "id_a")
+        .join(langs.select(F.col("doc_id").alias("id_b"),
+                           F.col("lang").alias("__lb")), "id_b")
+        .filter(F.col("__la") == F.col("__lb"))
+        .select("id_a", "id_b")
+        .withColumn("__l", F.lit(1))
+    )
+    exact = (
+        D.jaccard_pairs(corpus, id_col="doc_id", text_col="text",
+                        threshold=0.5, n=3, block_col="lang")
+        .select("id_a", "id_b")
+        .withColumn("__e", F.lit(1))
+    )
+    j = lsh_within.join(exact, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("__l").isNotNull() & F.col("__e").isNull(), 1)
+              .otherwise(0)).cast("long").alias("n_violations"),
+        F.sum(F.when(F.col("__e").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_exact_pairs"))
+
+
+# ---------------------------------------------------------------------------
 # X5 seam closure: baseline JPEG encode→decode roundtrip
 # ---------------------------------------------------------------------------
 

@@ -35,6 +35,11 @@ QUADRATIC = {
     # token-inverted-index pair join.  Their bounded twins
     # (queries_r11.py *_sampled) check the same invariants at any SF.
     "canonical_doc_election", "curation_pipeline_stats",
+    # Found by the round-11 full sf0.1 sweep: same lang-blocked
+    # all-pairs shingle-Jaccard oracle shape as canonical_doc_election
+    # (timed out at 180 s / 8 GB); bounded twin
+    # dedup_lsh_containment_sampled keeps the invariant sf0.1-checkable.
+    "dedup_lsh_containment",
 }
 
 CHILD = r"""
