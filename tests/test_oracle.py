@@ -145,9 +145,13 @@ def test_edited_queries_registered():
               for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))]
     current_round = max(rounds) + 1 if rounds else 1
 
-    from sync_cosmos_db_spark.queries import EDITED_ROUND
+    from sync_cosmos_db_spark.queries import EDITED_ROUND, _swept_rounds
+    swept, _ = _swept_rounds()
+    # BRAND-NEW queries (no driver row ever) are backlog-tier by
+    # construction — the window already fronts them; EDITED_ROUND only
+    # matters for queries with a pre-edit green row to distrust.
     missing = sorted(n for n in edited_now
-                     if EDITED_ROUND.get(n, 0) < current_round)
+                     if n in swept and EDITED_ROUND.get(n, 0) < current_round)
     assert not missing, (
         f"queries edited this round without an EDITED_ROUND={current_round} "
         f"entry (sweep would trust pre-edit driver rows): {missing}")
