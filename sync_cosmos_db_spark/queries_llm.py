@@ -989,12 +989,19 @@ def text_winnowing_fingerprints(spark: SparkSession,
     """X6: winnowing (rolling-hash) fingerprints — min k-gram hash per
     sliding window, the MOSS local-similarity scheme. One row per
     (doc, fingerprint); join on fp to find documents sharing any
-    ≥6-token run."""
+    ≥6-token run.
+
+    Two-step form (round 11): the gram hashes are materialized in
+    their own projection BEFORE the window transform — inlined, the
+    hash chain is re-evaluated per window (no CSE inside higher-order
+    lambdas) and the sf0.1 sweep measured it at 181 s vs 5.7 s for
+    this form, identical 101,079 output rows."""
     docs = load_table(spark, sf_dir, "documents")
-    return (docs.select(
+    grams = docs.select("doc_id",
+                        X.gram_hashes("text", k=3).alias("__gh"))
+    return (grams.select(
         "doc_id",
-        F.explode(X.winnowing_fingerprints("text", k=3, window=4))
-        .alias("fp")))
+        F.explode(X.winnow_from_grams("__gh", window=4)).alias("fp")))
 
 
 # ---------------------------------------------------------------------------
