@@ -96,18 +96,24 @@ def chunk_documents(df: DataFrame, id_col: str, text_col: str,
         raise ValueError("overlap_tokens must be < chunk_tokens "
                          f"(got {overlap_tokens} >= {chunk_tokens})")
     step = chunk_tokens - overlap_tokens
-    w = F.split(F.col(text_col), r"\s+")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)),
-                        F.lit(step))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            ((s - 1) / step).cast("long").alias("chunk_idx"),
-            F.concat_ws(" ", F.slice(w, s, chunk_tokens))
-            .alias("chunk_text"),
-            F.least(F.size(w) - s + 1, F.lit(chunk_tokens)).cast("long")
-            .alias("n_chunk_tokens"),
-        ))
+    from sync_cosmos_db_spark.operators.dedup import let
+
+    def body(w: Column) -> Column:
+        # w is a let-bound VARIABLE: the split runs once per doc, not
+        # once per chunk (dedup.let — no CSE inside HOF lambdas)
+        starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)),
+                            F.lit(step))
+        return F.transform(
+            starts,
+            lambda s: F.struct(
+                ((s - 1) / step).cast("long").alias("chunk_idx"),
+                F.concat_ws(" ", F.slice(w, s, chunk_tokens))
+                .alias("chunk_text"),
+                F.least(F.size(w) - s + 1, F.lit(chunk_tokens))
+                .cast("long").alias("n_chunk_tokens"),
+            ))
+
+    chunks = let(F.split(F.col(text_col), r"\s+"), body)
     return (df.select(F.col(id_col), F.explode(chunks).alias("__c"))
             .select(id_col, "__c.chunk_idx", "__c.chunk_text",
                     "__c.n_chunk_tokens"))
@@ -330,14 +336,20 @@ def doc_ngrams(df: DataFrame, id_col: str, text_col: str,
     """Distinct token n-grams per document: (id, ngram), one row per
     distinct gram. ``sequence`` of start positions → in-row ``slice`` →
     ``array_distinct`` → ONE explode; documents shorter than ``n``
-    tokens contribute nothing. Narrow (no shuffle), all codegen."""
-    toks = F.split(F.col(text_col), " ")
-    starts = F.when(
-        F.size(toks) >= n,
-        F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.array_distinct(
-        F.transform(starts, lambda s: F.concat_ws(" ", F.slice(toks, s, n))))
+    tokens contribute nothing. Narrow (no shuffle), all codegen; the
+    token split is ``let``-bound so it runs once per document, not
+    once per gram (``dedup.let`` — no CSE inside HOF lambdas)."""
+    from sync_cosmos_db_spark.operators.dedup import let
+
+    def body(toks: Column) -> Column:
+        starts = F.when(
+            F.size(toks) >= n,
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.array_distinct(F.transform(
+            starts, lambda s: F.concat_ws(" ", F.slice(toks, s, n))))
+
+    grams = let(F.split(F.col(text_col), " "), body)
     return df.select(F.col(id_col), F.explode(grams).alias(out_col))
 
 

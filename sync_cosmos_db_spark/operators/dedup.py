@@ -70,6 +70,28 @@ def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
 # Tokenization / shingling
 # ---------------------------------------------------------------------------
 
+def let(expr: Column, body) -> Column:
+    """Bind ``expr`` ONCE as a higher-order-function lambda variable
+    and evaluate ``body(var)`` against the bound value.
+
+    Catalyst performs no common-subexpression elimination INSIDE
+    higher-order-function lambdas: an expression referenced from a
+    ``transform``/``filter`` lambda body is re-evaluated once per
+    element.  For the sequence→slice n-gram pattern that turns an
+    O(tokens) tokenize into O(tokens²) per document — measured 3.5 s
+    vs 0.6 s on one core for 3-gram shingles over 5,000 SHORT (≤100
+    token) docs, and the gap grows linearly with document length, so
+    at real-corpus lengths (10³–10⁴ tokens) it is a 100×-class
+    scale-killer (the round-11 winnowing finding, 181 s → 5.7 s).
+
+    The binding trick: ``transform(array(expr), body)[1]`` — the
+    single-element array forces one evaluation, and the lambda
+    VARIABLE is a cheap slot reference for every use inside ``body``.
+    Works for any expression type; null propagates unchanged (a null
+    ``expr`` arrives as a null variable, exactly as inline)."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def words(col: Column | str) -> Column:
     """Whitespace tokens (the corpus is single-space separated)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -80,15 +102,23 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array of strings.
 
     ``sequence(1, len-n+1)`` start positions → ``slice`` → join — stays
-    in codegen. For n=1 returns the token array itself.
-    """
+    in codegen. For n=1 returns the token array itself.  The token
+    array is ``let``-bound so the split runs ONCE per document, not
+    once per shingle (see :func:`let`)."""
     w = words(col)
     if n == 1:
         return w
-    starts = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    # guard: sequence(1, x<1) would DESCEND in Spark — short docs get []
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+    def body(wv: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(wv) - (n - 1))
+        # guard: sequence(1, x<1) would DESCEND in Spark — short docs
+        # get []
+        return F.when(
+            F.size(wv) < n, F.array().cast("array<string>")
+        ).otherwise(F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(wv, i, n))))
+
+    return let(w, body)
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -283,10 +283,18 @@ def _grams(w: Column, n: int) -> Column:
     """Word n-grams of a token array (ALL occurrences, not distinct —
     repetition counting needs multiplicity). sequence→slice→concat_ws,
     all in-row codegen; sub-n docs get [] (sequence(1, x<1) would
-    DESCEND in Spark)."""
-    starts = F.sequence(F.lit(1), F.size(w) - (n - 1))
-    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+    DESCEND in Spark).  ``let``-bound so the token-array expression
+    evaluates once per row, not once per gram (``dedup.let``)."""
+    from sync_cosmos_db_spark.operators.dedup import let
+
+    def body(wv: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(wv) - (n - 1))
+        return F.when(
+            F.size(wv) < n, F.array().cast("array<string>")
+        ).otherwise(F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(wv, i, n))))
+
+    return let(w, body)
 
 
 def repetition_profile(

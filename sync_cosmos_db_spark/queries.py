@@ -417,7 +417,20 @@ EDITED_ROUND.update(dict.fromkeys(
      "incr_agg_orders_merge",
      # winnowing rewritten to the two-step gram-materialized form
      # (same output, 32× faster — sf0.1 sweep finding)
-     "text_winnowing_fingerprints"], 11))
+     "text_winnowing_fingerprints",
+     # let-binding rewrite of word_shingles/_grams/doc_ngrams/
+     # chunk_documents (no CSE inside HOF lambdas — O(tokens²)→O(tokens)
+     # per doc); every oracle-bearing query flowing through those
+     # helpers, directly or via jaccard/minhash/simhash/decontam/
+     # repetition/span operators
+     "canonical_doc_election", "canonical_doc_election_sampled",
+     "chunk_documents_overlap", "curation_pipeline_stats",
+     "curation_pipeline_stats_sampled", "decontam_eval_train_overlap",
+     "decontam_flagged_evals", "dedup_jaccard_pairs",
+     "dedup_lsh_containment", "dedup_lsh_containment_sampled",
+     "dedup_simhash_containment", "gopher_repetition_flags",
+     "minhash_estimate_calibration", "dedup_components",
+     "dedup_span_coverage", "setsim_join_docs"], 11))
 
 
 def _swept_rounds() -> tuple[dict[str, int], dict[str, bool]]:
