@@ -226,3 +226,40 @@ def test_elect_canonical_quality_and_tiebreak(spark):
     assert out[1].canonical_id == 2 and out[1].n_members == 3
     assert out[1].best_quality == 9
     assert out[10].canonical_id == 10 and out[10].n_members == 2
+
+
+def test_let_binds_expression_once_identical_output(spark):
+    """dedup.let (the round-11 HOF-CSE fix): the bound form must be
+    row-identical to the inline form, including nulls, empties, and
+    sub-n docs — and word_shingles (now let-routed) must match a
+    hand-rolled inline reconstruction."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, ""), (4, None), (5, "x y z")],
+        "doc_id long, text string")
+
+    # inline reconstruction of the pre-let word_shingles
+    w = F.split(F.col("text"), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(w) - 2)
+    inline = F.when(F.size(w) < 3, F.array().cast("array<string>")) \
+        .otherwise(F.transform(
+            starts, lambda i: F.concat_ws(" ", F.slice(w, i, 3))))
+
+    got = df.select("doc_id", D.word_shingles("text", 3).alias("s"),
+                    inline.alias("ref")).collect()
+    for r in got:
+        assert r.s == r.ref, (r.doc_id, r.s, r.ref)
+    by_id = {r.doc_id: r.s for r in got}
+    assert by_id[1] == ["a b c", "b c d", "c d e"]
+    assert by_id[2] == []          # sub-n doc
+    assert by_id[4] is None        # null text propagates as null
+
+
+def test_let_helper_general_expression(spark):
+    """let() works for arbitrary expression types and arities."""
+    df = spark.createDataFrame([(4,), (9,), (None,)], "x long")
+    doubled_sum = D.let(
+        F.sequence(F.lit(1), F.col("x")),
+        lambda arr: F.aggregate(arr, F.lit(0).cast("long"),
+                                lambda acc, v: acc + v) * 2)
+    rows = {r.x: r.y for r in df.select("x", doubled_sum.alias("y")).collect()}
+    assert rows[4] == 20 and rows[9] == 90 and rows[None] is None
