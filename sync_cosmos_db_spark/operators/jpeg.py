@@ -527,7 +527,29 @@ def jpeg_decode(b: bytes):
     n_components, pixels)`` with ``pixels`` row-major bytes (grayscale
     or interleaved RGB).  Raises ``ValueError`` on non-baseline
     features (progressive SOF2, arithmetic coding, 12-bit, sampling
-    factors > 2) — honest failures, not silent garbage."""
+    factors > 2) — honest failures, not silent garbage.
+
+    EVERY malformed-input failure surfaces as ``ValueError``: a
+    decoder fed 100 TB of untrusted blobs must have one catchable
+    failure type, and round-11 fuzzing (random bytes, truncations,
+    bit flips) showed raw parsing leaks ``struct.error`` /
+    ``KeyError`` (undeclared Huffman table id) / ``OverflowError`` /
+    ``StopIteration`` (SOS naming an absent component) otherwise —
+    each of which would kill a Spark task instead of flagging the
+    row ``decode_ok=false``."""
+    import struct as _struct
+
+    try:
+        return _jpeg_decode_raw(b)
+    except ValueError:
+        raise
+    except (_struct.error, KeyError, IndexError, OverflowError,
+            StopIteration, MemoryError) as ex:
+        raise ValueError(
+            f"corrupt JPEG ({type(ex).__name__}: {ex})") from ex
+
+
+def _jpeg_decode_raw(b: bytes):
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     import struct
@@ -575,6 +597,11 @@ def jpeg_decode(b: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision not baseline")
+            if w < 1 or h < 1 or w * h > (1 << 28):
+                # a flipped SOF dimension must not become a memory/CPU
+                # bomb mid-pipeline (round-11 fuzz guard); 268 MP is
+                # far beyond any sane blob
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]

@@ -214,3 +214,40 @@ def test_spark_decode_flags_corrupt_payload(spark):
     rows = {r["asset_id"]: r for r in J.decode_jpeg_assets(df).collect()}
     assert rows[1]["decode_ok"] is True
     assert rows[2]["decode_ok"] is False and rows[2]["width"] == 0
+
+
+def test_decode_corrupt_inputs_always_valueerror():
+    """Round-11 fuzz pin: EVERY malformed input fails as ValueError —
+    the one type decode_jpeg_assets catches — never struct.error /
+    KeyError / OverflowError / StopIteration (each observed escaping
+    before the normalization wrapper), and implausible SOF dimensions
+    are rejected instead of allocating a 4-billion-pixel plane."""
+    import random
+
+    good = J.jpeg_encode(24, 16, bytes((i % 256) for i in range(384)), 1)
+    rng = random.Random(7)
+
+    def probe(b: bytes) -> None:
+        try:
+            J.jpeg_decode(b)
+        except ValueError:
+            pass  # the contract
+
+    for _ in range(200):
+        probe(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 400))))
+        probe(b"\xff\xd8" + bytes(rng.randrange(256)
+                                  for _ in range(rng.randrange(2, 300))))
+    for cut in range(1, len(good), 3):
+        probe(good[:cut])
+    for i in range(2, len(good), 2):
+        b = bytearray(good)
+        b[i] ^= 0xFF
+        probe(bytes(b))
+
+    # dimension bomb: SOF rewritten to 65535x65535
+    import struct
+    bomb = bytearray(good)
+    i = bomb.index(b"\xff\xc0")
+    bomb[i + 5:i + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="implausible"):
+        J.jpeg_decode(bytes(bomb))
