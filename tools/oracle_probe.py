@@ -26,9 +26,11 @@ import time
 # they are expected to be slow at sf0.1 and are not the open item.
 QUADRATIC = {
     "setsim_join_docs", "dedup_span_coverage", "dedup_jaccard_pairs",
-    "dedup_embedding_cosine", "sim_topk_bruteforce", "sim_topk_vectorized",
-    "sim_topk_ivf_fullprobe", "editdist_join_names", "entity_link_customers",
+    "dedup_embedding_cosine", "editdist_join_names", "entity_link_customers",
     "dedup_components", "simhash_near_dup",
+    # NOT listed: sim_topk_{bruteforce,vectorized,ivf_fullprobe} — their
+    # oracles are n² in EMBEDDINGS (2k rows at sf0.1, seconds), not in
+    # documents; measured MATCH at sf0.1 in 8.8/2.9/3.6 s (round 11).
     # Round-11 bisect findings (the SCALING.md "~70 GB DuckDB working
     # set" open item): both replay all-pairs joins in the oracle —
     # canonical's lang-blocked shingle-list Jaccard, curation's
