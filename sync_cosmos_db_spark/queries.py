@@ -350,12 +350,14 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Round-11 window arithmetic: 54 round-10-edited queries carry
 # pre-edit driver rows (the fsum conversion touched far more than the
-# verdict's 11 — every converted TPC-H/money aggregate counts), so
-# tier 3 fills the whole round-11 window after the 3-query backlog
-# (3 + 47 = 50); the 7 overflow edited queries plus the non-edited
-# r3-stale cohort drain from round 12 on.  Deliberate: the verdict ordered
-# failed > edited > stalest, and an edited query's old green row is
-# WORSE evidence than an unedited query's old green row.
+# verdict's 11 — every converted TPC-H/money aggregate counts), plus
+# the round-11 let-binding rewrite re-queued the shingle/ngram
+# families, so tier 3 fills the whole window after the 4-query
+# backlog (4 new + 46 edited = 50); the overflow edited queries plus
+# the non-edited r3-stale cohort drain from round 12 on.  Deliberate:
+# the verdict ordered failed > edited > stalest, and an edited
+# query's old green row is WORSE evidence than an unedited query's
+# old green row.
 #
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
