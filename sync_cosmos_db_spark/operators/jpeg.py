@@ -564,6 +564,11 @@ def _jpeg_decode_raw(b: bytes):
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip the run so the marker byte is never read
+        # as 0xFF itself (ADVICE r11: legal padding was flagged corrupt).
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:                              # EOI
@@ -597,10 +602,13 @@ def _jpeg_decode_raw(b: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision not baseline")
-            if w < 1 or h < 1 or w * h > (1 << 28):
+            if w < 1 or h < 1 or w * h > (1 << 24):
                 # a flipped SOF dimension must not become a memory/CPU
-                # bomb mid-pipeline (round-11 fuzz guard); 268 MP is
-                # far beyond any sane blob
+                # bomb mid-pipeline (round-11 fuzz guard); 16.7 MP keeps
+                # the vectorized IDCT's float64 peak per component under
+                # ~150 MB inside one Spark task (ADVICE r11 tightened
+                # this from 1<<28, whose ~2 GB+ peak risked executor OOM
+                # from a single hostile row)
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             comps = []
             for ci in range(nc):
@@ -621,6 +629,14 @@ def _jpeg_decode_raw(b: bytes):
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = payload[0]
+            if ns < len(frame["comps"]):
+                # T.81 permits one-scan-per-component baseline files,
+                # but this decoder returns after the FIRST SOS; decoding
+                # only the Y scan and zero-filling Cb/Cr would be silent
+                # garbage with decode_ok=true (ADVICE r11 medium).  Fail
+                # honestly instead.
+                raise ValueError(
+                    "multi-scan / non-interleaved baseline not supported")
             scan = []
             for si in range(ns):
                 cs, tdta = payload[1 + 2 * si], payload[2 + 2 * si]

@@ -348,16 +348,16 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      (lowest last-swept round; registration order breaks ties) — so
 #      green rows age out and get re-verified round-robin.
 #
-# Round-11 window arithmetic: 54 round-10-edited queries carry
-# pre-edit driver rows (the fsum conversion touched far more than the
-# verdict's 11 — every converted TPC-H/money aggregate counts), plus
-# the round-11 let-binding rewrite re-queued the shingle/ngram
-# families, so tier 3 fills the whole window after the 4-query
-# backlog (4 new + 46 edited = 50); the overflow edited queries plus
-# the non-edited r3-stale cohort drain from round 12 on.  Deliberate:
-# the verdict ordered failed > edited > stalest, and an edited
-# query's old green row is WORSE evidence than an unedited query's
-# old green row.
+# Round-12 window arithmetic: the r11 sweep drained the 4-query
+# backlog and 46 of the edited tier; 21 edited queries still carry
+# pre-edit rows (16 round-10 fsum-edited with r8/r9 rows + 5
+# round-11 let-rewrite with r9/r10 rows), so the round-12 window is
+# 21 edited + 29 stalest re-checks.  The stale cohort is 36 queries
+# whose latest row is r3 — 29 fit, 7 arithmetically carry to round
+# 13 (the verdict's "nothing older than r4 after r12" is one window
+# short given its own failed > edited > stalest ordering, which
+# takes precedence).  Deliberate: an edited query's old green row is
+# WORSE evidence than an unedited query's old green row.
 #
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
@@ -433,6 +433,16 @@ EDITED_ROUND.update(dict.fromkeys(
      "dedup_simhash_containment", "gopher_repetition_flags",
      "minhash_estimate_calibration", "dedup_components",
      "dedup_span_coverage", "setsim_join_docs"], 11))
+
+# Round-12 note (auditable no-entry decision): the ADVICE-r11 JPEG
+# decoder hardening (fill-byte skip, multi-scan rejection, 1<<24 dim
+# cap in operators/jpeg.py) is NOT query-visible for
+# multimodal_jpeg_roundtrip — its inputs are this repo's own encoder
+# output (single interleaved scan, no fill padding, tiny synth
+# dimensions), the encoder is golden-byte-pinned unchanged, and the
+# new code paths only reject input classes that previously decoded as
+# garbage or mis-failed.  No EDITED_ROUND entry, per the "changes
+# query-visible semantics" rule above.
 
 
 def _swept_rounds() -> tuple[dict[str, int], dict[str, bool]]:

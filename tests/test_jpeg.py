@@ -251,3 +251,50 @@ def test_decode_corrupt_inputs_always_valueerror():
     bomb[i + 5:i + 9] = struct.pack(">HH", 65535, 65535)
     with pytest.raises(ValueError, match="implausible"):
         J.jpeg_decode(bytes(bomb))
+
+
+def test_fill_bytes_before_marker_are_legal_padding():
+    """T.81 B.1.1.2: any run of 0xFF bytes may pad the stream before a
+    marker; the decoder must skip them, not read 0xFF as the marker
+    byte and flag a valid file corrupt (ADVICE r11 low)."""
+    img = _smooth(24, 16)
+    good = J.jpeg_encode(24, 16, img.tobytes(), 1, quality=75)
+    base = J.jpeg_decode(good)
+    # pad before DQT, DHT and SOS markers with 1-4 fill bytes each
+    padded = bytearray(good)
+    for magic, n in ((b"\xff\xda", 4), (b"\xff\xc4", 2), (b"\xff\xdb", 1)):
+        i = bytes(padded).index(magic)
+        padded[i:i] = b"\xff" * n
+    out = J.jpeg_decode(bytes(padded))
+    assert out[0] == base[0] and out[1] == base[1]
+    assert out[2] == base[2]
+
+
+def test_multiscan_noninterleaved_fails_honestly():
+    """A baseline file whose SOS covers fewer components than the frame
+    (legal one-scan-per-component layout) must raise, not decode the Y
+    scan and silently render Cb/Cr flat (ADVICE r11 medium)."""
+    img = np.dstack([_smooth(16, 16)] * 3).astype(np.uint8)
+    b = bytearray(J.jpeg_encode(16, 16, img.tobytes(), 3,
+                                quality=75, subsample=False))
+    i = bytes(b).index(b"\xff\xda")
+    # SOS: FF DA | len(2) | ns | (cs, td/ta)*ns | ss se ah/al
+    assert b[i + 4] == 3
+    spectral = bytes(b[i + 4 + 1 + 6:i + 4 + 1 + 6 + 3])
+    b[i + 2:i + 4] = struct.pack(">H", 8)          # new segment length
+    b[i + 4] = 1                                   # ns: 3 -> 1
+    b[i + 5:i + 4 + 1 + 6 + 3] = bytes(b[i + 5:i + 7]) + spectral
+    with pytest.raises(ValueError, match="non-interleaved"):
+        J.jpeg_decode(bytes(b))
+
+
+def test_dimension_cap_bounds_single_task_memory():
+    """ADVICE r11 low: the SOF area cap is 1<<24 (16.7 MP), keeping the
+    vectorized IDCT's float64 peak per component bounded inside one
+    Spark task; a 5000x4000 (20 MP) declaration must be rejected."""
+    good = J.jpeg_encode(8, 8, bytes(64), 1)
+    bomb = bytearray(good)
+    i = bomb.index(b"\xff\xc0")
+    bomb[i + 5:i + 9] = struct.pack(">HH", 4000, 5000)
+    with pytest.raises(ValueError, match="implausible"):
+        J.jpeg_decode(bytes(bomb))

@@ -35,10 +35,6 @@ def test_sweep_window_covers_every_family():
     WASTED while never-driver-swept oracle queries exist (round-4
     verdict item 1), and re-check slots go to the STALEST driver
     evidence first."""
-    import glob
-    import json
-    import os
-
     from sync_cosmos_db_spark.queries import SWEEP_PRIORITY, _swept_rounds
 
     names = list(entrymod.queries())
@@ -48,11 +44,12 @@ def test_sweep_window_covers_every_family():
     no_oracle = [n for n in SWEEP_PRIORITY if n not in oracles]
     assert not no_oracle, f"windowed queries without oracles: {no_oracle}"
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    swept: set = set()
-    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json")):
-        with open(f) as fh:
-            swept |= set(json.load(fh))
+    # One source of truth for "swept": the same _swept_rounds() the
+    # window computation uses (round-11 verdict item 1a: a separate
+    # CORRECTNESS_r0*.json glob here stopped matching r10+ and
+    # spuriously flagged the r11-only rows as never-swept).
+    rounds, passed = _swept_rounds()
+    swept: set = set(rounds)
     backlog = {n for n in names if n in oracles and n not in swept}
     if len(backlog) <= 50:
         missed = [n for n in backlog if n not in names[:50]]
@@ -72,7 +69,6 @@ def test_sweep_window_covers_every_family():
     # last-swept round ascending (stalest evidence re-verified first).
     from sync_cosmos_db_spark.queries import EDITED_ROUND
 
-    rounds, passed = _swept_rounds()
     assert rounds, "no CORRECTNESS_r*.json parsed — test is vacuous"
     failed_in_window = [n for n in names[:50]
                         if n in rounds and not passed.get(n, True)]
@@ -141,20 +137,42 @@ def test_edited_queries_registered():
         pytest.skip(f"edited_queries.py unavailable: {proc.stderr[:200]}")
     edited_now = set(proc.stdout.split())
 
-    rounds = [int(re.search(r"_r0*(\d+)\.json$", p).group(1))
-              for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))]
-    current_round = max(rounds) + 1 if rounds else 1
+    # Anchor the required round to the SAME event the diff is anchored
+    # to — the latest "round N:" boundary commit — not to the set of
+    # CORRECTNESS_r*.json files on disk (round-11 verdict item 1b: the
+    # driver drops the results file BEFORE the boundary commit, so
+    # file-derived current_round ran one ahead of the diff ref and
+    # spuriously flagged every in-round edit).  Edits since the round-N
+    # boundary belong to round N+1.
+    head = subprocess.run(
+        ["git", "log", "--oneline", "--grep", "^round [0-9]*:", "-n", "1",
+         "--format=%s"],
+        cwd=repo, capture_output=True, text=True)
+    m = re.match(r"round (\d+):", head.stdout.strip())
+    if m:
+        required_round = int(m.group(1)) + 1
+    else:  # no boundary commit yet — fall back to the results files
+        file_rounds = [int(re.search(r"_r0*(\d+)\.json$", p).group(1))
+                       for p in glob.glob(
+                           os.path.join(repo, "CORRECTNESS_r*.json"))]
+        required_round = max(file_rounds) + 1 if file_rounds else 1
 
     from sync_cosmos_db_spark.queries import EDITED_ROUND, _swept_rounds
     swept, _ = _swept_rounds()
     # BRAND-NEW queries (no driver row ever) are backlog-tier by
     # construction — the window already fronts them; EDITED_ROUND only
-    # matters for queries with a pre-edit green row to distrust.
-    missing = sorted(n for n in edited_now
-                     if n in swept and EDITED_ROUND.get(n, 0) < current_round)
+    # matters for queries with a pre-edit green row to distrust.  A
+    # driver row from required_round or later POSTDATES the edit (the
+    # driver sweeps at round end), so it is itself fresh evidence and
+    # needs no EDITED_ROUND entry (round-11 verdict item 1b).
+    missing = sorted(
+        n for n in edited_now
+        if n in swept and swept[n] < required_round
+        and EDITED_ROUND.get(n, 0) < required_round)
     assert not missing, (
-        f"queries edited this round without an EDITED_ROUND={current_round} "
-        f"entry (sweep would trust pre-edit driver rows): {missing}")
+        f"queries edited this round without an EDITED_ROUND="
+        f"{required_round} entry (sweep would trust pre-edit driver "
+        f"rows): {missing}")
 
 
 def test_entry_smoke(spark):

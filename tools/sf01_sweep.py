@@ -44,6 +44,16 @@ def main() -> None:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    # Env gate for the FULL sweep (round-11 verdict item 6: the sf0.1
+    # sweep is an opt-in verify stage, gated the way the sweep budget
+    # already is).  A targeted run (explicit query names) needs no
+    # gate — it's minutes, not an hour.
+    if not args.names and os.environ.get("SPARK_GRAFT_SF01_SWEEP") != "1":
+        raise SystemExit(
+            "full-registry sf0.1 sweep is ~40-60 min: set "
+            "SPARK_GRAFT_SF01_SWEEP=1 to opt in, or pass explicit query "
+            "names for a targeted run (see .claude/skills/verify/SKILL.md)")
+
     sys.path.insert(0, REPO)
     sys.path.insert(0, os.path.join(REPO, "tests"))
     import __spark_entry__ as e
