@@ -385,13 +385,17 @@ def _entropy_encode(bw: _BitWriter, zz: np.ndarray, pred: int,
 
 def jpeg_encode(width: int, height: int, pixels: bytes,
                 n_channels: int = 1, quality: int = 75,
-                subsample: bool = False, restart_interval: int = 0) -> bytes:
+                subsample: bool | str = False,
+                restart_interval: int = 0) -> bytes:
     """Encode raw pixels as a baseline JFIF JPEG.
 
     ``pixels``: row-major bytes — grayscale (``n_channels=1``) or
-    interleaved RGB (``n_channels=3``).  ``subsample=True`` uses 4:2:0
-    chroma (2×2 box average); default is 4:4:4.  Annex K quantization
-    scaled by ``quality`` (libjpeg formula) and Annex K Huffman tables.
+    interleaved RGB (``n_channels=3``).  ``subsample=True`` (or
+    ``"420"``) uses 4:2:0 chroma (2×2 box average), ``"422"`` uses
+    4:2:2 (horizontal 1×2 average — the other sampling layout the
+    decoder's generic (hs, vs) path accepts, so it has a real encoder
+    test vector too); default is 4:4:4.  Annex K quantization scaled by
+    ``quality`` (libjpeg formula) and Annex K Huffman tables.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     that many MCUs (predictor reset + byte alignment) — the structure
     camera JPEGs use, so the decoder's restart path has a real test
@@ -401,8 +405,11 @@ def jpeg_encode(width: int, height: int, pixels: bytes,
     if len(pixels) != width * height * n_channels:
         raise ValueError(f"pixels: expected {width*height*n_channels} "
                          f"bytes, got {len(pixels)}")
-    if subsample and n_channels == 1:
-        subsample = False
+    mode = "420" if subsample is True else (subsample or None)
+    if mode not in (None, "420", "422"):
+        raise ValueError("subsample must be False, True, '420', or '422'")
+    if mode and n_channels == 1:
+        mode = None
 
     qlum = scale_quant_table(QUANT_LUM, quality)
     qchrom = scale_quant_table(QUANT_CHROM, quality)
@@ -416,7 +423,7 @@ def jpeg_encode(width: int, height: int, pixels: bytes,
     else:
         ycc = _rgb_to_ycbcr(arr)
         y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
-        if subsample:
+        if mode == "420":
             ye = _pad_edge(y, 2, 2).astype(np.float64)
             cbe = _pad_edge(cb, 2, 2).astype(np.float64)
             cre = _pad_edge(cr, 2, 2).astype(np.float64)
@@ -428,6 +435,16 @@ def jpeg_encode(width: int, height: int, pixels: bytes,
                  + cre[1::2, 0::2] + cre[1::2, 1::2]) / 4.0), 0, 255)
             y = np.rint(ye).astype(np.int32)
             samp = [(2, 2), (1, 1), (1, 1)]
+        elif mode == "422":
+            ye = _pad_edge(y, 1, 2).astype(np.float64)
+            cbe = _pad_edge(cb, 1, 2).astype(np.float64)
+            cre = _pad_edge(cr, 1, 2).astype(np.float64)
+            cb = np.clip(_round_half_up(
+                (cbe[:, 0::2] + cbe[:, 1::2]) / 2.0), 0, 255)
+            cr = np.clip(_round_half_up(
+                (cre[:, 0::2] + cre[:, 1::2]) / 2.0), 0, 255)
+            y = np.rint(ye).astype(np.int32)
+            samp = [(2, 1), (1, 1), (1, 1)]
         else:
             samp = [(1, 1), (1, 1), (1, 1)]
         planes = [y, cb, cr]

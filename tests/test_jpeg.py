@@ -298,3 +298,41 @@ def test_dimension_cap_bounds_single_task_memory():
     bomb[i + 5:i + 9] = struct.pack(">HH", 4000, 5000)
     with pytest.raises(ValueError, match="implausible"):
         J.jpeg_decode(bytes(bomb))
+
+
+def test_rgb_422_solid_within_two():
+    b = J.jpeg_encode(30, 22, bytes([180, 60, 200]) * 660, 3,
+                      quality=100, subsample="422")
+    # SOF declares 2x1 sampling for component 1 (the decoder's only
+    # untested legal (hs, vs) layout before this vector existed)
+    i = b.index(b"\xff\xc0")
+    assert b[i + 11] == 0x21
+    w, h, nc, px = J.jpeg_decode(b)
+    assert (w, h, nc) == (30, 22, 3)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(22, 30, 3).astype(int)
+    assert np.abs(dec - [180, 60, 200]).max() <= 2
+
+
+def test_rgb_422_smooth_roundtrip():
+    img = np.dstack([_smooth(40, 24), np.flipud(_smooth(40, 24)),
+                     255 - _smooth(40, 24)]).astype(np.uint8)
+    b = J.jpeg_encode(40, 24, img.tobytes(), 3, quality=90,
+                      subsample="422")
+    w, h, nc, px = J.jpeg_decode(b)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(24, 40, 3)
+    assert _psnr(img, dec) > 30
+    # 4:2:2 keeps full vertical chroma: it must beat 4:2:0 and trail
+    # 4:4:4 in byte size on the same input at the same quality
+    b420 = J.jpeg_encode(40, 24, img.tobytes(), 3, quality=90,
+                         subsample="420")
+    b444 = J.jpeg_encode(40, 24, img.tobytes(), 3, quality=90)
+    assert len(b420) <= len(b) <= len(b444)
+
+
+def test_subsample_mode_validation_and_aliases():
+    img = np.dstack([_smooth(16, 16)] * 3).astype(np.uint8)
+    with pytest.raises(ValueError, match="subsample"):
+        J.jpeg_encode(16, 16, img.tobytes(), 3, subsample="411")
+    # True and "420" are the same mode, byte for byte
+    assert (J.jpeg_encode(16, 16, img.tobytes(), 3, subsample=True)
+            == J.jpeg_encode(16, 16, img.tobytes(), 3, subsample="420"))
