@@ -434,6 +434,14 @@ EDITED_ROUND.update(dict.fromkeys(
      "minhash_estimate_calibration", "dedup_components",
      "dedup_span_coverage", "setsim_join_docs"], 11))
 
+# Round-12 edits: embedding_dup_pairs' unblocked n² verification
+# baseline vectorized (capped collect + batch matmul mapInPandas,
+# replacing the per-pair interpreted HOF nested-loop join; 108.8 s →
+# 7.4 s at sf0.1, identical rows/hash) — both oracle-bearing queries
+# flowing through that path re-queued.
+EDITED_ROUND.update(dict.fromkeys(
+    ["dedup_embedding_cosine", "dedup_embedding_lsh_containment"], 12))
+
 # Round-12 note (auditable no-entry decision): the ADVICE-r11 JPEG
 # decoder hardening (fill-byte skip, multi-scan rejection, 1<<24 dim
 # cap in operators/jpeg.py) is NOT query-visible for

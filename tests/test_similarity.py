@@ -149,3 +149,32 @@ def test_lsh_fullcollide_table_count_invariant(spark, sf_dir):
     two = S.lsh_topk(emb, queries, dim=64, k=3, n_planes=0, n_tables=2)
     assert sorted(map(tuple, one.collect())) == \
         sorted(map(tuple, two.collect()))
+
+
+def test_embedding_dup_pairs_unblocked_cap_and_edge_cases(spark):
+    """Round-12 vectorized rewrite of the unblocked n² verification
+    baseline: (a) a corpus over MAX_BRUTE_FORCE_QUERIES raises with a
+    pointer to block_col instead of collecting unbounded rows to the
+    driver; (b) zero vectors produce no pairs (NaN cosine drops,
+    matching the old path's null-division behavior); (c) a hand-built
+    corpus yields exactly the expected pairs with _fround4 rounding."""
+    import pytest
+
+    from sync_cosmos_db_spark.operators.dedup import embedding_dup_pairs
+
+    big = spark.range(S.MAX_BRUTE_FORCE_QUERIES + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="block_col"):
+        embedding_dup_pairs(big, "vec_id", "embedding", threshold=0.9)
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [2.0, 0.0]),      # cosine 1 with id 1
+         (3, [0.0, 0.0]),                        # zero vector: no pairs
+         (4, [1.0, 1.0]),                        # cos 0.7071 vs 1 and 2
+         (5, [-1.0, 0.0])],                      # cos -1 vs 1 and 2
+        "vec_id long, embedding array<double>")
+    got = {(r.id_a, r.id_b, r.cosine_sim)
+           for r in embedding_dup_pairs(
+               corpus, "vec_id", "embedding", threshold=0.7).collect()}
+    assert got == {(1, 2, 1.0), (1, 4, 0.7071), (2, 4, 0.7071)}
