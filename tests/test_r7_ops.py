@@ -385,3 +385,52 @@ def test_dhash_two_complement_fits_long():
     px = np.zeros((8, 9, 1), dtype=np.uint8)
     px[:, :, 0] = np.arange(9, 0, -1, dtype=np.uint8) * 20
     assert dhash64(px) == -1
+
+
+def test_jaro_winkler_duckdb_parity_randomized():
+    """The docstring's bit-identity claim, now a committed test
+    (round 12, alongside the pair-vectorized _jw_vector rewrite):
+    8,000 randomized pairs — empties, single chars, spaces, shared
+    prefixes, transpositions, length skew — score EXACTLY equal to
+    DuckDB's jaro_winkler_similarity as raw float64, no rounding."""
+    import random
+
+    import duckdb
+
+    from sync_cosmos_db_spark.operators.linkage import _jw_vector
+
+    rng = random.Random(712)
+    alpha = "abcdefgh #0123"
+
+    def name() -> str:
+        n = rng.randrange(0, 24)
+        s = [rng.choice(alpha) for _ in range(n)]
+        return "".join(s)
+
+    pairs = []
+    for _ in range(6000):
+        pairs.append((name(), name()))
+    for _ in range(2000):                    # near-dups: edits of one base
+        base = list(name() or "a")
+        other = list(base)
+        for _ in range(rng.randrange(0, 3)):
+            op = rng.randrange(3)
+            pos = rng.randrange(len(other)) if other else 0
+            if op == 0 and other:
+                other[pos] = rng.choice(alpha)
+            elif op == 1 and len(other) > 1 and pos + 1 < len(other):
+                other[pos], other[pos + 1] = other[pos + 1], other[pos]
+            elif other:
+                other.insert(pos, rng.choice(alpha))
+        pairs.append(("".join(base), "".join(other)))
+
+    ours = _jw_vector([a for a, _ in pairs], [b for _, b in pairs])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(i INT, a TEXT, b TEXT)")
+    con.executemany("INSERT INTO p VALUES (?, ?, ?)",
+                    [(i, a, b) for i, (a, b) in enumerate(pairs)])
+    theirs = dict(con.execute(
+        "SELECT i, jaro_winkler_similarity(a, b) FROM p").fetchall())
+    mism = [(i, pairs[i], ours[i], theirs[i])
+            for i in range(len(pairs)) if ours[i] != theirs[i]]
+    assert not mism, f"{len(mism)} mismatches, first: {mism[:3]}"
