@@ -606,7 +606,12 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             yield _pd.DataFrame({"id_a": bids[ai], "id_b": all_ids[bj],
                                  "cosine_sim": sims})
 
-    return df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    # Same lesson as linkage.jaro_winkler_join: the scoring stage's
+    # parallelism would otherwise be the small input scan's partition
+    # count (2 for the sf0.1 embeddings file), not the work's.
+    return (df.select(id_col, vec_col)
+            .repartition(df.sparkSession.sparkContext.defaultParallelism)
+            .mapInPandas(score, out_schema))
 
 
 # ---------------------------------------------------------------------------

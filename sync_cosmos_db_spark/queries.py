@@ -441,8 +441,8 @@ EDITED_ROUND.update(dict.fromkeys(
 # Round-12 edits: embedding_dup_pairs' unblocked n² verification
 # baseline vectorized (capped collect + batch matmul mapInPandas,
 # replacing the per-pair interpreted HOF nested-loop join; 108.8 s →
-# 7.4 s at sf0.1, identical rows/hash) — both oracle-bearing queries
-# flowing through that path re-queued.
+# 0.95 s warm at sf0.1, identical rows/hash) — both oracle-bearing
+# queries flowing through that path re-queued.
 EDITED_ROUND.update(dict.fromkeys(
     ["dedup_embedding_cosine", "dedup_embedding_lsh_containment"], 12))
 # ... and jaro_winkler_join's scorer pair-vectorized (_jw_vector, same
