@@ -540,7 +540,20 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     nested-loop join evaluated the higher-order-function dot product
     interpreted PER PAIR PER ELEMENT (~150M lambda evaluations at
     sf0.1) and ran on as few partitions as the broadcast side —
-    measured 108.8 s → ~2 s on the same corpus, identical rows."""
+    measured 108.8 s → ~2 s on the same corpus, identical rows.
+
+    Summation-order caveat (ADVICE r12): the float64 matmul sums dot
+    products in a different order than the old Spark ``aggregate``
+    fold, so a cosine landing EXACTLY on a representation tie at the
+    4th decimal could round differently from the historical join
+    path.  The sf0.1 corpus produced identical rows/hash, but that is
+    one data point, not a proof — if a future oracle mismatch shows a
+    ±1e-4 disagreement on this operator, suspect a rounding tie, not
+    a logic bug.  Null/empty vectors are dropped up front (the old
+    join path dropped them via a null cosine; ``np.asarray`` over a
+    ragged list would instead raise) and an empty corpus returns an
+    empty frame with the output schema (``np.linalg.norm(axis=1)`` on
+    a 0-row matrix raises AxisError)."""
     if block_col:
         from sync_cosmos_db_spark.operators.similarity import cosine
 
@@ -565,23 +578,30 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     import numpy as np
 
-    rows = (df.select(id_col, vec_col)
-            .limit(MAX_BRUTE_FORCE_QUERIES + 1).collect())
+    # Null/zero-length vectors can never clear a positive threshold
+    # (the old join path's cosine was null for them); drop them BEFORE
+    # collect so np.asarray never sees a ragged list, and apply the
+    # same predicate to the mapInPandas input below so score() never
+    # does either.
+    clean = df.select(id_col, vec_col).where(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    rows = clean.limit(MAX_BRUTE_FORCE_QUERIES + 1).collect()
     if len(rows) > MAX_BRUTE_FORCE_QUERIES:
         raise ValueError(
             f"embedding_dup_pairs: corpus exceeds MAX_BRUTE_FORCE_QUERIES="
             f"{MAX_BRUTE_FORCE_QUERIES} rows for the unblocked n² "
             "verification baseline; pass block_col (an LSH bucket or "
             "cluster id) — the blocked join is the scale path.")
+    id_type = next(f.dataType.simpleString()
+                   for f in df.schema.fields if f.name == id_col)
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
+    if not rows:
+        return df.sparkSession.createDataFrame([], out_schema)
     all_ids = np.asarray([r[0] for r in rows])
     M = np.asarray([r[1] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(M, axis=1, keepdims=True)
     with np.errstate(divide="ignore", invalid="ignore"):
         Mn = np.where(norms > 0, M / norms, np.nan)
-
-    id_type = next(f.dataType.simpleString()
-                   for f in df.schema.fields if f.name == id_col)
-    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
 
     def score(batches):
         import numpy as _np
@@ -608,8 +628,11 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
 
     # Same lesson as linkage.jaro_winkler_join: the scoring stage's
     # parallelism would otherwise be the small input scan's partition
-    # count (2 for the sf0.1 embeddings file), not the work's.
-    return (df.select(id_col, vec_col)
+    # count (2 for the sf0.1 embeddings file), not the work's.  The
+    # corpus is ≤ MAX_BRUTE_FORCE_QUERIES rows by contract, so the
+    # unconditional repartition-to-cores can never down-partition a
+    # large scan here.
+    return (clean
             .repartition(df.sparkSession.sparkContext.defaultParallelism)
             .mapInPandas(score, out_schema))
 

@@ -539,12 +539,24 @@ def jpeg_encode(width: int, height: int, pixels: bytes,
 # Decoder
 # ---------------------------------------------------------------------------
 
-def jpeg_decode(b: bytes):
+# Decompression-bomb guard: reject a SOF declaring more pixels than
+# this before allocating coefficient storage.  The default (16.7 MP)
+# keeps the vectorized IDCT's float64 peak per component under ~150 MB
+# inside one Spark task, sized for this engine's synthetic-asset test
+# corpus.  Deployments decoding real camera imagery (20-45 MP bodies
+# are common; PIL's comparable bomb guard defaults to ~178 MP) should
+# raise it via the module constant or the ``max_pixels`` decode
+# parameter rather than patching the check (ADVICE r12).
+MAX_DECODE_PIXELS = 1 << 24
+
+
+def jpeg_decode(b: bytes, max_pixels: int = None):
     """Decode a baseline JFIF JPEG.  Returns ``(width, height,
     n_components, pixels)`` with ``pixels`` row-major bytes (grayscale
     or interleaved RGB).  Raises ``ValueError`` on non-baseline
     features (progressive SOF2, arithmetic coding, 12-bit, sampling
     factors > 2) — honest failures, not silent garbage.
+    ``max_pixels`` overrides :data:`MAX_DECODE_PIXELS` per call.
 
     EVERY malformed-input failure surfaces as ``ValueError``: a
     decoder fed 100 TB of untrusted blobs must have one catchable
@@ -557,7 +569,8 @@ def jpeg_decode(b: bytes):
     import struct as _struct
 
     try:
-        return _jpeg_decode_raw(b)
+        return _jpeg_decode_raw(
+            b, MAX_DECODE_PIXELS if max_pixels is None else max_pixels)
     except ValueError:
         raise
     except (_struct.error, KeyError, IndexError, OverflowError,
@@ -566,7 +579,7 @@ def jpeg_decode(b: bytes):
             f"corrupt JPEG ({type(ex).__name__}: {ex})") from ex
 
 
-def _jpeg_decode_raw(b: bytes):
+def _jpeg_decode_raw(b: bytes, max_pixels: int = MAX_DECODE_PIXELS):
     if len(b) < 4 or b[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     import struct
@@ -619,14 +632,14 @@ def _jpeg_decode_raw(b: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", payload[:6])
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision not baseline")
-            if w < 1 or h < 1 or w * h > (1 << 24):
+            if w < 1 or h < 1 or w * h > max_pixels:
                 # a flipped SOF dimension must not become a memory/CPU
-                # bomb mid-pipeline (round-11 fuzz guard); 16.7 MP keeps
-                # the vectorized IDCT's float64 peak per component under
-                # ~150 MB inside one Spark task (ADVICE r11 tightened
-                # this from 1<<28, whose ~2 GB+ peak risked executor OOM
-                # from a single hostile row)
-                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+                # bomb mid-pipeline (round-11 fuzz guard); the default
+                # MAX_DECODE_PIXELS rationale and the raise-it knob for
+                # real camera imagery live on the constant above
+                raise ValueError(
+                    f"JPEG dimensions {w}x{h} exceed max_pixels="
+                    f"{max_pixels}")
             comps = []
             for ci in range(nc):
                 cid, hv, tq = payload[6 + 3 * ci:9 + 3 * ci]

@@ -373,9 +373,20 @@ def jaro_winkler_join(df: DataFrame, id_col: str, name_col: str,
     # the whole 4.5M-pair sf0.1 scoring stage to ONE task — measured).
     # Rebalance the pair stream so the scorer parallelizes; the extra
     # exchange carries only (id, id, name, name) rows and is dwarfed by
-    # the scoring it unblocks.
+    # the scoring it unblocks.  Floor semantics (ADVICE r12): an
+    # unconditional repartition-to-cores would DOWN-partition a
+    # multi-TB pair stream to core count and create giant scorer
+    # tasks, so the target is max(cores, input-scan splits).  The
+    # floor probe runs on the INPUT scan (a leaf plan — `.rdd` there
+    # converts without running jobs), not on `pairs`: probing the
+    # join output under AQE materializes its input shuffles once for
+    # the probe and again for the real job.  The pair stream is never
+    # narrower than its input (every surviving row rode in through
+    # the scan), so scan splits are a sound lower bound — at 100 TB
+    # the scan yields ~O(100k) splits and the rebalance keeps them.
+    sc = df.sparkSession.sparkContext
     pairs = pairs.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
+        max(sc.defaultParallelism, df.rdd.getNumPartitions()))
     p = 10 ** round_digits
     thr = float(threshold)
 

@@ -461,6 +461,18 @@ EDITED_ROUND.update({"jaro_winkler_customers": 12})
 # garbage or mis-failed.  No EDITED_ROUND entry, per the "changes
 # query-visible semantics" rule above.
 
+# Round-13 notes (auditable no-entry decisions, ADVICE r12 fixes):
+#   * dedup.embedding_dup_pairs' unblocked path now drops null/empty
+#     vectors up front and early-returns on an empty corpus — both
+#     input classes previously CRASHED (AxisError / ragged asarray)
+#     and neither exists in the driver corpora (testdata embeddings
+#     are dense and non-null), so no query's output changes.
+#   * linkage.jaro_winkler_join's pair rebalance gained a floor
+#     (max(cores, input-scan splits)) — partitioning only; per-pair
+#     scores and output rows are bit-identical.
+#   * jpeg MAX_DECODE_PIXELS became a constant + decode parameter with
+#     the same 1<<24 default — no behavioral change at the default.
+
 
 def _swept_rounds() -> tuple[dict[str, int], dict[str, bool]]:
     """Map query name -> (latest round with a driver CORRECTNESS row,

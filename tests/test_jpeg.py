@@ -249,7 +249,7 @@ def test_decode_corrupt_inputs_always_valueerror():
     bomb = bytearray(good)
     i = bomb.index(b"\xff\xc0")
     bomb[i + 5:i + 9] = struct.pack(">HH", 65535, 65535)
-    with pytest.raises(ValueError, match="implausible"):
+    with pytest.raises(ValueError, match="max_pixels"):
         J.jpeg_decode(bytes(bomb))
 
 
@@ -296,8 +296,49 @@ def test_dimension_cap_bounds_single_task_memory():
     bomb = bytearray(good)
     i = bomb.index(b"\xff\xc0")
     bomb[i + 5:i + 9] = struct.pack(">HH", 4000, 5000)
-    with pytest.raises(ValueError, match="implausible"):
+    with pytest.raises(ValueError, match="max_pixels"):
         J.jpeg_decode(bytes(bomb))
+    # the cap is a per-call knob (ADVICE r12: 20-45 MP camera files are
+    # legitimate) — raising it past the declared area must get the
+    # decode beyond the SOF gate (it then fails honestly on the
+    # truncated scan data, not on the dimension check)
+    with pytest.raises(ValueError) as ei:
+        J.jpeg_decode(bytes(bomb), max_pixels=21_000_000)
+    assert "max_pixels" not in str(ei.value)
+
+
+def test_dimension_cap_boundary_exactly_at_cap_decodes():
+    """r12 verdict item 6: a LEGAL file declaring exactly
+    MAX_DECODE_PIXELS (4096x4096 = 1<<24) must decode — the cap is
+    `> max_pixels`, not `>=`, and the guard must never reject the
+    boundary itself."""
+    img = np.full((4096, 4096), 128, dtype=np.uint8)
+    b = J.jpeg_encode(4096, 4096, img.tobytes(), 1, quality=75)
+    assert 4096 * 4096 == J.MAX_DECODE_PIXELS
+    w, h, nc, px = J.jpeg_decode(b)
+    assert (w, h, nc) == (4096, 4096, 1)
+    dec = np.frombuffer(px, dtype=np.uint8)
+    assert abs(int(dec[0]) - 128) <= 1 and abs(int(dec[-1]) - 128) <= 1
+
+
+def test_fill_padded_multiscan_hits_multiscan_rejection():
+    """r12 verdict item 6: 0xFF fill padding immediately before a
+    truncated SOS must still route to the multi-scan honest rejection
+    — the T.81 fill-byte skip (r12) and the multi-scan guard (r11)
+    compose; padding must not re-route the failure into the corrupt/
+    fill-byte path."""
+    img = np.dstack([_smooth(16, 16)] * 3).astype(np.uint8)
+    b = bytearray(J.jpeg_encode(16, 16, img.tobytes(), 3,
+                                quality=75, subsample=False))
+    i = bytes(b).index(b"\xff\xda")
+    assert b[i + 4] == 3
+    spectral = bytes(b[i + 4 + 1 + 6:i + 4 + 1 + 6 + 3])
+    b[i + 2:i + 4] = struct.pack(">H", 8)          # new segment length
+    b[i + 4] = 1                                   # ns: 3 -> 1
+    b[i + 5:i + 4 + 1 + 6 + 3] = bytes(b[i + 5:i + 7]) + spectral
+    b[i:i] = b"\xff" * 3                           # fill run before SOS
+    with pytest.raises(ValueError, match="non-interleaved"):
+        J.jpeg_decode(bytes(b))
 
 
 def test_rgb_422_solid_within_two():

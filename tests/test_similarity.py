@@ -178,3 +178,30 @@ def test_embedding_dup_pairs_unblocked_cap_and_edge_cases(spark):
            for r in embedding_dup_pairs(
                corpus, "vec_id", "embedding", threshold=0.7).collect()}
     assert got == {(1, 2, 1.0), (1, 4, 0.7071), (2, 4, 0.7071)}
+
+
+def test_embedding_dup_pairs_unblocked_empty_and_null_rows(spark):
+    """ADVICE r12 medium: the vectorized unblocked path regressed on
+    legal inputs — an empty corpus hit np.linalg.norm AxisError and a
+    null/empty embedding row made np.asarray ragged (ValueError) both
+    driver- and executor-side.  The old join path returned empty /
+    dropped those rows via a null cosine; the fixed path must match."""
+    from sync_cosmos_db_spark.operators.dedup import embedding_dup_pairs
+
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema)
+    out = embedding_dup_pairs(empty, "vec_id", "embedding", threshold=0.9)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == \
+        ["id_a", "id_b", "cosine_sim"]
+
+    nullish = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, []), (4, [2.0, 0.0])], schema)
+    got = {(r.id_a, r.id_b, r.cosine_sim)
+           for r in embedding_dup_pairs(
+               nullish, "vec_id", "embedding", threshold=0.9).collect()}
+    assert got == {(1, 4, 1.0)}
+
+    only_null = spark.createDataFrame([(1, None), (2, [])], schema)
+    assert embedding_dup_pairs(
+        only_null, "vec_id", "embedding", threshold=0.9).count() == 0
