@@ -461,6 +461,17 @@ EDITED_ROUND.update({"jaro_winkler_customers": 12})
 # garbage or mis-failed.  No EDITED_ROUND entry, per the "changes
 # query-visible semantics" rule above.
 
+# Round-13 edits (r12 verdict item 4): the two sampled twins' ORACLE
+# closures rewritten from open-ended WITH RECURSIVE transitive closure
+# to bounded unrolled min-label rounds with a convergence gate, plus
+# MATERIALIZED CTE pins and the gram-inverted-index Jaccard in the
+# canonical twin (25.4 s / 15.5 s -> 0.11 s / 0.59 s per oracle at
+# sf0.1, rows identical at sf0.01 and sf0.1).  Spark bodies unchanged;
+# the oracle IS half the checked contract, so both re-queue.
+EDITED_ROUND.update(dict.fromkeys(
+    ["canonical_doc_election_sampled",
+     "curation_pipeline_stats_sampled"], 13))
+
 # Round-13 notes (auditable no-entry decisions, ADVICE r12 fixes):
 #   * dedup.embedding_dup_pairs' unblocked path now drops null/empty
 #     vectors up front and early-returns on an empty corpus — both
