@@ -581,14 +581,24 @@ def dhash_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram ``(cluster_size, n_clusters)`` — the image twin of
     X1's exact-hash text dedup.  All per-asset work is one
     Arrow-batched ``mapInPandas`` (encode) + one (decode+hash);
-    the only shuffles key on the 64-bit fingerprint."""
+    the only shuffles key on the 64-bit fingerprint.
+
+    The compact documents scan is ``spread()`` first (r12 verdict
+    item 2 audit): both Python stages otherwise inherit the sf0.1
+    file's 1-2 scan partitions and the whole encode+decode+hash
+    pipeline ran on ONE task of 32 — measured 13.1 s → 1.6 s.  At
+    100 TB the asset scan already yields ≥ cores splits and spread
+    is a no-op."""
+    from sync_cosmos_db_spark.operators.dedup import spread
     from sync_cosmos_db_spark.operators.multimodal import (
         dhash_png_assets, png_encode,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("asset_id"),
-        (F.col("doc_id") % 40).alias("seed"))
+    docs = spread(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("asset_id"),
+            (F.col("doc_id") % 40).alias("seed")),
+        ["asset_id"])
 
     def synth(batches):
         import pandas as pd
