@@ -361,32 +361,46 @@ def jaro_winkler_join(df: DataFrame, id_col: str, name_col: str,
     after rounding.  Pair order is pinned ``id_a < id_b``.  Returns
     ``(id_a, id_b, sim)``.
     """
+    # Floor semantics (ADVICE r12): an unconditional
+    # repartition-to-cores would DOWN-partition a multi-TB pair
+    # stream to core count and create giant tasks, so the target is
+    # max(cores, input-scan splits).  The floor probe runs on the
+    # INPUT scan (a leaf plan — `.rdd` there converts without running
+    # jobs), not on the join output: probing that under AQE
+    # materializes its input shuffles once for the probe and again
+    # for the real job.  The pair stream is never narrower than its
+    # input (every surviving row rode in through the scan), so scan
+    # splits are a sound lower bound — at 100 TB the scan yields
+    # ~O(100k) splits and both repartitions below keep them.
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     left = df.select(*block_cols, F.col(id_col).alias("id_a"),
                      F.col(name_col).alias("name_a"))
     right = df.select(*block_cols, F.col(id_col).alias("id_b"),
                       F.col(name_col).alias("name_b"))
+    # Co-partition BOTH join inputs on the block key explicitly
+    # (round-13 sf0.5 finding): AQE coalesces the block join's
+    # shuffle reads by INPUT bytes, so a byte-small but
+    # pair-multiplied corpus materialized its entire pair stream in
+    # ONE join task (the 112M-pair 5× control ran >10 min in a
+    # single-task stage).  A user-specified repartition on the join
+    # key is exempt from AQE coalescing and satisfies the join's
+    # distribution requirement, so the pair-MATERIALIZING stage runs
+    # at `target` partitions (bounded by distinct block count —
+    # skewed blocks remain the caller's declared knob).
+    left = left.repartition(target, *block_cols)
+    right = right.repartition(target, *block_cols)
     pairs = (left.join(right, block_cols)
              .filter(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "name_a", "name_b"))
     # AQE sizes the join's output partitions by the INPUT shuffle bytes
     # and is blind to pair multiplication (a 1.5 MB dimension join fed
     # the whole 4.5M-pair sf0.1 scoring stage to ONE task — measured).
-    # Rebalance the pair stream so the scorer parallelizes; the extra
-    # exchange carries only (id, id, name, name) rows and is dwarfed by
-    # the scoring it unblocks.  Floor semantics (ADVICE r12): an
-    # unconditional repartition-to-cores would DOWN-partition a
-    # multi-TB pair stream to core count and create giant scorer
-    # tasks, so the target is max(cores, input-scan splits).  The
-    # floor probe runs on the INPUT scan (a leaf plan — `.rdd` there
-    # converts without running jobs), not on `pairs`: probing the
-    # join output under AQE materializes its input shuffles once for
-    # the probe and again for the real job.  The pair stream is never
-    # narrower than its input (every surviving row rode in through
-    # the scan), so scan splits are a sound lower bound — at 100 TB
-    # the scan yields ~O(100k) splits and the rebalance keeps them.
-    sc = df.sparkSession.sparkContext
-    pairs = pairs.repartition(
-        max(sc.defaultParallelism, df.rdd.getNumPartitions()))
+    # Rebalance the pair stream so the scorer parallelizes across ALL
+    # cores even when pairs concentrate in few blocks; the extra
+    # exchange carries only (id, id, name, name) rows and is dwarfed
+    # by the scoring it unblocks.
+    pairs = pairs.repartition(target)
     p = 10 ** round_digits
     thr = float(threshold)
 

@@ -479,8 +479,11 @@ EDITED_ROUND.update(dict.fromkeys(
 #     and neither exists in the driver corpora (testdata embeddings
 #     are dense and non-null), so no query's output changes.
 #   * linkage.jaro_winkler_join's pair rebalance gained a floor
-#     (max(cores, input-scan splits)) — partitioning only; per-pair
-#     scores and output rows are bit-identical.
+#     (max(cores, input-scan splits)) and both block-join inputs are
+#     now explicitly co-partitioned on the block key (the sf0.5 run
+#     caught the pair-MATERIALIZING join stage AQE-coalesced to one
+#     task) — partitioning only; per-pair scores and output rows are
+#     bit-identical, re-verified against the sf0.01 oracle.
 #   * jpeg MAX_DECODE_PIXELS became a constant + decode parameter with
 #     the same 1<<24 default — no behavioral change at the default.
 

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Generate the sf0.5-equivalent stress slice (r12 verdict item 3).
+
+Upsamples the sf0.1 documents/embeddings/customer tables 5x into
+``--out`` (default /tmp/sf0.5) for Spark-side-only linearity timings —
+never committed, never read by the driver.  Design constraints that
+make "5x data" faithful rather than degenerate:
+
+* **id offsets** are multiples of 36,036,000 (divisible by
+  lcm(1..13)=360,360 and by 40/50/100), so every ``id % k`` planted-
+  structure arithmetic in the registered queries (sampling moduli 5/7/
+  10/11, near-dup offsets +100000/+200000, the %40 dhash seed, the %50
+  query subset) replicates EXACTLY once per copy — work scales 5x, not
+  quadratically via cross-copy plants.
+* **documents**: copy k>0 suffixes every token with ``k{k}`` — a real
+  5x corpus brings new vocabulary, so gram/token bucket DEPTH stays
+  constant while bucket COUNT scales.  (First attempt permuted word
+  order instead; the 31-token synthetic vocabulary then made every
+  gram bucket 5x deeper and the exact-Jaccard verification side went
+  quadratic on CROSS-copy candidates — a data artifact, not an
+  operator property.)
+* **embeddings**: copy k rolls vector components by k — norms and
+  within-copy pairwise cosines are preserved (planted near-dup
+  structure replicates), cross-copy cosines are uncorrelated.
+* **customer**: two variants.  ``sf0.5`` keeps c_nationkey (25 blocks,
+  5x deeper — the quadratic-by-contract control for blocked pair
+  operators) and ``sf0.5blocks`` shifts nationkey by 25 per copy
+  (5x block count at constant depth — the constant-density model of
+  real growth, where linearity is the claim under test).
+
+Measured results live in SCALING.md §"Round-13 sf0.5 linearity".
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+D = 36_036_000
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/sf0.5")
+    ap.add_argument("--out-blocks", default="/tmp/sf0.5blocks")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+    os.makedirs(args.out_blocks, exist_ok=True)
+
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    parts = []
+    for k in range(5):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] + k * D
+        if k:
+            c["text"] = [" ".join(w + f"k{k}" for w in t.split(" "))
+                         for t in c["text"]]
+            c["n_chars"] = c["text"].str.len()
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                   f"{args.out}/documents.parquet")
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    parts = []
+    for k in range(5):
+        c = emb.copy()
+        c["vec_id"] = c["vec_id"] + k * D
+        if k:
+            c["embedding"] = [np.roll(np.asarray(v), k).astype(np.float32)
+                              for v in c["embedding"]]
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    sch = pq.read_schema(f"{SRC}/embeddings.parquet")
+    tbl = pa.Table.from_pandas(out, preserve_index=False)
+    tbl = tbl.cast(pa.schema([sch.field(n) for n in tbl.schema.names]))
+    pq.write_table(tbl, f"{args.out}/embeddings.parquet")
+
+    cust = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
+    for dest, nk_shift in ((args.out, False), (args.out_blocks, True)):
+        parts = []
+        for k in range(5):
+            c = cust.copy()
+            c["c_custkey"] = c["c_custkey"] + k * D
+            if nk_shift:
+                c["c_nationkey"] = (c["c_nationkey"] + 25 * k).astype("int32")
+            parts.append(c)
+        out = pd.concat(parts, ignore_index=True)
+        sch = pq.read_schema(f"{SRC}/customer.parquet")
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        t = t.cast(pa.schema([sch.field(n) for n in t.schema.names]))
+        pq.write_table(t, f"{dest}/customer.parquet")
+    print("wrote", args.out, "and", args.out_blocks)
+
+
+if __name__ == "__main__":
+    main()
