@@ -554,23 +554,65 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
     ragged list would instead raise) and an empty corpus returns an
     empty frame with the output schema (``np.linalg.norm(axis=1)`` on
     a 0-row matrix raises AxisError)."""
-    if block_col:
-        from sync_cosmos_db_spark.operators.similarity import cosine
+    id_type = next(f.dataType.simpleString()
+                   for f in df.schema.fields if f.name == id_col)
+    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
 
-        v = df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
-        a = v.select(*[F.col(c).alias(f"{c}_a") for c in v.columns])
-        b = v.select(*[F.col(c).alias(f"{c}_b") for c in v.columns])
+    if block_col:
+        # Round-13: the blocked branch previously scored each joined
+        # pair with the higher-order-function cosine — interpreted per
+        # pair PER ELEMENT (the same ~100× penalty class the r12
+        # unblocked rewrite removed) — and its pair-MATERIALIZING join
+        # stage inherited AQE's input-byte partition sizing (the JW
+        # lesson).  Both fixed: the join inputs are co-partitioned on
+        # the block key explicitly (user repartition is exempt from
+        # AQE coalescing and satisfies the join's distribution
+        # requirement, so pair materialization parallelizes by block
+        # count), and scoring runs as one float64 rowwise product per
+        # Arrow batch.  Same summation-order rounding-tie caveat as
+        # the unblocked branch below; zero/null vectors yield NaN and
+        # are dropped — which also REMOVES a latent inconsistency
+        # (Spark orders NaN above every double, so the old HOF filter
+        # would have PASSED a zero-vector pair).
+        sc = df.sparkSession.sparkContext
+        target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+        v = (df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+             .where(F.col(vec_col).isNotNull()
+                    & (F.size(F.col(vec_col)) > 0)))
+        a = v.select(*[F.col(c).alias(f"{c}_a") for c in v.columns]) \
+             .repartition(target, f"{block_col}_a")
+        b = v.select(*[F.col(c).alias(f"{c}_b") for c in v.columns]) \
+             .repartition(target, f"{block_col}_b")
         cond = ((F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
                 & (F.col(f"{block_col}_a") == F.col(f"{block_col}_b")))
-        return (
-            a.join(b, cond)
-            .withColumn("cosine_sim",
-                        cosine(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b")))
-            .filter(F.col("cosine_sim") >= threshold)
-            .select(F.col(f"{id_col}_a").alias("id_a"),
-                    F.col(f"{id_col}_b").alias("id_b"),
-                    _fround4(F.col("cosine_sim")).alias("cosine_sim"))
-        )
+        pairs = (a.join(b, cond)
+                 .select(F.col(f"{id_col}_a").alias("id_a"),
+                         F.col(f"{id_col}_b").alias("id_b"),
+                         F.col(f"{vec_col}_a").alias("__va"),
+                         F.col(f"{vec_col}_b").alias("__vb")))
+        thr = float(threshold)
+
+        def score_pairs(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = _np.asarray(list(pdf["__va"]), dtype=_np.float64)
+                B = _np.asarray(list(pdf["__vb"]), dtype=_np.float64)
+                with _np.errstate(divide="ignore", invalid="ignore"):
+                    s = ((A * B).sum(axis=1)
+                         / (_np.linalg.norm(A, axis=1)
+                            * _np.linalg.norm(B, axis=1)))
+                keep = s >= thr                      # NaN compares False
+                sims = _np.floor(s[keep] * 10000 + 0.5) / 10000  # _fround4
+                yield _pd.DataFrame(
+                    {"id_a": pdf["id_a"].to_numpy()[keep],
+                     "id_b": pdf["id_b"].to_numpy()[keep],
+                     "cosine_sim": sims})
+
+        return pairs.mapInPandas(score_pairs, out_schema)
 
     from sync_cosmos_db_spark.operators.similarity import (
         MAX_BRUTE_FORCE_QUERIES,
@@ -592,9 +634,6 @@ def embedding_dup_pairs(df: DataFrame, id_col: str, vec_col: str,
             f"{MAX_BRUTE_FORCE_QUERIES} rows for the unblocked n² "
             "verification baseline; pass block_col (an LSH bucket or "
             "cluster id) — the blocked join is the scale path.")
-    id_type = next(f.dataType.simpleString()
-                   for f in df.schema.fields if f.name == id_col)
-    out_schema = f"id_a {id_type}, id_b {id_type}, cosine_sim double"
     if not rows:
         return df.sparkSession.createDataFrame([], out_schema)
     all_ids = np.asarray([r[0] for r in rows])

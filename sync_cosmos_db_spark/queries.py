@@ -471,6 +471,14 @@ EDITED_ROUND.update({"jaro_winkler_customers": 12})
 EDITED_ROUND.update(dict.fromkeys(
     ["canonical_doc_election_sampled",
      "curation_pipeline_stats_sampled"], 13))
+# ... and the BLOCKED branch of dedup.embedding_dup_pairs vectorized
+# like the r12 unblocked rewrite (HOF per-pair-per-element cosine →
+# one float64 rowwise product per Arrow batch, join inputs
+# co-partitioned on the block key).  Same summation-order tie caveat,
+# so the oracle-bearing query flowing through the blocked branch
+# re-queues.  (dedup_embedding_cosine uses only the unblocked branch,
+# unchanged this round.)
+EDITED_ROUND.update({"dedup_embedding_lsh_containment": 13})
 
 # Round-13 notes (auditable no-entry decisions, ADVICE r12 fixes):
 #   * dedup.embedding_dup_pairs' unblocked path now drops null/empty
