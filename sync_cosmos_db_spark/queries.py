@@ -479,6 +479,13 @@ EDITED_ROUND.update(dict.fromkeys(
 # re-queues.  (dedup_embedding_cosine uses only the unblocked branch,
 # unchanged this round.)
 EDITED_ROUND.update({"dedup_embedding_lsh_containment": 13})
+# ... and linkage_fuzzy_customers' oracle rewritten by exact lev<=1
+# case decomposition (hamming at equal length + complete
+# deletion-neighborhood equality at ±1) after it became the sweep's
+# last 180 s timeout — 170 s -> 1.2 s at sf0.1, rows identical at
+# sf0.01.  Its latest row is r3, so it was already first in the
+# staleness window; the entry just records the edit.
+EDITED_ROUND.update({"linkage_fuzzy_customers": 13})
 
 # Round-13 notes (auditable no-entry decisions, ADVICE r12 fixes):
 #   * dedup.embedding_dup_pairs' unblocked path now drops null/empty

@@ -33,6 +33,18 @@ from sync_cosmos_db_spark.session import load_table
 
 @query(
     "linkage_fuzzy_customers",
+    # r13 oracle rewrite (the sf0.1 sweep's last timeout, 170 s →
+    # 1.2 s): the unblocked CROSS JOIN evaluated the O(len²)
+    # levenshtein DP on all ~153M pairs.  lev ≤ 1 decomposes EXACTLY
+    # (a theorem, not a blocking heuristic, so the oracle stays an
+    # independent full-recall ground truth): equal-length pairs
+    # satisfy lev ≤ 1 iff hamming ≤ 1 (DuckDB `mismatches`, O(len));
+    # pairs whose lengths differ by 1 satisfy it iff the shorter
+    # string EQUALS a single-deletion variant of the longer (an
+    # equality hash join against the complete ×len deletion
+    # neighborhood); length gaps ≥ 2 can never qualify.  Survivor
+    # `dist` values are identical (hamming = lev on equal-length
+    # survivors; cross-length survivors have lev exactly 1).
     """
     WITH dirty AS (
       SELECT c_custkey + 500000 AS l_id,
@@ -45,14 +57,39 @@ from sync_cosmos_db_spark.session import load_table
       UNION ALL
       SELECT c_custkey + 900000, 'Noise#' || c_name
       FROM customer WHERE c_custkey % 97 = 0
-    )
-    SELECT d.l_id, d.l_name, c.c_custkey AS r_id, c.c_name AS r_name,
-           levenshtein(d.l_name, c.c_name)::BIGINT AS dist
-    FROM dirty d CROSS JOIN customer c
-    WHERE levenshtein(d.l_name, c.c_name) <= 1
-    QUALIFY row_number() OVER (
-      PARTITION BY d.l_id
-      ORDER BY levenshtein(d.l_name, c.c_name), c.c_custkey) = 1
+    ),
+    eq AS (
+      SELECT d.l_id, d.l_name, c.c_custkey AS r_id, c.c_name AS r_name,
+             mismatches(d.l_name, c.c_name)::BIGINT AS dist
+      FROM dirty d JOIN customer c
+        ON length(d.l_name) = length(c.c_name)
+      WHERE mismatches(d.l_name, c.c_name) <= 1),
+    cvars AS (
+      SELECT DISTINCT c_custkey, c_name,
+             substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS v
+      FROM (SELECT c_custkey, c_name,
+                   unnest(generate_series(1, length(c_name))) AS i
+            FROM customer)),
+    del1 AS (
+      SELECT d.l_id, d.l_name, v.c_custkey AS r_id, v.c_name AS r_name,
+             1::BIGINT AS dist
+      FROM dirty d JOIN cvars v ON d.l_name = v.v
+      WHERE length(d.l_name) = length(v.c_name) - 1),
+    dvars AS (
+      SELECT DISTINCT l_id, l_name,
+             substr(l_name, 1, i - 1) || substr(l_name, i + 1) AS v
+      FROM (SELECT l_id, l_name,
+                   unnest(generate_series(1, length(l_name))) AS i
+            FROM dirty)),
+    ins1 AS (
+      SELECT dv.l_id, dv.l_name, c.c_custkey AS r_id, c.c_name AS r_name,
+             1::BIGINT AS dist
+      FROM dvars dv JOIN customer c ON dv.v = c.c_name
+      WHERE length(dv.l_name) = length(c.c_name) + 1),
+    allc AS (SELECT * FROM eq UNION ALL SELECT * FROM del1
+             UNION ALL SELECT * FROM ins1)
+    SELECT l_id, l_name, r_id, r_name, dist FROM allc
+    QUALIFY row_number() OVER (PARTITION BY l_id ORDER BY dist, r_id) = 1
     """,
 )
 def linkage_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,10 +99,14 @@ def linkage_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension at levenshtein <= 1.
 
     The Spark side uses prefix/suffix blocking + hot-key gate + verify;
-    the oracle is the UNBLOCKED n-squared nearest-neighbor — equality
+    the oracle is the UNBLOCKED full-recall nearest-neighbor — equality
     is an end-to-end recall proof, valid because interior edits keep
     the suffix key intact and the min-id winner is always the source
-    row (any other insertion candidate has a larger key).
+    row (any other insertion candidate has a larger key).  The oracle's
+    lev ≤ 1 predicate is computed by exact case decomposition (hamming
+    at equal length, complete deletion-neighborhood equality at ±1 —
+    see the SQL comment), which is still unblocked over every length-
+    compatible pair.
     """
     cust = load_table(spark, sf_dir, "customer")
     name = F.col("c_name")
