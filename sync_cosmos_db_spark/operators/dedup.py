@@ -52,18 +52,24 @@ def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     Probe order matters: ``df.inputFiles()`` is driver metadata only,
     but file COUNT does not imply split count — Spark bin-packs small
     files into few FilePartitions (maxPartitionBytes/openCostInBytes),
-    so many tiny files can still scan as 1-2 partitions. The file probe
-    is therefore only a cheap NEGATIVE gate (fewer files than cores, or
-    a non-file source, certainly needs the repartition); when it passes,
-    the actual split count from ``df.rdd.getNumPartitions()`` (a
-    plan→RDD conversion, no job) settles whether the scan really
-    parallelizes."""
+    so many tiny files can still scan as 1-2 partitions. The file
+    probe is therefore only a cheap NEGATIVE gate for FILE-BACKED
+    frames (fewer files than cores certainly needs the repartition);
+    otherwise the actual split count from
+    ``df.rdd.getNumPartitions()`` (a plan→RDD conversion, no job on a
+    narrow plan) settles it.  Floor semantics throughout (the ADVICE
+    r12 linkage lesson generalized, round 13): a NON-file frame —
+    ``inputFiles()`` returns [] for those, it does not raise — used
+    to repartition unconditionally, which would DOWN-partition an
+    already-wide derived frame to core count at scale; now only a
+    frame measured narrower than the target is repartitioned."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        enough_files = len(df.inputFiles()) >= target
+        files = df.inputFiles()
     except Exception:
-        enough_files = False
-    if enough_files and df.rdd.getNumPartitions() >= target:
+        files = []
+    few_files = bool(files) and len(files) < target
+    if not few_files and df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 

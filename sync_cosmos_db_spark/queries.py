@@ -486,6 +486,10 @@ EDITED_ROUND.update({"dedup_embedding_lsh_containment": 13})
 # sf0.01.  Its latest row is r3, so it was already first in the
 # staleness window; the entry just records the edit.
 EDITED_ROUND.update({"linkage_fuzzy_customers": 13})
+# ... and editdist_pairs_customers' oracle got the same decomposition
+# (149 s at sf0.1 — one flake from the sweep cap — now 2.7 s, rows
+# identical).  r4 row, so it was already in the staleness window.
+EDITED_ROUND.update({"editdist_pairs_customers": 13})
 
 # Round-13 notes (auditable no-entry decisions, ADVICE r12 fixes):
 #   * dedup.embedding_dup_pairs' unblocked path now drops null/empty
@@ -501,6 +505,9 @@ EDITED_ROUND.update({"linkage_fuzzy_customers": 13})
 #     bit-identical, re-verified against the sf0.01 oracle.
 #   * jpeg MAX_DECODE_PIXELS became a constant + decode parameter with
 #     the same 1<<24 default — no behavioral change at the default.
+#   * dedup.spread() gained the same floor semantics (a non-file
+#     frame no longer repartitions unconditionally — only when
+#     measured narrower than the target) — partitioning only.
 
 
 def _swept_rounds() -> tuple[dict[str, int], dict[str, bool]]:
