@@ -1,0 +1,57 @@
+"""Round-13 partitioning-floor regressions (r12 verdict item 2 +
+ADVICE r12): every blocked-pair operator that multiplies pairs out of
+byte-small inputs must (a) materialize AND score those pairs at >=
+cluster parallelism, never at AQE's input-byte-coalesced count, and
+(b) never DOWN-partition an already-wide stream to core count.  These
+pin the fixes in ``linkage.jaro_winkler_join``,
+``dedup.embedding_dup_pairs`` (blocked branch) and ``dedup.spread``
+so a refactor that drops a repartition fails CI, not the cluster.
+
+``.rdd.getNumPartitions()`` on the operator output finalizes the AQE
+plan (executing upstream stages) and reports the FINAL stage's
+partition count — exactly the stage that runs the Python scorer in
+both pair operators (mapInPandas is the plan tail)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sync_cosmos_db_spark.session import load_table
+
+
+def test_jw_scoring_stage_meets_parallelism_floor(spark, sf_dir):
+    from sync_cosmos_db_spark.operators.linkage import jaro_winkler_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = jaro_winkler_join(cust, "c_custkey", "c_name",
+                            ["c_nationkey"], threshold=0.9)
+    dp = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= dp
+
+
+def test_blocked_embedding_scoring_stage_meets_floor(spark, sf_dir):
+    from sync_cosmos_db_spark.operators.dedup import embedding_dup_pairs
+
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .withColumn("blk", (F.col("vec_id") % 4).cast("int"))
+           .withColumn("embedding",
+                       F.transform("embedding",
+                                   lambda x: x.cast("double"))))
+    out = embedding_dup_pairs(emb, "vec_id", "embedding",
+                              threshold=0.99, block_col="blk")
+    dp = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= dp
+
+
+def test_spread_floor_never_downpartitions(spark):
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    dp = spark.sparkContext.defaultParallelism
+    # a derived (non-file) frame wider than the target must pass
+    # through untouched — inputFiles() returns [] for it, which used
+    # to trigger an unconditional down-repartition
+    wide = spark.range(0, 10000).repartition(dp * 4)
+    assert spread(wide).rdd.getNumPartitions() == dp * 4
+    # a narrow frame (file-backed or not) must widen to the floor
+    narrow = spark.range(0, 1000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() >= dp
