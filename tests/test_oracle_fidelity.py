@@ -70,3 +70,62 @@ def test_null_bearing_int_column_passes(spark, con):
 def test_date_vs_midnight_timestamp_normalization(spark, con):
     sdf = spark.sql("SELECT DATE '1995-01-01' AS d")
     compare(sdf, con, "SELECT DATE '1995-01-01' AS d", name="date_probe")
+
+
+def test_lev1_case_decomposition_matches_levenshtein(con):
+    """r13: the fuzzy-linkage and editdist oracles decide lev <= 1 by
+    exact case decomposition (hamming at equal length, single-deletion
+    -neighborhood equality at ±1, impossible beyond) instead of the
+    O(len²) DP.  Pin the theorem against DuckDB's own levenshtein on
+    randomized pairs — a DuckDB semantics change in mismatches() or a
+    future edit to the decomposition fails here, not in a 396-query
+    sweep."""
+    import random
+
+    rng = random.Random(1311)
+    alpha = "ab#0123456789X"
+    cases = []
+    for _ in range(3000):
+        n = rng.randrange(0, 14)
+        s = "".join(rng.choice(alpha) for _ in range(n))
+        t = list(s)
+        op = rng.randrange(5)
+        if op == 0 and s:                       # substitution
+            i = rng.randrange(len(t)); t[i] = rng.choice(alpha)
+        elif op == 1 and s:                     # deletion
+            del t[rng.randrange(len(t))]
+        elif op == 2:                           # insertion
+            t.insert(rng.randrange(len(t) + 1), rng.choice(alpha))
+        elif op == 3:                           # unrelated string
+            t = [rng.choice(alpha)
+                 for _ in range(rng.randrange(0, 14))]
+        cases.append((s, "".join(t)))           # op 4: identical
+    con.execute("CREATE OR REPLACE TABLE lev_probe(a TEXT, b TEXT)")
+    con.executemany("INSERT INTO lev_probe VALUES (?, ?)", cases)
+    bad = con.execute("""
+        WITH vars AS (
+          SELECT a, b,
+                 -- CASE, not AND: DuckDB does not short-circuit, and
+                 -- mismatches() errors on unequal or ZERO lengths
+                 -- (the real oracles see only the equal-length join
+                 -- side and non-empty fixture names)
+                 (CASE WHEN a = b THEN true
+                       WHEN length(a) = length(b) AND length(a) > 0
+                       THEN mismatches(a, b) <= 1 ELSE false END)
+                 OR (length(a) = length(b) - 1 AND EXISTS (
+                      SELECT 1 FROM (SELECT unnest(generate_series(
+                          1, greatest(length(lev_probe.b), 1))) AS i)
+                      WHERE substr(lev_probe.b, 1, i - 1)
+                            || substr(lev_probe.b, i + 1) = lev_probe.a))
+                 OR (length(b) = length(a) - 1 AND EXISTS (
+                      SELECT 1 FROM (SELECT unnest(generate_series(
+                          1, greatest(length(lev_probe.a), 1))) AS i)
+                      WHERE substr(lev_probe.a, 1, i - 1)
+                            || substr(lev_probe.a, i + 1) = lev_probe.b))
+                 AS decomposed
+          FROM lev_probe)
+        SELECT a, b, decomposed, levenshtein(a, b) AS lev
+        FROM vars
+        WHERE decomposed <> (levenshtein(a, b) <= 1)
+    """).fetchall()
+    assert not bad, f"decomposition disagrees on {len(bad)} pairs: {bad[:5]}"
