@@ -498,6 +498,11 @@ EDITED_ROUND.update({"linkage_fuzzy_customers": 13})
 # (149 s at sf0.1 — one flake from the sweep cap — now 2.7 s, rows
 # identical).  r4 row, so it was already in the staleness window.
 EDITED_ROUND.update({"editdist_pairs_customers": 13})
+# ... and cusum_daily_revenue's oracle CTEs (s/prm/i) pinned
+# MATERIALIZED — its day-step recursion re-evaluated the orders
+# aggregation chain every step (22.8 s -> 1.6 s at sf0.1, rows
+# identical; the sequential recursion itself is unchanged).
+EDITED_ROUND.update({"cusum_daily_revenue": 13})
 
 # Round-13 notes (auditable no-entry decisions, ADVICE r12 fixes):
 #   * dedup.embedding_dup_pairs' unblocked path now drops null/empty

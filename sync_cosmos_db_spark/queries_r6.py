@@ -1182,12 +1182,20 @@ from sync_cosmos_db_spark.session import load_table
 
 @query(
     "cusum_daily_revenue",
+    # r13: s/prm/i pinned MATERIALIZED — the ~2400-step day recursion
+    # otherwise re-evaluates the un-materialized orders aggregation
+    # chain EVERY step (the twins' closure lesson applied to a
+    # sequential replay): 22.8 s -> 1.6 s at sf0.1, rows identical.
+    # The recursion itself stays — replaying the LITERAL sequential
+    # form against Spark's closed-form prefix scan is this oracle's
+    # entire point.
     """
-    WITH RECURSIVE s AS (
+    WITH RECURSIVE s AS MATERIALIZED (
       SELECT o_orderdate::DATE AS day,
              sum(floor(o_totalprice * 100 + 0.5)::BIGINT) * 100 AS vi
       FROM orders GROUP BY 1),
-    prm AS (SELECT floor(sum(vi)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
+    prm AS MATERIALIZED (
+            SELECT floor(sum(vi)::DOUBLE / count(*)::DOUBLE + 0.5)::BIGINT
                      AS mui,
                    floor(sqrt((sum(vi::HUGEINT * vi)::DOUBLE
                                - sum(vi)::DOUBLE * sum(vi)::DOUBLE
@@ -1200,7 +1208,8 @@ from sync_cosmos_db_spark.session import load_table
                               / (count(*)::DOUBLE - 1)) * 4.0 + 0.5)::BIGINT
                      AS hi
             FROM s),
-    i AS (SELECT row_number() OVER (ORDER BY day) AS i, day, vi
+    i AS MATERIALIZED (
+          SELECT row_number() OVER (ORDER BY day) AS i, day, vi
           FROM s),
     c AS (
       SELECT i.i, i.day, i.vi,
