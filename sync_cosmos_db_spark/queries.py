@@ -363,13 +363,13 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deliberate: an edited query's old green row is WORSE evidence than
 # an unedited query's old green row.
 #
-# Round-13 window arithmetic (verified at build time): 5 edited
+# Round-13 window arithmetic (verified at build time): 6 edited
 # (the two r11-row sampled twins + r12-row embedding containment +
-# r3-row linkage_fuzzy + r6-row editdist_pairs, all re-queued for
-# this round's oracle/operator rewrites) + 45 stalest re-checks =
-# all 8 remaining r3 rows, all 34 remaining r4 rows, 2 r5 rows —
-# the r3/r4 cohorts drain COMPLETELY (r12 verdict item 1; the
-# post-r13 histogram's oldest non-window row is r5).
+# r3-row linkage_fuzzy + r6-row editdist_pairs + r11-row cusum, all
+# re-queued for this round's oracle/operator rewrites) + 44 stalest
+# re-checks = all 8 remaining r3 rows, all 35 remaining r4 rows,
+# 1 r5 row — the r3/r4 cohorts drain COMPLETELY (r12 verdict
+# item 1; the post-r13 histogram's oldest non-window row is r5).
 #
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
