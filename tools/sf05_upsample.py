@@ -81,6 +81,31 @@ def main() -> None:
     tbl = tbl.cast(pa.schema([sch.field(n) for n in tbl.schema.names]))
     pq.write_table(tbl, f"{args.out}/embeddings.parquet")
 
+    # TPC-H core: orders/lineitem 5x with MATCHED key offsets so every
+    # join key resolves inside its copy; dimensions (region/nation/
+    # part/supplier) and events ride along unchanged — at real 5x
+    # scale the dimension tables do not grow either.
+    orders = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+    li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
+    po, pl = [], []
+    for k in range(5):
+        o = orders.copy()
+        o["o_orderkey"] = o["o_orderkey"] + k * D
+        o["o_custkey"] = o["o_custkey"] + k * D
+        po.append(o)
+        l = li.copy()
+        l["l_orderkey"] = l["l_orderkey"] + k * D
+        pl.append(l)
+    for name, parts in (("orders", po), ("lineitem", pl)):
+        out = pd.concat(parts, ignore_index=True)
+        sch = pq.read_schema(f"{SRC}/{name}.parquet")
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        t = t.cast(pa.schema([sch.field(n) for n in t.schema.names]))
+        pq.write_table(t, f"{args.out}/{name}.parquet")
+    import shutil
+    for t in ("region", "nation", "part", "supplier", "events"):
+        shutil.copyfile(f"{SRC}/{t}.parquet", f"{args.out}/{t}.parquet")
+
     cust = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
     for dest, nk_shift in ((args.out, False), (args.out_blocks, True)):
         parts = []
