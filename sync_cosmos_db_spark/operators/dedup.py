@@ -49,27 +49,20 @@ def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     next to the per-row hash compute it parallelizes. At 100 TB the scan
     already yields ≥ parallelism splits and this is a no-op.
 
-    Probe order matters: ``df.inputFiles()`` is driver metadata only,
-    but file COUNT does not imply split count — Spark bin-packs small
-    files into few FilePartitions (maxPartitionBytes/openCostInBytes),
-    so many tiny files can still scan as 1-2 partitions. The file
-    probe is therefore only a cheap NEGATIVE gate for FILE-BACKED
-    frames (fewer files than cores certainly needs the repartition);
-    otherwise the actual split count from
-    ``df.rdd.getNumPartitions()`` (a plan→RDD conversion, no job on a
-    narrow plan) settles it.  Floor semantics throughout (the ADVICE
-    r12 linkage lesson generalized, round 13): a NON-file frame —
-    ``inputFiles()`` returns [] for those, it does not raise — used
-    to repartition unconditionally, which would DOWN-partition an
-    already-wide derived frame to core count at scale; now only a
-    frame measured narrower than the target is repartitioned."""
+    The decision is made ONLY on the measured split count,
+    ``df.rdd.getNumPartitions()`` (a plan→RDD conversion; no job runs
+    on a narrow plan).  File count is deliberately NOT consulted
+    (ADVICE r13): it is wrong in both directions — Spark bin-packs
+    many tiny files into 1-2 FilePartitions (maxPartitionBytes /
+    openCostInBytes), and it SPLITS few huge files into thousands
+    (a handful of multi-TB parquet files is exactly the 100 TB scan
+    shape), so a "few files ⇒ repartition" short-circuit would
+    DOWN-partition the large-scale case to core count.  Floor
+    semantics throughout (the ADVICE r12 linkage lesson generalized,
+    round 13): only a frame measured narrower than the target is
+    repartitioned, file-backed or derived alike."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        files = df.inputFiles()
-    except Exception:
-        files = []
-    few_files = bool(files) and len(files) < target
-    if not few_files and df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
 
@@ -482,9 +475,19 @@ def connected_components(edges: DataFrame, src: str = "id_a",
 
     Returns (node, component) with component = min node id reachable.
     """
-    both = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .unionByName(edges.select(F.col(dst).alias("a"),
-                                      F.col(src).alias("b"))))
+    # Both directions via ONE explode pass, not union-of-two-selects:
+    # each union branch re-executes the upstream edge plan, and edges
+    # are typically an EXPENSIVE pair join (round-14 finding: the
+    # sampled canonical-election twin recomputed its all-pairs Jaccard
+    # join twice — once per branch — doubling the dominant stage; at
+    # 100 TB that is the difference between one and two passes over
+    # the candidate-pair computation).  Output rows are identical.
+    both = (edges
+            .select(F.explode(F.array(
+                F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+            )).alias("__e"))
+            .select("__e.a", "__e.b"))
     labels = (both.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("label", F.col("node")))

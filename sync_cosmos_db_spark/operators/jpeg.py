@@ -550,7 +550,7 @@ def jpeg_encode(width: int, height: int, pixels: bytes,
 MAX_DECODE_PIXELS = 1 << 24
 
 
-def jpeg_decode(b: bytes, max_pixels: int = None):
+def jpeg_decode(b: bytes, max_pixels: int | None = None):
     """Decode a baseline JFIF JPEG.  Returns ``(width, height,
     n_components, pixels)`` with ``pixels`` row-major bytes (grayscale
     or interleaved RGB).  Raises ``ValueError`` on non-baseline

@@ -371,6 +371,13 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1 r5 row — the r3/r4 cohorts drain COMPLETELY (r12 verdict
 # item 1; the post-r13 histogram's oldest non-window row is r5).
 #
+# Round-14 window arithmetic (verified at build time): 3 edited
+# (linkage_fuzzy / editdist_pairs oracle CASE guards, ADVICE r13;
+# canonical_doc_election_sampled Spark-side checkpoint, verdict
+# item 2) + all 43 remaining r5 rows + the 4 oldest r6 rows = 50.
+# The r5 cohort drains COMPLETELY (r13 verdict item 1; post-r14 the
+# oldest non-window row is r6).
+#
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
 # pytest.  tests/test_oracle.py still sweeps ALL oracles locally.
@@ -503,6 +510,32 @@ EDITED_ROUND.update({"editdist_pairs_customers": 13})
 # aggregation chain every step (22.8 s -> 1.6 s at sf0.1, rows
 # identical; the sequential recursion itself is unchanged).
 EDITED_ROUND.update({"cusum_daily_revenue": 13})
+
+# Round-14 edits (ADVICE r13): both lev<=1 decomposition oracles'
+# WHERE predicates CASE-guarded on length equality — DuckDB
+# `mismatches` errors on unequal lengths and the old form relied on
+# the planner hash-joining the length-equality ON before the
+# predicate ran.  Values identical under today's plan; the guard
+# removes the plan dependence, and both re-queue per policy.
+EDITED_ROUND.update({"linkage_fuzzy_customers": 14,
+                     "editdist_pairs_customers": 14})
+# ... and canonical_doc_election_sampled's Spark side checkpoints its
+# corpus and pair frames (r13 verdict item 2 — the sweep's two
+# driver-style runs re-executed the all-pairs Jaccard join; 27.5 s
+# sweep row -> under the 20 s bar).  Lineage-only, rows identical,
+# but the query body changed, so it re-queues per policy.
+EDITED_ROUND.update({"canonical_doc_election_sampled": 14})
+
+# Round-14 notes (auditable no-entry decisions):
+#   * dedup.connected_components now materializes the bidirectional
+#     edge relation with ONE explode pass instead of a union of two
+#     selects — the union re-executed the upstream (usually expensive
+#     pair-join) plan once per branch.  Same rows, same labels; plan
+#     shape only, so CC-consuming queries do not re-queue.
+#   * dedup.spread() decides solely on df.rdd.getNumPartitions()
+#     (ADVICE r13): the few-files short-circuit would DOWN-partition
+#     a scan of few huge splittable files — the 100 TB shape.
+#     Partitioning only; no output change at any SF.
 
 # Round-13 notes (auditable no-entry decisions, ADVICE r12 fixes):
 #   * dedup.embedding_dup_pairs' unblocked path now drops null/empty

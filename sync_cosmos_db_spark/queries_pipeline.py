@@ -44,7 +44,11 @@ from sync_cosmos_db_spark.session import load_table
     # equality hash join against the complete ×len deletion
     # neighborhood); length gaps ≥ 2 can never qualify.  Survivor
     # `dist` values are identical (hamming = lev on equal-length
-    # survivors; cross-length survivors have lev exactly 1).
+    # survivors; cross-length survivors have lev exactly 1).  The
+    # WHERE is CASE-guarded on length equality (ADVICE r13): DuckDB
+    # `mismatches` errors on unequal lengths and does not
+    # short-circuit, so correctness must not depend on the planner
+    # choosing a hash join for the length-equality ON.
     """
     WITH dirty AS (
       SELECT c_custkey + 500000 AS l_id,
@@ -63,7 +67,9 @@ from sync_cosmos_db_spark.session import load_table
              mismatches(d.l_name, c.c_name)::BIGINT AS dist
       FROM dirty d JOIN customer c
         ON length(d.l_name) = length(c.c_name)
-      WHERE mismatches(d.l_name, c.c_name) <= 1),
+      WHERE CASE WHEN length(d.l_name) = length(c.c_name)
+                 THEN mismatches(d.l_name, c.c_name) <= 1
+                 ELSE false END),
     cvars AS (
       SELECT DISTINCT c_custkey, c_name,
              substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS v

@@ -145,11 +145,18 @@ def canonical_doc_election_sampled(spark: SparkSession,
     )
     from sync_cosmos_db_spark.queries_llm import _corpus_with_near_dups
 
-    corpus = (_corpus_with_near_dups(spark, sf_dir)
-              .where(F.col("doc_id") % 5 == 0)
-              .withColumn("__quality", F.length("text")))
-    pairs = jaccard_pairs(corpus, id_col="doc_id", text_col="text",
-                          threshold=0.5, n=3, block_col="lang")
+    corpus = scoped_local_checkpoint(
+        _corpus_with_near_dups(spark, sf_dir)
+        .where(F.col("doc_id") % 5 == 0)
+        .withColumn("__quality", F.length("text")))
+    # Checkpoint the pair frame (r13 sweep finding, 15.3 s spark side):
+    # the election's CC loop and the sweep's second driver-style run
+    # otherwise re-execute the all-pairs Jaccard join — the twin's
+    # dominant stage — once per consumer.  The checkpointed frame is
+    # ~10² rows; the unsampled operator is untouched.
+    pairs = scoped_local_checkpoint(
+        jaccard_pairs(corpus, id_col="doc_id", text_col="text",
+                      threshold=0.5, n=3, block_col="lang"))
     out = elect_canonical(pairs.select("id_a", "id_b"), corpus,
                           id_col="doc_id", quality_col="__quality")
     return out.select("component", "n_members", "best_quality",

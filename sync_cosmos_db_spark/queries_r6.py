@@ -31,7 +31,10 @@ from sync_cosmos_db_spark.session import load_table
     # O(len) instead of the O(len^2) DP), complete single-deletion-
     # neighborhood equality at length ±1, impossible beyond.  Still
     # unblocked over every length-compatible pair; 149 s -> 2.7 s,
-    # rows identical at sf0.01.
+    # rows identical at sf0.01.  The WHERE is CASE-guarded on length
+    # equality (ADVICE r13): `mismatches` errors on unequal lengths,
+    # so the oracle must not rely on the planner hash-joining the
+    # length-equality ON before the predicate runs.
     """
     WITH eq AS (
       SELECT a.c_custkey::BIGINT AS id_a, b.c_custkey::BIGINT AS id_b,
@@ -39,7 +42,9 @@ from sync_cosmos_db_spark.session import load_table
       FROM customer a JOIN customer b
         ON a.c_custkey < b.c_custkey
        AND length(a.c_name) = length(b.c_name)
-      WHERE mismatches(a.c_name, b.c_name) <= 1),
+      WHERE CASE WHEN length(a.c_name) = length(b.c_name)
+                 THEN mismatches(a.c_name, b.c_name) <= 1
+                 ELSE false END),
     vars AS (
       SELECT DISTINCT c_custkey, c_name,
              substr(c_name, 1, i - 1) || substr(c_name, i + 1) AS v

@@ -55,3 +55,28 @@ def test_spread_floor_never_downpartitions(spark):
     # a narrow frame (file-backed or not) must widen to the floor
     narrow = spark.range(0, 1000).coalesce(1)
     assert spread(narrow).rdd.getNumPartitions() >= dp
+
+
+def test_spread_few_large_files_not_downpartitioned(spark, tmp_path):
+    """ADVICE r13: a FILE-BACKED frame with FEW files but MANY splits
+    (the 100 TB shape — a handful of huge splittable parquet files)
+    must not be down-partitioned.  The old few-files short-circuit
+    repartitioned on file count < parallelism even when the scan
+    already split wider than the target; the decision is now made
+    solely on the measured split count."""
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    dp = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "one_big_file")
+    spark.range(0, 200_000).selectExpr(
+        "id", "repeat(uuid(), 8) AS pad").coalesce(1).write.parquet(path)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = spark.read.parquet(path)
+        assert len(df.inputFiles()) < dp          # few files...
+        n = df.rdd.getNumPartitions()
+        assert n > dp                              # ...but many splits
+        assert spread(df).rdd.getNumPartitions() == n
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)

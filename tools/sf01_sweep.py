@@ -7,7 +7,18 @@ oracle-bearing query EXCEPT the deliberately-quadratic oracles
 (tools/oracle_probe.QUADRATIC — each of those has a bounded or sampled
 twin that IS swept here).  Results land as JSONL, one line per query:
   {"name":..., "status":"match|mismatch|oracle_timeout|error",
-   "sec":..., "spark_sec":...}
+   "sec":..., "spark_sec":..., "mode":"full_sweep|targeted"}
+
+Timing comparability (r13 verdict item 2): a full sweep amortizes
+Spark session/JIT warm-up across ~400 queries, while a targeted
+re-run pays it on its first member — the two spark_sec populations
+are NOT comparable (observed: pure oracle-side edits "regressing"
+3.5 -> 9.0 s purely from cold-session startup).  Every row therefore
+carries a ``mode`` stamp, and TARGETED rows re-run the Spark side
+once more and report the WARM timing as ``spark_sec`` (the cold
+first run is kept as ``spark_sec_cold``).  Trend regressions on
+``spark_sec`` within full_sweep rows, or against a targeted row's
+warm ``spark_sec`` — never against ``spark_sec_cold``.
 
 Safety rails (the round-10 lesson — a hostile oracle took a 70 GB
 working set): DuckDB runs under ``memory_limit`` (default 8 GB) with
@@ -81,13 +92,15 @@ def main() -> None:
 
     q, o = e.queries(), e.oracle_sql()
     names = args.names or sorted(o)
+    mode = "targeted" if args.names else "full_sweep"
     out = open(args.out, "a", buffering=1)
     for name in names:
         if name in done or name not in o:
             continue
         if name in QUADRATIC:
             out.write(json.dumps({"name": name,
-                                  "status": "skipped_quadratic"}) + "\n")
+                                  "status": "skipped_quadratic",
+                                  "mode": mode}) + "\n")
             continue
         t0 = time.time()
         timer = threading.Timer(args.timeout, con.interrupt)
@@ -98,6 +111,15 @@ def main() -> None:
             df = q[name](spark, args.sf)
             df.collect()
             spark_sec = round(time.time() - ts, 2)
+            spark_sec_cold = None
+            if mode == "targeted":
+                # cold-session startup dominates a targeted first run
+                # (see module docstring) — report the warm repeat as
+                # the trendable spark_sec, keep the cold one.
+                ts = time.time()
+                q[name](spark, args.sf).collect()
+                spark_sec_cold, spark_sec = (
+                    spark_sec, round(time.time() - ts, 2))
             compare(q[name](spark, args.sf), con, o[name], name=name)
             status = "match"
         except AssertionError as ex:
@@ -110,9 +132,11 @@ def main() -> None:
         finally:
             timer.cancel()
         rec = {"name": name, "status": status,
-               "sec": round(time.time() - t0, 2)}
+               "sec": round(time.time() - t0, 2), "mode": mode}
         if status == "match":
             rec["spark_sec"] = spark_sec
+            if spark_sec_cold is not None:
+                rec["spark_sec_cold"] = spark_sec_cold
         elif status in ("mismatch", "error", "oracle_timeout"):
             rec["detail"] = detail
         out.write(json.dumps(rec) + "\n")
