@@ -14,6 +14,9 @@ both pair operators (mapInPandas is the plan tail)."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
 from sync_cosmos_db_spark.session import load_table
@@ -55,6 +58,56 @@ def test_spread_floor_never_downpartitions(spark):
     # a narrow frame (file-backed or not) must widen to the floor
     narrow = spark.range(0, 1000).coalesce(1)
     assert spread(narrow).rdd.getNumPartitions() >= dp
+
+
+# ---------------------------------------------------------------------------
+# Opt-in sf0.5-notch variants (r13 verdict item 6): the same floors,
+# asserted structurally at the 5x slice where the r13 traps actually
+# appeared (AQE coalescing is size-dependent, so a small-SF green does
+# not prove the large-slice plan).  Gated like the sf0.1 sweep —
+# generate the slice with tools/sf05_upsample.py, then run with
+# SPARK_GRAFT_SF05_NOTCH=1.
+# ---------------------------------------------------------------------------
+
+_NOTCH = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SF05_NOTCH") != "1"
+    or not os.path.isdir("/tmp/sf0.5blocks"),
+    reason="sf0.5 notch floors are opt-in: build /tmp/sf0.5* with "
+           "tools/sf05_upsample.py and set SPARK_GRAFT_SF05_NOTCH=1")
+
+
+@_NOTCH
+def test_notch_jw_scoring_stage_meets_floor(spark):
+    """The r13 trap: JW's pair-MATERIALIZING join was AQE-coalesced to
+    ONE task at the 5x slice (byte-small inputs, 112M-pair output).
+    The co-partitioning fix must keep the plan tail — the Python
+    scoring stage, which inherits the materialization's partitioning —
+    at >= cluster parallelism on the shifted-blocks slice."""
+    from sync_cosmos_db_spark.operators.linkage import jaro_winkler_join
+
+    cust = load_table(spark, "/tmp/sf0.5blocks", "customer")
+    out = jaro_winkler_join(cust, "c_custkey", "c_name",
+                            ["c_nationkey"], threshold=0.962)
+    dp = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= dp
+
+
+@_NOTCH
+def test_notch_dhash_python_stages_meet_floor(spark):
+    """The other r13 trap: the dhash pipeline's two mapInPandas stages
+    inherited the compact documents scan's 1-2 partitions (13.1 s on
+    1 of 32 tasks).  spread() must widen the scan to >= parallelism at
+    the 5x slice; the Python stages are narrow, so pinning their input
+    partitioning pins them."""
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    docs = spread(
+        load_table(spark, "/tmp/sf0.5", "documents").select(
+            F.col("doc_id").alias("asset_id"),
+            (F.col("doc_id") % 40).alias("seed")),
+        ["asset_id"])
+    dp = spark.sparkContext.defaultParallelism
+    assert docs.rdd.getNumPartitions() >= dp
 
 
 def test_spread_few_large_files_not_downpartitioned(spark, tmp_path):

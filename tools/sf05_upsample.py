@@ -83,8 +83,8 @@ def main() -> None:
 
     # TPC-H core: orders/lineitem 5x with MATCHED key offsets so every
     # join key resolves inside its copy; dimensions (region/nation/
-    # part/supplier) and events ride along unchanged — at real 5x
-    # scale the dimension tables do not grow either.
+    # part/supplier) ride along unchanged — at real 5x scale the
+    # dimension tables do not grow either.
     orders = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
     li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
     po, pl = [], []
@@ -103,8 +103,29 @@ def main() -> None:
         t = t.cast(pa.schema([sch.field(n) for n in t.schema.names]))
         pq.write_table(t, f"{args.out}/{name}.parquet")
     import shutil
-    for t in ("region", "nation", "part", "supplier", "events"):
+    for t in ("region", "nation", "part", "supplier"):
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{args.out}/{t}.parquet")
+
+    # events 5x (round-14, r13 verdict item 5: the batch-merge
+    # streaming twins read events): event_id AND user_id offset by
+    # k*D, timestamps UNCHANGED — the constant-time-range model where
+    # growth means more concurrent keys, so per-(user, hour) state
+    # cardinality scales 5x while window count stays fixed.  Shifting
+    # time instead would grow batch COUNT, which the 4-slice replay
+    # pins by construction.  Rate-limit admission is per-user, so each
+    # copy replicates the sf0.1 admission pattern exactly.
+    ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    parts = []
+    for k in range(5):
+        c = ev.copy()
+        c["event_id"] = c["event_id"] + k * D
+        c["user_id"] = c["user_id"] + k * D
+        parts.append(c)
+    out = pd.concat(parts, ignore_index=True)
+    sch = pq.read_schema(f"{SRC}/events.parquet")
+    t = pa.Table.from_pandas(out, preserve_index=False)
+    t = t.cast(pa.schema([sch.field(n) for n in t.schema.names]))
+    pq.write_table(t, f"{args.out}/events.parquet")
 
     cust = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
     for dest, nk_shift in ((args.out, False), (args.out_blocks, True)):
