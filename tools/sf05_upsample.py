@@ -48,13 +48,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/sf0.5")
     ap.add_argument("--out-blocks", default="/tmp/sf0.5blocks")
+    # Round-14: the same construction generalizes to any copy count —
+    # --copies 25 writes an sf2.5-equivalent slice (second scale
+    # octave: 5x the sf0.5 notch).  Embedding rolls stay distinct as
+    # long as copies < vector dim; id offsets k*D never collide.
+    ap.add_argument("--copies", type=int, default=5)
     args = ap.parse_args()
+    K = args.copies
     os.makedirs(args.out, exist_ok=True)
     os.makedirs(args.out_blocks, exist_ok=True)
 
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     parts = []
-    for k in range(5):
+    for k in range(K):
         c = docs.copy()
         c["doc_id"] = c["doc_id"] + k * D
         if k:
@@ -68,7 +74,7 @@ def main() -> None:
 
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
     parts = []
-    for k in range(5):
+    for k in range(K):
         c = emb.copy()
         c["vec_id"] = c["vec_id"] + k * D
         if k:
@@ -88,7 +94,7 @@ def main() -> None:
     orders = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
     li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
     po, pl = [], []
-    for k in range(5):
+    for k in range(K):
         o = orders.copy()
         o["o_orderkey"] = o["o_orderkey"] + k * D
         o["o_custkey"] = o["o_custkey"] + k * D
@@ -116,7 +122,7 @@ def main() -> None:
     # copy replicates the sf0.1 admission pattern exactly.
     ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
     parts = []
-    for k in range(5):
+    for k in range(K):
         c = ev.copy()
         c["event_id"] = c["event_id"] + k * D
         c["user_id"] = c["user_id"] + k * D
@@ -130,7 +136,7 @@ def main() -> None:
     cust = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
     for dest, nk_shift in ((args.out, False), (args.out_blocks, True)):
         parts = []
-        for k in range(5):
+        for k in range(K):
             c = cust.copy()
             c["c_custkey"] = c["c_custkey"] + k * D
             if nk_shift:
