@@ -371,12 +371,13 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1 r5 row — the r3/r4 cohorts drain COMPLETELY (r12 verdict
 # item 1; the post-r13 histogram's oldest non-window row is r5).
 #
-# Round-14 window arithmetic (verified at build time): 3 edited
+# Round-14 window arithmetic (verified at build time): 5 edited
 # (linkage_fuzzy / editdist_pairs oracle CASE guards, ADVICE r13;
 # canonical_doc_election_sampled Spark-side checkpoint, verdict
-# item 2) + all 43 remaining r5 rows + the 4 oldest r6 rows = 50.
-# The r5 cohort drains COMPLETELY (r13 verdict item 1; post-r14 the
-# oldest non-window row is r6).
+# item 2; both curation pipeline queries' CC-output checkpoint) +
+# all 43 remaining r5 rows + the 2 oldest r6 rows = 50.  The r5
+# cohort drains COMPLETELY (r13 verdict item 1; post-r14 the oldest
+# non-window row is r6).
 #
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
@@ -525,6 +526,13 @@ EDITED_ROUND.update({"linkage_fuzzy_customers": 14,
 # sweep row -> under the 20 s bar).  Lineage-only, rows identical,
 # but the query body changed, so it re-queues per policy.
 EDITED_ROUND.update({"canonical_doc_election_sampled": 14})
+# ... and both curation pipeline queries checkpoint their CC output,
+# which feeds three consumers — each otherwise re-executes the
+# converged label chain's post-shuffle tails (A/B measured: sampled
+# twin 10.5 -> 7.7 s at sf0.1, outputs identical).  Lineage-only, but
+# the query bodies changed, so both re-queue per policy.
+EDITED_ROUND.update({"curation_pipeline_stats": 14,
+                     "curation_pipeline_stats_sampled": 14})
 
 # Round-14 notes (auditable no-entry decisions):
 #   * dedup.connected_components now materializes the bidirectional
