@@ -31,7 +31,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sync_cosmos_db_spark.cache_scope import scoped_persist
+from sync_cosmos_db_spark.cache_scope import (
+    scoped_local_checkpoint, scoped_persist,
+)
 
 
 def _fround4(c: Column) -> Column:
@@ -517,14 +519,23 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 f"connected_components did not converge in {max_iter} "
                 "iterations — graph diameter exceeds max_iter; raise it "
                 "(or switch to path-doubling for adversarially long chains)")
-        out = labels.select(F.col("node"),
-                            F.col("label").alias("component"))
+        # Materialize the converged labels BEFORE the loop caches are
+        # released (round 14): the result used to be returned lazy over
+        # the whole converged join chain, so EVERY consumption — even a
+        # single collect — re-executed all iterations against the
+        # by-then-unpersisted edge relation (measured: 4 passes over
+        # the edge source for one collect; for real callers the edge
+        # plan is an expensive pair join).  The labels table is tiny —
+        # (node, component) for nodes with at least one duplicate edge
+        # — so the eager checkpoint is cheap at any scale, reads
+        # straight from the still-live loop cache, and its storage is
+        # scope-registered for release_persisted().
+        out = scoped_local_checkpoint(
+            labels.select(F.col("node"), F.col("label").alias("component")))
     finally:
         # explicit release (round-2 verdict item 6): no cached RDDs may
         # outlive this call — leaking them to the ContextCleaner holds
-        # executor memory for the whole session. The returned frame is
-        # lazy over the converged join chain; callers consuming it more
-        # than once should persist it themselves.
+        # executor memory for the whole session.
         both.unpersist()
         labels.unpersist()
     return out

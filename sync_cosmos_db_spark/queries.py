@@ -540,6 +540,15 @@ EDITED_ROUND.update({"curation_pipeline_stats": 14,
 #     selects — the union re-executed the upstream (usually expensive
 #     pair-join) plan once per branch.  Same rows, same labels; plan
 #     shape only, so CC-consuming queries do not re-queue.
+#   * ... and its converged labels are eagerly scope-checkpointed
+#     before the loop caches release: the result used to be lazy over
+#     the whole converged join chain, so every consumption — even one
+#     collect — re-executed all iterations against the by-then-
+#     unpersisted edge plan (pinned by
+#     tests/test_dedup.py::test_connected_components_single_pass_over_edges,
+#     which measured 4 passes over the edge source for one collect
+#     before the fix).  Output rows identical; all six CC-consuming
+#     oracle queries re-verified at sf0.01 this round.
 #   * dedup.spread() decides solely on df.rdd.getNumPartitions()
 #     (ADVICE r13): the few-files short-circuit would DOWN-partition
 #     a scan of few huge splittable files — the 100 TB shape.

@@ -127,6 +127,33 @@ def test_connected_components_raises_on_nonconvergence(spark):
         D.connected_components(chain, max_iter=3)
 
 
+def test_connected_components_single_pass_over_edges(spark):
+    """Round-14 regression: CC materializes the bidirectional edge
+    relation in ONE pass over its input.  The old union-of-two-selects
+    re-executed the upstream edge plan once per branch — for real
+    callers that upstream is an expensive pair join, so the dominant
+    stage ran twice.  An accumulator inside a mapInPandas edge source
+    counts how many times each input row is actually computed
+    (deterministic in local mode: tiny data, no task retries; persist
+    inside CC means later iterations reuse the materialized rows)."""
+    counter = spark.sparkContext.accumulator(0)
+
+    def tag(batches):
+        for pdf in batches:
+            counter.add(len(pdf))
+            yield pdf
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    edges = base.repartition(2).mapInPandas(tag, base.schema)
+    out = {r.node: r.component
+           for r in D.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert counter.value == 3, (
+        f"edge source computed {counter.value} rows for 3 input edges — "
+        "the bidirectional expansion must not re-execute the edge plan")
+
+
 # ---------------------------------------------------------------------------
 # Exact substring-span dedup (duplicated_span_coverage)
 # ---------------------------------------------------------------------------
