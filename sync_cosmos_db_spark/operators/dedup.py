@@ -476,6 +476,14 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     driver-side iteration holds no data, only the convergence counter.
 
     Returns (node, component) with component = min node id reachable.
+
+    Contract (round 14): the output is an EAGER, scope-registered
+    ``localCheckpoint`` — lineage-truncated, safe for any number of
+    consumers without caller-side persistence, but NOT recomputable:
+    after ``cache_scope.release_persisted()`` any not-yet-consumed
+    derivative raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of
+    silently recomputing as the old lazy output did.  Consume it fully
+    before releasing the scope.
     """
     # Both directions via ONE explode pass, not union-of-two-selects:
     # each union branch re-executes the upstream edge plan, and edges

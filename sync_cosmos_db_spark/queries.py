@@ -379,6 +379,12 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort drains COMPLETELY (r13 verdict item 1; post-r14 the oldest
 # non-window row is r6).
 #
+# Round-15 window arithmetic (verified at build time): 2 edited
+# (both curation pipeline queries — caller-side CC checkpoint wrapper
+# removed, verdict item 4 / ADVICE r14) + all 40 remaining r6 rows +
+# the 8 oldest r7 rows = 50.  The r6 cohort drains COMPLETELY (r14
+# verdict item 1; post-r15 the oldest non-window row is r7).
+#
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
 # pytest.  tests/test_oracle.py still sweeps ALL oracles locally.
@@ -533,6 +539,16 @@ EDITED_ROUND.update({"canonical_doc_election_sampled": 14})
 # the query bodies changed, so both re-queue per policy.
 EDITED_ROUND.update({"curation_pipeline_stats": 14,
                      "curation_pipeline_stats_sampled": 14})
+
+# Round-15 edits (r14 verdict item 4 / ADVICE r14): both curation
+# pipeline queries DROP the caller-side scoped_local_checkpoint around
+# connected_components — c3db0f9 made CC checkpoint its own output
+# internally, so the wrapper localCheckpointed an already-checkpointed
+# tiny frame and its justifying comment described the pre-c3db0f9 lazy
+# contract.  Plan/lineage-only, rows identical, but the query bodies
+# changed, so both re-queue per policy.
+EDITED_ROUND.update({"curation_pipeline_stats": 15,
+                     "curation_pipeline_stats_sampled": 15})
 
 # Round-14 notes (auditable no-entry decisions):
 #   * dedup.connected_components now materializes the bidirectional

@@ -980,12 +980,12 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = scoped_local_checkpoint(
         jaccard_pairs(survivors, "doc_id", "text", threshold=0.5, n=1))
     # comp feeds THREE consumers (count, cluster election, the final
-    # anti-join); the CC docstring requires multi-consumers to persist
-    # the returned lazy label chain — without this each consumer
-    # re-executes the converged iteration chain's post-shuffle tails
-    # (round-14 A/B on the sampled twin: 10.5 -> 7.7 s, rows identical)
-    comp = scoped_local_checkpoint(
-        connected_components(pairs))  # (node, component)
+    # anti-join); connected_components returns an eagerly
+    # scope-checkpointed frame since c3db0f9 (dedup.py docstring), so
+    # no caller-side persistence is needed — the r14 caller-side
+    # scoped_local_checkpoint wrapper double-materialized the labels
+    # (round 15, ADVICE r14).
+    comp = connected_components(pairs)  # (node, component)
     n_in_clusters = comp.count()
     clusters = comp.groupBy("component").agg(F.min("node").alias("kept"))
     n_clusters = clusters.count()

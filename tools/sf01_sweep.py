@@ -103,8 +103,16 @@ def main() -> None:
                                   "mode": mode}) + "\n")
             continue
         t0 = time.time()
+        # The watchdog time-boxes the DUCKDB ORACLE, so it starts just
+        # before compare(), not at member start (round-15, ADVICE r14):
+        # with the timer covering the whole member, targeted mode's
+        # extra warm Spark run burned up to 2x Spark wall time out of
+        # the oracle's interrupt budget, so a slow Spark member could
+        # flip a previously green oracle to a spurious oracle_timeout
+        # in targeted mode only.  (compare() also re-runs the Spark
+        # side, in BOTH modes — that share of the budget is inherent
+        # to the compare structure and identical across modes.)
         timer = threading.Timer(args.timeout, con.interrupt)
-        timer.start()
         try:
             # Spark side first so spark_sec is attributable.
             ts = time.time()
@@ -120,6 +128,7 @@ def main() -> None:
                 q[name](spark, args.sf).collect()
                 spark_sec_cold, spark_sec = (
                     spark_sec, round(time.time() - ts, 2))
+            timer.start()
             compare(q[name](spark, args.sf), con, o[name], name=name)
             status = "match"
         except AssertionError as ex:

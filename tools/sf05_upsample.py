@@ -46,8 +46,15 @@ SRC = "/root/testdata/sf0.1"
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="/tmp/sf0.5")
-    ap.add_argument("--out-blocks", default="/tmp/sf0.5blocks")
+    # Defaults derive from --copies (round-15, ADVICE r14): a fixed
+    # /tmp/sf0.5 default plus --copies 25 silently overwrote the sf0.5
+    # notch slice with 25x data, and the _NOTCH-gated floor tests
+    # (gated only on the env var plus the directory existing) would
+    # then assert against mislabeled data.  copies=5 -> /tmp/sf0.5,
+    # copies=25 -> /tmp/sf2.5 — same paths as before for the two
+    # established octaves, collision-free for any other count.
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--out-blocks", default=None)
     # Round-14: the same construction generalizes to any copy count —
     # --copies 25 writes an sf2.5-equivalent slice (second scale
     # octave: 5x the sf0.5 notch).  Embedding rolls stay distinct as
@@ -55,6 +62,10 @@ def main() -> None:
     ap.add_argument("--copies", type=int, default=5)
     args = ap.parse_args()
     K = args.copies
+    if args.out is None:
+        args.out = f"/tmp/sf{K / 10:g}"
+    if args.out_blocks is None:
+        args.out_blocks = f"/tmp/sf{K / 10:g}blocks"
     os.makedirs(args.out, exist_ok=True)
     os.makedirs(args.out_blocks, exist_ok=True)
 
