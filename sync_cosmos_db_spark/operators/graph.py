@@ -41,6 +41,30 @@ from sync_cosmos_db_spark.cache_scope import (
 )
 
 
+def symmetrize(edges: DataFrame, src: str = "src",
+               dst: str = "dst") -> DataFrame:
+    """Both edge directions in ONE pass over the input — the
+    connected-components explode pattern (``dedup.py``, round 14).
+
+    ``raw.select(src,dst).unionByName(raw.select(dst,src))`` executes
+    the upstream edge plan once per branch; for the registered graph
+    queries that upstream is a lineitem⋈orders aggregation, so the
+    dominant stage ran twice before it ever reached the iteration
+    loop (round-15 finding, the CC bug's sibling).  Explode duplicates
+    each row AFTER it is computed.  Non-src/dst columns (weights)
+    ride along unchanged on both directions.
+    """
+    rest = [c for c in edges.columns if c not in (src, dst)]
+    return (edges
+            .select(F.explode(F.array(
+                F.struct(F.col(src).alias(src), F.col(dst).alias(dst),
+                         *[F.col(c).alias(c) for c in rest]),
+                F.struct(F.col(dst).alias(src), F.col(src).alias(dst),
+                         *[F.col(c).alias(c) for c in rest]),
+            )).alias("__e"))
+            .select("__e.*"))
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,
@@ -65,22 +89,37 @@ def pagerank(
     """
     if n_iter < 0:
         raise ValueError("n_iter must be >= 0")
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("__outw"))
-    e = (edges.join(outw, src)
+    # ONE pass over the caller's edge plan (round 15, the CC bug's
+    # sibling): outw/e and nodes each materialized the upstream
+    # separately — measured 6 edge-source row computations per input
+    # row per pagerank call, and for the registered trade-graph
+    # queries the upstream is a lineitem⋈orders aggregation.  Cache
+    # the raw edges, materialize once, derive everything from the
+    # cache, and release the raw cache as soon as e (the relation the
+    # iterations actually consume) is itself materialized.
+    base = edges.select(F.col(src), F.col(dst), F.col(weight))
+    if persist_each_iter:
+        base = base.persist()
+        base.count()
+    outw = base.groupBy(src).agg(F.sum(weight).alias("__outw"))
+    e = (base.join(outw, src)
          .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
                  (F.col(weight) / F.col("__outw")).alias("__share")))
-    nodes = (edges.select(F.col(src).alias("node"))
-             .union(edges.select(F.col(dst).alias("node")))
+    nodes = (base.select(F.col(src).alias("node"))
+             .union(base.select(F.col(dst).alias("node")))
              .distinct())
-    if persist_each_iter:
-        nodes = nodes.persist()
-        e = e.persist()
-    n_nodes = nodes.count()  # scalar to the driver — bounded by design
-    teleport = (1.0 - damping) / n_nodes
-
-    pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
-    prev = None
     try:
+        if persist_each_iter:
+            nodes = nodes.persist()
+            e = e.persist()
+        n_nodes = nodes.count()  # scalar to the driver — bounded by design
+        if persist_each_iter:
+            e.count()  # fill e's cache from base's, then drop base
+            base.unpersist()
+        teleport = (1.0 - damping) / n_nodes
+
+        pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
+        prev = None
         for _ in range(n_iter):
             contrib = (e.join(pr.withColumnRenamed("node", "__src"),
                               "__src")
@@ -102,6 +141,7 @@ def pagerank(
             pr = nxt
     finally:
         if persist_each_iter:
+            base.unpersist()  # idempotent if already released above
             nodes.unpersist()
             e.unpersist()
     if persist_each_iter and prev is not None:
@@ -175,20 +215,31 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
     """
     if max_hops < 0:
         raise ValueError(f"bfs_hops: max_hops must be >= 0, got {max_hops}")
-    visited = scoped_local_checkpoint(
-        seeds.select(F.col(node_col).alias("node")).distinct()
-        .withColumn("hops", F.lit(0).cast("long")))
-    frontier = visited
-    for h in range(1, max_hops + 1):
-        nxt = scoped_local_checkpoint(
-            frontier.join(edges, frontier["node"] == edges[src])
-            .select(F.col(dst).alias("node")).distinct()
-            .join(visited.select("node"), "node", "left_anti")
-            .withColumn("hops", F.lit(h).cast("long")))
-        if nxt.count() == 0:
-            break
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+    # Cache the edge relation ONCE (round 15): every hop joins the
+    # frontier against it, and without a persist each hop re-executed
+    # the caller's edge plan — measured 6 edge-source row computations
+    # per input row (3 hops × the callers' 2-branch symmetric union);
+    # for the registered trade-graph query that plan is a
+    # lineitem⋈orders aggregation.  Released before return — visited
+    # is a union of eager per-hop checkpoints, independent of edges.
+    edges = edges.persist()
+    try:
+        visited = scoped_local_checkpoint(
+            seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("hops", F.lit(0).cast("long")))
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            nxt = scoped_local_checkpoint(
+                frontier.join(edges, frontier["node"] == edges[src])
+                .select(F.col(dst).alias("node")).distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h).cast("long")))
+            if nxt.count() == 0:
+                break
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    finally:
+        edges.unpersist()
     return visited
 
 
@@ -218,25 +269,36 @@ def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
     multi-hour cluster runs.  Returns ``(node, cost)``."""
     if rounds < 0:
         raise ValueError(f"bellman_ford: rounds must be >= 0, got {rounds}")
-    if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
-        raise ValueError(
-            "bellman_ford: negative edge weights are not supported — "
-            "the bounded-round min-merge assumes non-negative costs")
-    dist = scoped_local_checkpoint(
-        seeds.select(F.col(node_col).alias("node")).distinct()
-        .withColumn("cost", F.lit(0).cast("long")))
-    for _ in range(rounds):
-        relaxed = (dist.join(edges, dist["node"] == edges[src])
-                   .select(F.col(dst).alias("node"),
-                           (F.col("cost") + F.col(weight)).alias("cand"))
-                   .groupBy("node")
-                   .agg(F.min("cand").alias("cand")))
+    # Cache the edge relation ONCE (round 15): the negative-weight
+    # probe plus every relax round consumed the caller's edge plan
+    # afresh — measured 8 edge-source row computations per input row
+    # (probe + 3 rounds, × the callers' 2-branch symmetric union); the
+    # registered trade-graph query's edge plan is a lineitem⋈orders
+    # aggregation, so the dominant stage ran 8 times.  Released before
+    # return — dist is an eager checkpoint, independent of edges.
+    edges = edges.persist()
+    try:
+        if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
+            raise ValueError(
+                "bellman_ford: negative edge weights are not supported — "
+                "the bounded-round min-merge assumes non-negative costs")
         dist = scoped_local_checkpoint(
-            dist.join(relaxed, "node", "full_outer")
-            .select("node",
-                    F.least(F.coalesce("cost", F.lit(2 ** 62)),
-                            F.coalesce("cand", F.lit(2 ** 62)))
-                    .cast("long").alias("cost")))
+            seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("cost", F.lit(0).cast("long")))
+        for _ in range(rounds):
+            relaxed = (dist.join(edges, dist["node"] == edges[src])
+                       .select(F.col(dst).alias("node"),
+                               (F.col("cost") + F.col(weight)).alias("cand"))
+                       .groupBy("node")
+                       .agg(F.min("cand").alias("cand")))
+            dist = scoped_local_checkpoint(
+                dist.join(relaxed, "node", "full_outer")
+                .select("node",
+                        F.least(F.coalesce("cost", F.lit(2 ** 62)),
+                                F.coalesce("cand", F.lit(2 ** 62)))
+                        .cast("long").alias("cost")))
+    finally:
+        edges.unpersist()
     return dist
 
 
@@ -303,21 +365,30 @@ def min_label_propagation(edges: DataFrame, rounds: int = 3,
     if rounds < 0:
         raise ValueError(f"min_label_propagation: rounds must be >= 0, "
                          f"got {rounds}")
-    nodes = (edges.select(F.col(src).alias("node"))
-             .unionByName(edges.select(F.col(dst).alias("node")))
-             .distinct())
-    labels = scoped_local_checkpoint(
-        nodes.withColumn("label", F.col("node")))
-    for _ in range(rounds):
-        incoming = (labels.join(edges, labels["node"] == edges[src])
-                    .groupBy(F.col(dst).alias("node"))
-                    .agg(F.min("label").alias("in_label")))
+    # Cache the edge relation ONCE (round 15): the node derivation
+    # (two union branches) plus every propagation round consumed the
+    # caller's edge plan afresh — measured 8 edge-source row
+    # computations per input row.  Released before return — labels is
+    # an eager checkpoint, independent of edges.
+    edges = edges.persist()
+    try:
+        nodes = (edges.select(F.col(src).alias("node"))
+                 .unionByName(edges.select(F.col(dst).alias("node")))
+                 .distinct())
         labels = scoped_local_checkpoint(
-            labels.join(incoming, "node", "left")
-            .select("node",
-                    F.least(F.col("label"),
-                            F.coalesce("in_label", F.col("label")))
-                    .alias("label")))
+            nodes.withColumn("label", F.col("node")))
+        for _ in range(rounds):
+            incoming = (labels.join(edges, labels["node"] == edges[src])
+                        .groupBy(F.col(dst).alias("node"))
+                        .agg(F.min("label").alias("in_label")))
+            labels = scoped_local_checkpoint(
+                labels.join(incoming, "node", "left")
+                .select("node",
+                        F.least(F.col("label"),
+                                F.coalesce("in_label", F.col("label")))
+                        .alias("label")))
+    finally:
+        edges.unpersist()
     return labels
 
 
@@ -377,20 +448,35 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
     1-row totals join on a derived constant key (BroadcastHashJoin).
     Returns ``(kind 'hub'|'authority', node, score)``.
     """
+    if iters < 1:
+        raise ValueError(f"hits_scores: iters must be >= 1, got {iters}")
     e = edges.select(F.col(src_col).alias("s"),
                      F.col(dst_col).alias("d"),
                      F.col(weight_col).cast("double").alias("w"))
-    # a_0 = 1 for every authority (distinct dst)
-    a = e.select(F.col("d").alias("node")).distinct() \
-         .withColumn("a", F.lit(1.0))
-    h = None
-    for _ in range(iters):
-        h = (e.join(a.withColumnRenamed("node", "d"), "d")
-             .groupBy(F.col("s").alias("node"))
-             .agg(F.sum(F.col("w") * F.col("a")).alias("h")))
-        a = (e.join(h.withColumnRenamed("node", "s"), "s")
-             .groupBy(F.col("d").alias("node"))
-             .agg(F.sum(F.col("w") * F.col("h")).alias("a")))
+    # Cache the edge relation ONCE and checkpoint the converged
+    # scores (round 15): the lazy h/a chains reference e 2×iters + 1
+    # times, and the final hub∪authority union executed the ENTIRE
+    # converged chain once per branch — the same consume-lazy-output-
+    # twice shape as the round-14 connected_components finding.  The
+    # checkpointed h/a are node-sized (tiny at any scale); e is
+    # released before return since the checkpoints are eager.
+    e = e.persist()
+    try:
+        # a_0 = 1 for every authority (distinct dst)
+        a = e.select(F.col("d").alias("node")).distinct() \
+             .withColumn("a", F.lit(1.0))
+        h = None
+        for _ in range(iters):
+            h = (e.join(a.withColumnRenamed("node", "d"), "d")
+                 .groupBy(F.col("s").alias("node"))
+                 .agg(F.sum(F.col("w") * F.col("a")).alias("h")))
+            a = (e.join(h.withColumnRenamed("node", "s"), "s")
+                 .groupBy(F.col("d").alias("node"))
+                 .agg(F.sum(F.col("w") * F.col("h")).alias("a")))
+        h = scoped_local_checkpoint(h)
+        a = scoped_local_checkpoint(a)
+    finally:
+        e.unpersist()
     p = 10 ** round_digits
     ht = (h.agg(F.sum("h").alias("t"))
           .withColumn("__k", F.floor(F.col("t") * 0)))

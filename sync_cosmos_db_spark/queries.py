@@ -379,11 +379,14 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort drains COMPLETELY (r13 verdict item 1; post-r14 the oldest
 # non-window row is r6).
 #
-# Round-15 window arithmetic (verified at build time): 2 edited
+# Round-15 window arithmetic (verified at build time): 7 edited
 # (both curation pipeline queries — caller-side CC checkpoint wrapper
-# removed, verdict item 4 / ADVICE r14) + all 40 remaining r6 rows +
-# the 8 oldest r7 rows = 50.  The r6 cohort drains COMPLETELY (r14
-# verdict item 1; post-r15 the oldest non-window row is r7).
+# removed, verdict item 4 / ADVICE r14 — plus the 5 graph queries
+# whose edge construction moved to graph.symmetrize; 2 of the 7 carry
+# r7 rows and 1 an r6 row, so they double as stalest re-checks) + the
+# 39 remaining r6 rows + the 4 oldest unedited r7 rows = 50.  The r6
+# cohort drains COMPLETELY (r14 verdict item 1; post-r15 the oldest
+# non-window row is r7).
 #
 # Rows-only queries (no oracle) never enter the window by construction
 # — their exact twins do, and their approximate behavior is pinned by
@@ -549,6 +552,30 @@ EDITED_ROUND.update({"curation_pipeline_stats": 14,
 # changed, so both re-queue per policy.
 EDITED_ROUND.update({"curation_pipeline_stats": 15,
                      "curation_pipeline_stats_sampled": 15})
+# ... and the graph queries' edge construction moved from
+# union-of-two-selects symmetrization to graph.symmetrize (ONE explode
+# pass — the r14 CC pattern; the union executed the lineitem⋈orders /
+# documents upstream once per branch), with _doc_edges additionally
+# collapsing its 3-way per-target union into one explode (6 documents
+# scans → 1 per consumption).  Same rows; plan shape only, but the
+# query bodies changed, so all five re-queue per policy.
+EDITED_ROUND.update(dict.fromkeys(
+    ["pagerank_customer_supplier", "bellman_ford_trade_distance",
+     "bfs_3hop_nation1", "label_propagation_docs", "kcore_docs"], 15))
+
+# Round-15 notes (auditable no-entry decisions):
+#   * operators/graph.py: every iterative operator (pagerank,
+#     bfs_hops, bellman_ford, min_label_propagation, hits_scores) now
+#     caches its edge relation ONCE at entry and releases it before
+#     return; hits_scores additionally checkpoints the converged h/a
+#     (the final hub∪authority union executed the whole lazy chain
+#     once per branch).  Measured edge-source recompute per input row:
+#     bellman 8→1, min-label 8→1, bfs 6→1, pagerank 6→1, k-core (via
+#     caller symmetrize) 2→1, hits →1 — pinned by accumulator tests in
+#     tests/test_graph.py.  Same rows everywhere; operator plan shape
+#     only, so consumers whose bodies did not change
+#     (hits_customer_supplier, clustering_coeff_docs) do not re-queue
+#     (the r14 CC precedent).
 
 # Round-14 notes (auditable no-entry decisions):
 #   * dedup.connected_components now materializes the bidirectional

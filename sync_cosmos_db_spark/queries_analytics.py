@@ -21,7 +21,7 @@ from sync_cosmos_db_spark.migration import snapshot_diff
 from sync_cosmos_db_spark.operators import behavioral as BH
 from sync_cosmos_db_spark.operators import profiling as P
 from sync_cosmos_db_spark.operators.curation import cap_per_group
-from sync_cosmos_db_spark.operators.graph import pagerank
+from sync_cosmos_db_spark.operators.graph import pagerank, symmetrize
 from sync_cosmos_db_spark.operators.text import bigram_pmi
 from sync_cosmos_db_spark.queries import fsum, query
 from sync_cosmos_db_spark.session import load_table
@@ -161,13 +161,13 @@ def pagerank_customer_supplier(spark: SparkSession,
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     raw = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .groupBy((F.col("o_custkey") * 2).alias("c_node"),
-                    (F.col("l_suppkey") * 2 + 1).alias("s_node"))
+           .groupBy((F.col("o_custkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
            .agg(F.count("*").cast("double").alias("w")))
-    edges = (raw.select(F.col("c_node").alias("src"),
-                        F.col("s_node").alias("dst"), "w")
-             .unionByName(raw.select(F.col("s_node").alias("src"),
-                                     F.col("c_node").alias("dst"), "w")))
+    # symmetrize = ONE pass over the lineitem⋈orders aggregation; the
+    # previous union-of-two-selects executed it once per direction
+    # (round 15, the connected_components explode pattern).
+    edges = symmetrize(raw)
     pr = pagerank(edges, n_iter=3, damping=0.85)
     out = pr.select(
         "node",

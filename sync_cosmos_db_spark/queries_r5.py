@@ -799,18 +799,18 @@ def bfs_3hop_nation1(spark: SparkSession, sf_dir: str) -> DataFrame:
     one frontier join + one visited anti-join per hop; the oracle is
     a bounded recursive CTE taking min(hops) — two mechanisms, one
     answer."""
-    from sync_cosmos_db_spark.operators.graph import bfs_hops
+    from sync_cosmos_db_spark.operators.graph import bfs_hops, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     raw = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .groupBy((F.col("o_custkey") * 2).alias("c_node"),
-                    (F.col("l_suppkey") * 2 + 1).alias("s_node"))
+           .groupBy((F.col("o_custkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
            .agg(F.count(F.lit(1)).alias("__n")))
-    edges = (raw.select(F.col("c_node").alias("src"),
-                        F.col("s_node").alias("dst"))
-             .unionByName(raw.select(F.col("s_node").alias("src"),
-                                     F.col("c_node").alias("dst"))))
+    # symmetrize = ONE pass over the lineitem⋈orders aggregation; the
+    # previous union-of-two-selects executed it once per direction
+    # (round 15, the connected_components explode pattern).
+    edges = symmetrize(raw.drop("__n"))
     seeds = (load_table(spark, sf_dir, "customer")
              .filter(F.col("c_nationkey") == 1)
              .select((F.col("c_custkey") * 2).alias("node")))
@@ -1985,19 +1985,19 @@ def bellman_ford_trade_distance(spark: SparkSession,
     enumerates bounded-hop path states in a recursive CTE (states are
     finite because costs are bounded integers) and takes min —
     different mechanism, same answer by the Bellman–Ford invariant."""
-    from sync_cosmos_db_spark.operators.graph import bellman_ford
+    from sync_cosmos_db_spark.operators.graph import bellman_ford, symmetrize
 
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     raw = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .groupBy((F.col("o_custkey") * 2).alias("c_node"),
-                    (F.col("l_suppkey") * 2 + 1).alias("s_node"))
+           .groupBy((F.col("o_custkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"))
            .agg((4 - F.least(F.count(F.lit(1)), F.lit(3)))
                 .cast("long").alias("w")))
-    edges = (raw.select(F.col("c_node").alias("src"),
-                        F.col("s_node").alias("dst"), "w")
-             .unionByName(raw.select(F.col("s_node").alias("src"),
-                                     F.col("c_node").alias("dst"), "w")))
+    # symmetrize = ONE pass over the lineitem⋈orders aggregation; the
+    # previous union-of-two-selects executed it once per direction
+    # (round 15, the connected_components explode pattern).
+    edges = symmetrize(raw)
     seeds = (load_table(spark, sf_dir, "customer")
              .filter(F.col("c_nationkey") == 1)
              .select((F.col("c_custkey") * 2).alias("node")))

@@ -1532,17 +1532,22 @@ _GRAPH_CTE = """
 
 
 def _doc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE documents scan (round 15): the previous 3-way union of
+    # per-target selects, then unioned again with its own swap,
+    # scanned documents six times per consumption — and the iterative
+    # consumers (label propagation, k-core) consumed the edge plan
+    # once per round on top.  explode emits the 3 targets from one
+    # scan; graph.symmetrize adds both directions in the same pass
+    # (the connected_components explode pattern).
+    from sync_cosmos_db_spark.operators.graph import symmetrize
+
     docs = load_table(spark, sf_dir, "documents")
-    raw = (docs.select(F.col("doc_id").alias("s"),
-                       ((F.col("doc_id") * 7 + 3) % 500).alias("d"))
-           .unionByName(docs.select(
-               F.col("doc_id").alias("s"),
-               ((F.col("doc_id") + 1) % 500).alias("d")))
-           .unionByName(docs.select(
-               F.col("doc_id").alias("s"),
-               ((F.col("doc_id") + 2) % 500).alias("d"))))
-    sym = raw.unionByName(raw.select(F.col("d").alias("s"),
-                                     F.col("s").alias("d")))
+    raw = docs.select(
+        F.col("doc_id").alias("s"),
+        F.explode(F.array((F.col("doc_id") * 7 + 3) % 500,
+                          (F.col("doc_id") + 1) % 500,
+                          (F.col("doc_id") + 2) % 500)).alias("d"))
+    sym = symmetrize(raw, "s", "d")
     return (sym.filter(F.col("s") != F.col("d")).distinct()
             .select(F.col("s").alias("src"), F.col("d").alias("dst")))
 

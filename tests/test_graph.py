@@ -156,3 +156,119 @@ def test_bellman_ford_rejects_negative_weights(spark):
     seeds = spark.createDataFrame([(1,)], "node long")
     with pytest.raises(ValueError, match="negative edge weights"):
         bellman_ford(edges, seeds, rounds=1)
+
+
+# ---------------------------------------------------------------------------
+# Round-15 regressions: every iterative operator consumes its edge
+# input in ONE pass (the connected_components single-pass discipline)
+# ---------------------------------------------------------------------------
+
+def _tagged_edges(spark, rows, schema="src long, dst long, w double"):
+    """An edge source that counts how many times each input row is
+    actually computed (the round-14 CC test mechanism — deterministic
+    in local mode: tiny data, no task retries)."""
+    counter = spark.sparkContext.accumulator(0)
+    base = spark.createDataFrame(rows, schema)
+
+    def tag(batches):
+        for pdf in batches:
+            counter.add(len(pdf))
+            yield pdf
+
+    return base.repartition(2).mapInPandas(tag, base.schema), counter
+
+
+_E3 = [(1, 2, 1.0), (2, 3, 1.0), (10, 11, 2.0)]
+
+
+def test_symmetrize_single_pass_and_both_directions(spark):
+    from sync_cosmos_db_spark.operators.graph import symmetrize
+
+    edges, c = _tagged_edges(spark, _E3)
+    rows = sorted(map(tuple, symmetrize(edges).collect()))
+    assert rows == sorted([(1, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0),
+                           (3, 2, 1.0), (10, 11, 2.0), (11, 10, 2.0)])
+    assert c.value == 3, (
+        f"symmetrize computed {c.value} source rows for 3 input edges")
+
+
+def test_bellman_ford_single_pass_over_edges(spark):
+    # pre-fix: probe + 3 relax rounds re-executed the edge plan every
+    # time (x2 via the callers' union symmetrization) = 8 passes.
+    from sync_cosmos_db_spark.operators.graph import bellman_ford, symmetrize
+
+    edges, c = _tagged_edges(spark, _E3)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.cost for r in
+           bellman_ford(symmetrize(edges), seeds, rounds=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+    assert c.value == 3, (
+        f"edge source computed {c.value} rows for 3 input edges — "
+        "bellman_ford must cache its edge relation across rounds")
+
+
+def test_min_label_propagation_single_pass_over_edges(spark):
+    from sync_cosmos_db_spark.operators.graph import (
+        min_label_propagation,
+        symmetrize,
+    )
+
+    edges, c = _tagged_edges(spark, _E3)
+    out = {r.node: r.label for r in
+           min_label_propagation(symmetrize(edges), rounds=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert c.value == 3, (
+        f"edge source computed {c.value} rows for 3 input edges — "
+        "min_label_propagation must cache its edge relation")
+
+
+def test_bfs_hops_single_pass_over_edges(spark):
+    from sync_cosmos_db_spark.operators.graph import bfs_hops, symmetrize
+
+    edges, c = _tagged_edges(spark, _E3)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r.node: r.hops for r in
+           bfs_hops(symmetrize(edges), seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+    assert c.value == 3, (
+        f"edge source computed {c.value} rows for 3 input edges — "
+        "bfs_hops must cache its edge relation across hops")
+
+
+def test_pagerank_single_pass_over_edges(spark):
+    from sync_cosmos_db_spark.cache_scope import release_persisted
+    from sync_cosmos_db_spark.operators.graph import pagerank, symmetrize
+
+    edges, c = _tagged_edges(spark, _E3)
+    pr = pagerank(symmetrize(edges), n_iter=3)
+    assert pr.count() == 5
+    release_persisted()
+    assert c.value == 3, (
+        f"edge source computed {c.value} rows for 3 input edges — "
+        "pagerank must derive e/nodes from one cached materialization")
+
+
+def test_k_core_single_pass_over_edges(spark):
+    from sync_cosmos_db_spark.operators.graph import k_core, symmetrize
+
+    edges, c = _tagged_edges(spark, _E3)
+    out = k_core(symmetrize(edges), k=1, rounds=3).collect()
+    assert len(out) == 5
+    assert c.value == 3, (
+        f"edge source computed {c.value} rows for 3 input edges")
+
+
+def test_hits_single_pass_and_checkpointed_scores(spark):
+    # pre-fix: the lazy h/a chains referenced e 2*iters+1 times and the
+    # final hub∪authority union executed the whole converged chain once
+    # per branch.
+    from sync_cosmos_db_spark.cache_scope import release_persisted
+    from sync_cosmos_db_spark.operators.graph import hits_scores
+
+    edges, c = _tagged_edges(spark, _E3)
+    out = hits_scores(edges, iters=3).collect()
+    assert {r.kind for r in out} == {"hub", "authority"}
+    release_persisted()
+    assert c.value == 3, (
+        f"edge source computed {c.value} rows for 3 input edges — "
+        "hits_scores must cache e and checkpoint the converged scores")
