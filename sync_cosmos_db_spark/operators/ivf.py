@@ -268,7 +268,19 @@ def _probe_score_rank(indexed: DataFrame, queries: DataFrame, cents,
     carries (neighbor_id, __cvec, cluster_id)."""
     probes = probe_clusters(queries, cents, nprobe, id_col, vec_col,
                             query_id_col)
-    cand = (indexed.join(probes, "cluster_id")
+    # Scoring parallelism = the STREAM side's partitioning: probes are
+    # broadcast, so the einsum mapInPandas below inherits the indexed
+    # corpus's split count — and a compact corpus (one parquet file at
+    # bench scale; any narrow upstream) collapsed the entire candidate
+    # scoring to 1-2 tasks (round-15 octave finding: fullprobe 176 s
+    # vs 49 s for the SAME logical work served from the 8-way
+    # hive-partitioned index — the index's file layout was accidentally
+    # providing the parallelism).  spread() is floor-only: the shuffle
+    # moves corpus rows (tiny next to the pair volume it parallelizes)
+    # and is a no-op at 100 TB where the scan is already wide.
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    cand = (spread(indexed).join(probes, "cluster_id")
             .filter(F.col(query_id_col) != F.col("neighbor_id"))
             .select(query_id_col, "neighbor_id", "__qvec", "__cvec"))
 

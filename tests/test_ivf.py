@@ -159,3 +159,23 @@ def test_index_roundtrip_matches_in_place(spark, sf_dir, tmp_path):
         a = sorted(map(tuple, direct.collect()))
         b = sorted(map(tuple, served.collect()))
         assert a == b, f"nprobe={nprobe}"
+
+
+def test_scoring_parallelism_floor_on_compact_corpus(spark, sf_dir):
+    """Round-15 regression: the candidate-scoring mapInPandas must not
+    inherit a compact corpus's 1-2 scan splits.  Probes are broadcast,
+    so before the spread() floor the einsum scoring of EVERY candidate
+    pair ran at the corpus scan's parallelism — measured at the sf2.5
+    octave: 176 s single-lane vs 49 s for the same logical work served
+    from the 8-way hive-partitioned index.  A 1-partition corpus must
+    produce a round-robin exchange below the scoring stage (floor
+    semantics: a corpus already at defaultParallelism is untouched)."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding").coalesce(1)
+    queries = emb.limit(5)
+    out = IVF.ivf_topk(emb, queries, dim=64, k=2, n_clusters=2,
+                       nprobe=2, iters=2)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "roundrobinpartitioning" in plan, (
+        "1-split corpus reached the scoring join unspread — candidate "
+        "scoring would run on one core regardless of cluster size")
+    assert out.count() > 0
