@@ -473,8 +473,19 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
             a = (e.join(h.withColumnRenamed("node", "s"), "s")
                  .groupBy(F.col("d").alias("node"))
                  .agg(F.sum(F.col("w") * F.col("h")).alias("a")))
+        # Checkpoint h, then REBUILD a from the checkpointed h before
+        # checkpointing it: the loop's final `a` references the LAZY h
+        # chain, so checkpointing it directly re-executes every
+        # iteration a second time (measured: the r15 sweep put the
+        # hits member at 6.1 s spark-side vs 4.3 in r14 — the naive
+        # double-checkpoint was slower than the double-execution it
+        # replaced).  a_n = f(h_n) exactly, so this is one cheap
+        # join+agg over the cached e and the tiny checkpointed h.
         h = scoped_local_checkpoint(h)
-        a = scoped_local_checkpoint(a)
+        a = scoped_local_checkpoint(
+            e.join(h.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("w") * F.col("h")).alias("a")))
     finally:
         e.unpersist()
     p = 10 ** round_digits
