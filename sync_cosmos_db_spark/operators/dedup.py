@@ -725,9 +725,13 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
     function — CodegenFallback, interpreted per position, O(len·n)
     string copies per doc — and profiled at ~75% of the coverage
     operator's runtime (2.8 s of 3.7 s at sf0.1).  Built here in one
-    Arrow-vectorized ``mapInPandas`` pass instead: NARROW (no exchange
-    added — the consumers' first shuffle stays the gram key, exactly
-    as before), one Python string join per gram, 5× faster warm.
+    Arrow-vectorized ``mapInPandas`` pass instead — one Python string
+    join per gram, 5× faster warm.  Round 15: the input is spread()
+    first (floor-only) — the pass inherited the documents scan's
+    single bench-scale split, so the dominant Python stage ran on one
+    core; on a wide 100 TB scan spread() is a no-op and the pass
+    stays NARROW (the consumers' first shuffle is the gram key,
+    exactly as before).
     Tokenization mirrors :func:`words` exactly: Spark's ``split`` is
     Java regex whose default ``\\s`` class is ASCII-only, so the Python
     split uses ``flags=re.ASCII`` (Python's default ``\\s`` is
@@ -759,8 +763,8 @@ def _gram_occurrences(df: DataFrame, id_col: str, text_col: str,
                                  for i in range(m))
             yield _pd.DataFrame(rows)
 
-    return df.select(id_col, text_col).mapInPandas(build_grams,
-                                                   occ_schema)
+    return spread(df.select(id_col, text_col)).mapInPandas(build_grams,
+                                                           occ_schema)
 
 
 def duplicated_span_coverage(df: DataFrame, id_col: str = "doc_id",

@@ -202,7 +202,15 @@ def brute_force_topk_vectorized(
                 rows["cosine_sim"].extend(cand_s[order])
             yield _pd.DataFrame(rows)
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(score, out_schema)
+    # Floor the scoring parallelism (round 15, the IVF finding): the
+    # matmul mapInPandas inherits the corpus scan's split count, and a
+    # compact corpus (embeddings is ONE parquet split at bench scale)
+    # single-lanes the whole queries×corpus score.  spread() shuffles
+    # only the corpus rows and is a no-op on wide 100 TB scans.
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    scored = spread(corpus.select(id_col, vec_col)).mapInPandas(
+        score, out_schema)
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"),
                                             F.asc("neighbor_id"))
     return (

@@ -13,6 +13,13 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from sync_cosmos_db_spark.cache_scope import scoped_persist
+# Floor-only repartition (round 15): every per-doc Python pass below
+# inherits the documents scan's split count, and documents is ONE
+# parquet split at bench scale (and still 4 at the 25x octave slice) —
+# so the "embarrassingly parallel" passes ran on 1-4 of 32 cores.
+# spread() shuffles only the raw doc rows when the scan is narrower
+# than defaultParallelism and is a no-op on wide 100 TB scans.
+from sync_cosmos_db_spark.operators.dedup import spread
 
 # Tiny per-language stopword lists for the n-gram/stopword-overlap
 # language-ID heuristic. Deliberately small: the heuristic is argmax of
@@ -410,7 +417,7 @@ def repetition_profile(
                 out["keep"].append(keep)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(run, schema)
+    return spread(df.select(id_col, text_col)).mapInPandas(run, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -828,7 +835,7 @@ def compression_profile(df, group_col: str, id_col: str,
             yield pd.DataFrame({"g": pdf[group_col], "ratio": ratios})
 
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
-    per_doc = df.select(group_col, id_col, text_col).mapInPandas(
+    per_doc = spread(df.select(group_col, id_col, text_col)).mapInPandas(
         run, "g string, ratio double")
     return (per_doc.groupBy(F.col("g").alias(group_col))
             .agg(F.count("*").cast("long").alias("n_docs"),
@@ -874,7 +881,7 @@ def nfc_audit(df, group_col: str, text_col: str):
             yield pd.DataFrame({"g": pdf[group_col], "changed": changed,
                                 "before": before, "after": after})
 
-    per_doc = df.select(group_col, text_col).mapInPandas(
+    per_doc = spread(df.select(group_col, text_col)).mapInPandas(
         run, "g string, changed boolean, before long, after long")
     return (per_doc.groupBy(F.col("g").alias(group_col))
             .agg(F.count("*").cast("long").alias("n_docs"),
@@ -1039,7 +1046,7 @@ def accent_fold_audit(df, group_col: str, text_col: str):
             yield pd.DataFrame({"g": pdf[group_col], "changed": changed,
                                 "before": before, "after": after})
 
-    per_doc = df.select(group_col, text_col).mapInPandas(
+    per_doc = spread(df.select(group_col, text_col)).mapInPandas(
         run, "g string, changed boolean, before long, after long")
     return (per_doc.groupBy(F.col("g").alias(group_col))
             .agg(F.count("*").cast("long").alias("n_docs"),

@@ -205,3 +205,16 @@ def test_embedding_dup_pairs_unblocked_empty_and_null_rows(spark):
     only_null = spark.createDataFrame([(1, None), (2, [])], schema)
     assert embedding_dup_pairs(
         only_null, "vec_id", "embedding", threshold=0.9).count() == 0
+
+
+def test_vectorized_scoring_parallelism_floor(spark, sf_dir):
+    """Round-15 regression (the IVF finding generalized): the scoring
+    matmul mapInPandas must not inherit a compact corpus's single scan
+    split — a 1-partition corpus must widen to a round-robin exchange
+    below the scoring stage (floor-only: wide scans are untouched)."""
+    emb = (load_table(spark, sf_dir, "embeddings")
+           .select("vec_id", "embedding").coalesce(1))
+    out = S.brute_force_topk_vectorized(emb, emb.limit(4), k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString().lower()
+    assert "roundrobinpartitioning" in plan
+    assert out.count() > 0
