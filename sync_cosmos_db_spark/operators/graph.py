@@ -98,9 +98,6 @@ def pagerank(
     # cache, and release the raw cache as soon as e (the relation the
     # iterations actually consume) is itself materialized.
     base = edges.select(F.col(src), F.col(dst), F.col(weight))
-    if persist_each_iter:
-        base = base.persist()
-        base.count()
     outw = base.groupBy(src).agg(F.sum(weight).alias("__outw"))
     e = (base.join(outw, src)
          .select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
@@ -110,6 +107,15 @@ def pagerank(
              .distinct())
     try:
         if persist_each_iter:
+            # persist + eager count INSIDE the try (ADVICE r15): a
+            # materialization failure here must still reach the
+            # finally's base.unpersist(), or the cache leaks for the
+            # session lifetime — the shape cache_scope exists to
+            # prevent.  outw/e/nodes above are lazy derivations of the
+            # same analyzed plan, so they hit this cache regardless of
+            # construction order.
+            base = base.persist()
+            base.count()
             nodes = nodes.persist()
             e = e.persist()
         n_nodes = nodes.count()  # scalar to the driver — bounded by design
@@ -222,7 +228,12 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
     # for the registered trade-graph query that plan is a
     # lineitem⋈orders aggregation.  Released before return — visited
     # is a union of eager per-hop checkpoints, independent of edges.
-    edges = edges.persist()
+    # Skipped when the CALLER already cached the frame (ADVICE r15):
+    # unpersisting a caller-owned cache here would silently drop it
+    # for later operator calls sharing the same edge plan.
+    own_cache = not edges.is_cached
+    if own_cache:
+        edges = edges.persist()
     try:
         visited = scoped_local_checkpoint(
             seeds.select(F.col(node_col).alias("node")).distinct()
@@ -239,7 +250,8 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
             visited = visited.unionByName(nxt)
             frontier = nxt
     finally:
-        edges.unpersist()
+        if own_cache:
+            edges.unpersist()
     return visited
 
 
@@ -276,7 +288,10 @@ def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
     # registered trade-graph query's edge plan is a lineitem⋈orders
     # aggregation, so the dominant stage ran 8 times.  Released before
     # return — dist is an eager checkpoint, independent of edges.
-    edges = edges.persist()
+    # Caller-owned caches are left alone (ADVICE r15, see bfs_hops).
+    own_cache = not edges.is_cached
+    if own_cache:
+        edges = edges.persist()
     try:
         if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
             raise ValueError(
@@ -298,7 +313,8 @@ def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
                                 F.coalesce("cand", F.lit(2 ** 62)))
                         .cast("long").alias("cost")))
     finally:
-        edges.unpersist()
+        if own_cache:
+            edges.unpersist()
     return dist
 
 
@@ -370,7 +386,10 @@ def min_label_propagation(edges: DataFrame, rounds: int = 3,
     # caller's edge plan afresh — measured 8 edge-source row
     # computations per input row.  Released before return — labels is
     # an eager checkpoint, independent of edges.
-    edges = edges.persist()
+    # Caller-owned caches are left alone (ADVICE r15, see bfs_hops).
+    own_cache = not edges.is_cached
+    if own_cache:
+        edges = edges.persist()
     try:
         nodes = (edges.select(F.col(src).alias("node"))
                  .unionByName(edges.select(F.col(dst).alias("node")))
@@ -388,7 +407,8 @@ def min_label_propagation(edges: DataFrame, rounds: int = 3,
                                 F.coalesce("in_label", F.col("label")))
                         .alias("label")))
     finally:
-        edges.unpersist()
+        if own_cache:
+            edges.unpersist()
     return labels
 
 
@@ -447,6 +467,16 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
     like (weighted degree)^iters, far inside double range.  The final
     1-row totals join on a derived constant key (BroadcastHashJoin).
     Returns ``(kind 'hub'|'authority', node, score)``.
+
+    Contract (round 15, same as
+    :func:`~sync_cosmos_db_spark.operators.dedup.connected_components`):
+    the output is backed by EAGER, scope-registered ``localCheckpoint``
+    frames — lineage-truncated, safe for any number of consumers
+    without caller-side persistence, but NOT recomputable: after
+    ``cache_scope.release_persisted()`` any not-yet-consumed
+    derivative raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND instead of
+    silently recomputing as a lazy output would.  Consume it fully
+    before releasing the scope.
     """
     if iters < 1:
         raise ValueError(f"hits_scores: iters must be >= 1, got {iters}")
@@ -460,7 +490,13 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
     # twice shape as the round-14 connected_components finding.  The
     # checkpointed h/a are node-sized (tiny at any scale); e is
     # released before return since the checkpoints are eager.
-    e = e.persist()
+    # When the CALLER already cached the edges frame, skip the own
+    # persist (ADVICE r15): e is a narrow projection of the cached
+    # frame, so every pass reads the caller's cache, and persisting /
+    # unpersisting here would duplicate then drop nothing useful.
+    own_cache = not edges.is_cached
+    if own_cache:
+        e = e.persist()
     try:
         # a_0 = 1 for every authority (distinct dst)
         a = e.select(F.col("d").alias("node")).distinct() \
@@ -487,7 +523,8 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum(F.col("w") * F.col("h")).alias("a")))
     finally:
-        e.unpersist()
+        if own_cache:
+            e.unpersist()
     p = 10 ** round_digits
     ht = (h.agg(F.sum("h").alias("t"))
           .withColumn("__k", F.floor(F.col("t") * 0)))

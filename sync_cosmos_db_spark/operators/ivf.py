@@ -280,7 +280,13 @@ def _probe_score_rank(indexed: DataFrame, queries: DataFrame, cents,
     # and is a no-op at 100 TB where the scan is already wide.
     from sync_cosmos_db_spark.operators.dedup import spread
 
-    cand = (spread(indexed).join(probes, "cluster_id")
+    # F.broadcast pins the assumption spread() relies on (ADVICE r15):
+    # if probes ever exceeded the auto-broadcast threshold (large query
+    # batch, threshold change) the planner would hash-exchange the
+    # corpus on cluster_id right after the round-robin exchange,
+    # turning spread into a wasted full shuffle.  Probe volume is
+    # queries × nprobe — small by construction for an ANN serve path.
+    cand = (spread(indexed).join(F.broadcast(probes), "cluster_id")
             .filter(F.col(query_id_col) != F.col("neighbor_id"))
             .select(query_id_col, "neighbor_id", "__qvec", "__cvec"))
 

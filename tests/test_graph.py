@@ -272,3 +272,36 @@ def test_hits_single_pass_and_checkpointed_scores(spark):
     assert c.value == 3, (
         f"edge source computed {c.value} rows for 3 input edges — "
         "hits_scores must cache e and checkpoint the converged scores")
+
+
+def test_caller_persisted_edges_survive_operator_calls(spark):
+    # ADVICE r15: the operators used to persist/unpersist the
+    # caller-supplied edges unconditionally, so a caller that cached one
+    # edge plan to share across several operator calls silently lost
+    # the cache after the first call (recompute, not corruption).  Now
+    # a caller-owned cache is left alone — and still counts as the
+    # single materialization (1 pass over the edge source across BOTH
+    # operator calls, not 1 per call).
+    from sync_cosmos_db_spark.cache_scope import release_persisted
+    from sync_cosmos_db_spark.operators.graph import (
+        bfs_hops, hits_scores, min_label_propagation, symmetrize)
+
+    edges, c = _tagged_edges(spark, _E3)
+    sym = symmetrize(edges).persist()
+    try:
+        sym.count()
+        assert c.value == 3
+        seeds = spark.createDataFrame([(1,)], "node long")
+        assert bfs_hops(sym, seeds, max_hops=2).count() > 0
+        assert sym.is_cached, "bfs_hops dropped the caller's cache"
+        assert min_label_propagation(sym, rounds=2).count() > 0
+        assert sym.is_cached, ("min_label_propagation dropped the "
+                               "caller's cache")
+        assert hits_scores(sym, iters=2).count() > 0
+        release_persisted()
+        assert sym.is_cached, "hits_scores dropped the caller's cache"
+        assert c.value == 3, (
+            f"edge source computed {c.value} rows for 3 input edges "
+            "across 3 operator calls sharing one caller-owned cache")
+    finally:
+        sym.unpersist(blocking=True)
