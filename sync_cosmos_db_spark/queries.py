@@ -379,6 +379,15 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort drains COMPLETELY (r13 verdict item 1; post-r14 the oldest
 # non-window row is r6).
 #
+# Round-16 window arithmetic (verified at build time): 3 edited
+# (both curation pipeline queries — corpus rebuilt via one explode
+# pass + cached across the stage-1 consumers, r15 verdict item 3 —
+# plus web_pipeline_stats, whose scored frame is now checkpointed once
+# and feeds a single conditional aggregate) + all 36 remaining r7 rows
+# + the 11 oldest unedited r8 rows = 50.  The r7 cohort drains
+# COMPLETELY (r15 verdict item 1; post-r16 the oldest non-window row
+# is r8 with 29 rows, fully drained by r17).
+#
 # Round-15 window arithmetic (verified at build time): 7 edited
 # (both curation pipeline queries — caller-side CC checkpoint wrapper
 # removed, verdict item 4 / ADVICE r14 — plus the 5 graph queries
@@ -562,6 +571,45 @@ EDITED_ROUND.update({"curation_pipeline_stats": 15,
 EDITED_ROUND.update(dict.fromkeys(
     ["pagerank_customer_supplier", "bellman_ford_trade_distance",
      "bfs_3hop_nation1", "label_propagation_docs", "kcore_docs"], 15))
+
+# Round-16 edits (r15 verdict item 3 — single-pass discipline for the
+# multi-consumer compositions, each pinned by an accumulator test in
+# tests/test_single_pass.py): both curation pipeline queries build
+# their planted-dup corpus with ONE explode pass (was a 3-branch union
+# = one documents-scan execution per branch per consumption) and cache
+# it across the three stage-1 consumers (raw count, exact dedup,
+# survivor semi-join — was 3 passes × 3 branches = 9 source scans);
+# web_pipeline_stats checkpoints the strip+score frame once and
+# collapses n_input/n_quality into one conditional aggregate (was 3
+# corpus passes / 2 executions of the regex-heavy chain).  Rows
+# identical everywhere (verified driver-style at sf0.01), but the
+# query bodies changed, so all three re-queue per policy.
+EDITED_ROUND.update({"curation_pipeline_stats": 16,
+                     "curation_pipeline_stats_sampled": 16,
+                     "web_pipeline_stats": 16})
+
+# Round-16 notes (auditable no-entry decisions):
+#   * streaming/incremental.apply_batch_merge now caches the
+#     micro-batch for the merge window — the touched-bucket collect,
+#     classify join and untouched anti-join each consumed the batch
+#     plan afresh (3 passes per batch; accumulator-pinned in
+#     tests/test_single_pass.py).  The target side is deliberately NOT
+#     cached (two column-pruned scans beat materializing bucket-sized
+#     rows).  Same rows; operator plan shape only, so
+#     pagination_buckets_orders does not re-queue (the r14 CC
+#     precedent).
+#   * operators/graph.py (ADVICE r15): pagerank's persist moved inside
+#     its try (leak-on-failure); bfs/bellman/min-label/hits skip the
+#     persist/unpersist pair when the caller already cached the edges
+#     frame.  Cache lifecycle only — no plan or row change for any
+#     registered query (none pre-persist their edges).
+#   * operators/ivf.py (ADVICE r15): F.broadcast pinned on the probe
+#     side of the cluster join — the planner already chose broadcast
+#     at every tested scale, so plans and rows are unchanged; the hint
+#     only forecloses a future threshold regression.
+#   * decontamination (ngram_contamination) and both foreachBatch
+#     batch-merge factories measured ALREADY single-pass — tests
+#     added, no fix needed.
 
 # Round-15 notes (auditable no-entry decisions):
 #   * operators/graph.py: every iterative operator (pagerank,

@@ -227,53 +227,21 @@ def curation_pipeline_stats_sampled(spark: SparkSession,
     docstring): the same four-stage composition — exact dedup →
     unigram-Jaccard pairs → connected components → canonical keep —
     on the ``doc_id % 10 = 0`` sub-corpus, so the oracle's
-    token-inverted-index pair join stays bounded at any SF."""
-    from sync_cosmos_db_spark.operators.dedup import (
-        connected_components, exact_dedup, jaccard_pairs)
+    token-inverted-index pair join stays bounded at any SF.  Shares
+    ``_planted_dup_corpus`` / ``_curation_pipeline_agg`` with the full
+    query (round 16): one explode pass builds the corpus, one cached
+    materialization feeds all stage-1 consumers
+    (tests/test_single_pass.py pins the contract).  ``exact_mod=1``:
+    every sampled doc gets an exact copy, matching the oracle's
+    unconditional second branch."""
+    from sync_cosmos_db_spark.queries_scale import (
+        _curation_pipeline_agg, _planted_dup_corpus)
 
     docs = (load_table(spark, sf_dir, "documents")
             .select("doc_id", "text")
             .where(F.col("doc_id") % 10 == 0))
-    corpus = (docs
-              .unionByName(docs.select((F.col("doc_id") + 200000)
-                                       .alias("doc_id"), "text"))
-              .unionByName(docs.where(F.col("doc_id") % 7 == 0)
-                           .select((F.col("doc_id") + 100000)
-                                   .alias("doc_id"),
-                                   F.concat(F.col("text"), F.lit(" extra"))
-                                   .alias("text"))))
-    n_raw = corpus.count()
-
-    kept = exact_dedup(corpus, ["text"], "doc_id")
-    survivors = scoped_local_checkpoint(
-        corpus.join(kept.select("doc_id"), "doc_id", "left_semi"))
-    n_exact = survivors.count()
-
-    pairs = scoped_local_checkpoint(
-        jaccard_pairs(survivors, "doc_id", "text", threshold=0.5, n=1))
-    # comp feeds THREE consumers (count, cluster election, the final
-    # anti-join); connected_components returns an eagerly
-    # scope-checkpointed frame since c3db0f9 (dedup.py docstring), so
-    # no caller-side persistence is needed — the r14 caller-side
-    # scoped_local_checkpoint wrapper double-materialized the labels
-    # (round 15, ADVICE r14).  The r14 A/B on the sampled twin
-    # (10.5 -> 7.7 s) measured the internal checkpoint's effect.
-    comp = connected_components(pairs)
-    n_in_clusters = comp.count()
-    clusters = comp.groupBy("component").agg(F.min("node").alias("kept"))
-    n_clusters = clusters.count()
-
-    final = (survivors.join(comp.withColumnRenamed("node", "doc_id"),
-                            "doc_id", "left_anti").select("doc_id")
-             .unionByName(clusters.select(F.col("kept").alias("doc_id"))))
-    agg = final.agg(F.count("*").cast("long").alias("n_final"),
-                    F.sum("doc_id").cast("long").alias("final_id_sum"))
-    return agg.select(
-        F.lit(n_raw).cast("long").alias("n_raw"),
-        F.lit(n_exact).cast("long").alias("n_after_exact"),
-        F.lit(n_in_clusters).cast("long").alias("n_in_near_clusters"),
-        F.lit(n_clusters).cast("long").alias("n_clusters"),
-        "n_final", "final_id_sum")
+    return _curation_pipeline_agg(
+        _planted_dup_corpus(docs, exact_mod=1, near_mod=7))
 
 
 # ---------------------------------------------------------------------------

@@ -554,21 +554,38 @@ def web_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact content dedup keeping the lowest doc id (X1).  One row of
     stage cardinalities plus the exact kept-id sum — the oracle
     replays every stage in SQL, so the hash check pins the whole
-    composition, not just each operator in isolation."""
+    composition, not just each operator in isolation.  Body in
+    ``_web_pipeline_agg`` (round 16) so the single-pass contract is
+    accumulator-testable with an injected tagged corpus."""
+    return _web_pipeline_agg(_html_corpus(spark, sf_dir))
+
+
+def _web_pipeline_agg(corpus: DataFrame) -> DataFrame:
+    """The strip → score → filter → dedup composition over an
+    injectable ``corpus (doc_id, html)``.
+
+    ONE pass over the corpus source and ONE execution of the heavy
+    regex strip + quality chain (round 16): previously the input
+    count, the quality-gate count and the dedup aggregate each
+    re-executed the whole chain (3 passes over the corpus, 2 over the
+    strip/score work).  ``scored`` is 1:1 with the corpus, so
+    n_input/n_quality collapse to one conditional aggregate over the
+    eager checkpoint; the two 1-row aggregates meet in a constant-size
+    crossJoin (the documented anchor pattern)."""
+    from sync_cosmos_db_spark.cache_scope import scoped_local_checkpoint
     from sync_cosmos_db_spark.operators.text import quality_score
     from sync_cosmos_db_spark.operators.web import strip_html
 
-    corpus = _html_corpus(spark, sf_dir)
-    cleaned = corpus.select(
-        "doc_id", strip_html("html").alias("clean"))
-    scored = cleaned.withColumn(
-        "quality", fround(quality_score("clean"), 4))
+    scored = scoped_local_checkpoint(
+        corpus.select("doc_id", strip_html("html").alias("clean"))
+        .withColumn("quality", fround(quality_score("clean"), 4)))
     kept = scored.filter(F.col("quality") >= 0.5)
     uniq = (kept.groupBy(F.sha2("clean", 256).alias("sha"))
             .agg(F.min("doc_id").alias("keep_id")))
-    return (corpus.agg(F.count("*").cast("long").alias("n_input"))
-            .crossJoin(kept.agg(F.count("*").cast("long")
-                                .alias("n_quality")))
+    return (scored.agg(
+                F.count("*").cast("long").alias("n_input"),
+                F.count_if(F.col("quality") >= 0.5).cast("long")
+                .alias("n_quality"))
             .crossJoin(uniq.agg(
                 F.count("*").cast("long").alias("n_unique"),
                 F.coalesce(F.sum("keep_id"), F.lit(0)).cast("long")

@@ -886,6 +886,86 @@ def window_range_frame_revenue(spark: SparkSession,
 # End-to-end curation pipeline composition
 # ---------------------------------------------------------------------------
 
+def _planted_dup_corpus(docs: DataFrame, exact_mod: int = 10,
+                        near_mod: int = 7) -> DataFrame:
+    """Corpus with planted duplicates via ONE explode pass over
+    ``docs`` (round 16, the graph.symmetrize lesson): the previous
+    3-branch union executed the documents scan once PER BRANCH per
+    consumption.  Per input doc: itself, an exact byte copy when
+    ``doc_id % exact_mod = 0`` (id + 200000), and a near copy with one
+    appended token when ``doc_id % near_mod = 0`` (id + 100000).
+    Row order differs from the union form but every consumer is an
+    aggregate/join, so outputs are identical."""
+    v0 = F.struct(F.col("doc_id").alias("doc_id"),
+                  F.col("text").alias("text"))
+    v1 = F.when(F.col("doc_id") % exact_mod == 0,
+                F.struct((F.col("doc_id") + 200000).alias("doc_id"),
+                         F.col("text").alias("text")))
+    v2 = F.when(F.col("doc_id") % near_mod == 0,
+                F.struct((F.col("doc_id") + 100000).alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" extra"))
+                         .alias("text")))
+    return (docs.select(F.explode(F.array_compact(F.array(v0, v1, v2)))
+                        .alias("v"))
+            .select("v.doc_id", "v.text"))
+
+
+def _curation_pipeline_agg(corpus: DataFrame) -> DataFrame:
+    """The four-stage curation composition (exact dedup → unigram-
+    Jaccard pairs ≥ 0.5 → connected components → canonical keep) over
+    an injectable ``corpus (doc_id, text)`` — shared by
+    ``curation_pipeline_stats`` and its sampled twin, and accumulator-
+    testable with a tagged source (tests/test_single_pass.py).
+
+    ONE pass over the corpus source (round 16): the raw count, exact
+    dedup and survivor semi-join each consumed the corpus plan afresh
+    (3 passes — 9 executions of the documents scan through the old
+    3-branch union construction).  The corpus is cached for exactly
+    the stage-1 window and released once survivors (an eager
+    checkpoint) is materialized."""
+    from sync_cosmos_db_spark.operators.dedup import (
+        connected_components, exact_dedup, jaccard_pairs)
+
+    corpus = corpus.persist()
+    try:
+        n_raw = corpus.count()
+        kept = exact_dedup(corpus, ["text"], "doc_id")  # (doc_id, n_copies)
+        # localCheckpoint: survivors feeds three consumers and —
+        # through the pair graph — the ITERATIVE component loop, which
+        # would otherwise re-execute the whole upstream lineage every
+        # round
+        survivors = scoped_local_checkpoint(
+            corpus.join(kept.select("doc_id"), "doc_id", "left_semi"))
+    finally:
+        corpus.unpersist()
+    n_exact = survivors.count()
+
+    pairs = scoped_local_checkpoint(
+        jaccard_pairs(survivors, "doc_id", "text", threshold=0.5, n=1))
+    # comp feeds THREE consumers (count, cluster election, the final
+    # anti-join); connected_components returns an eagerly
+    # scope-checkpointed frame since c3db0f9 (dedup.py docstring), so
+    # no caller-side persistence is needed — the r14 caller-side
+    # scoped_local_checkpoint wrapper double-materialized the labels
+    # (round 15, ADVICE r14).
+    comp = connected_components(pairs)  # (node, component)
+    n_in_clusters = comp.count()
+    clusters = comp.groupBy("component").agg(F.min("node").alias("kept"))
+    n_clusters = clusters.count()
+
+    final = (survivors.join(comp.withColumnRenamed("node", "doc_id"),
+                            "doc_id", "left_anti").select("doc_id")
+             .unionByName(clusters.select(F.col("kept").alias("doc_id"))))
+    agg = final.agg(F.count("*").cast("long").alias("n_final"),
+                    F.sum("doc_id").cast("long").alias("final_id_sum"))
+    return agg.select(
+        F.lit(n_raw).cast("long").alias("n_raw"),
+        F.lit(n_exact).cast("long").alias("n_after_exact"),
+        F.lit(n_in_clusters).cast("long").alias("n_in_near_clusters"),
+        F.lit(n_clusters).cast("long").alias("n_clusters"),
+        "n_final", "final_id_sum")
+
+
 @query(
     "curation_pipeline_stats",
     """
@@ -953,51 +1033,10 @@ def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage's cardinality plus the exact kept-id sum is
     hash-checked, so the stages are proven to compose — the oracle
     replays the whole chain in SQL including a recursive-CTE closure.
+    Corpus construction and the pipeline body live in
+    ``_planted_dup_corpus`` / ``_curation_pipeline_agg`` (round 16) so
+    the single-pass contract is accumulator-testable with an injected
+    tagged source.
     """
-    from sync_cosmos_db_spark.operators.dedup import (
-        connected_components, exact_dedup, jaccard_pairs)
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = (docs
-              .unionByName(docs.where(F.col("doc_id") % 10 == 0)
-                           .select((F.col("doc_id") + 200000)
-                                   .alias("doc_id"), "text"))
-              .unionByName(docs.where(F.col("doc_id") % 7 == 0)
-                           .select((F.col("doc_id") + 100000)
-                                   .alias("doc_id"),
-                                   F.concat(F.col("text"), F.lit(" extra"))
-                                   .alias("text"))))
-    n_raw = corpus.count()
-
-    kept = exact_dedup(corpus, ["text"], "doc_id")  # (doc_id, n_copies)
-    # localCheckpoint: survivors feeds three consumers and — through
-    # the pair graph — the ITERATIVE component loop, which would
-    # otherwise re-execute the whole upstream lineage every round
-    survivors = scoped_local_checkpoint(
-        corpus.join(kept.select("doc_id"), "doc_id", "left_semi"))
-    n_exact = survivors.count()
-
-    pairs = scoped_local_checkpoint(
-        jaccard_pairs(survivors, "doc_id", "text", threshold=0.5, n=1))
-    # comp feeds THREE consumers (count, cluster election, the final
-    # anti-join); connected_components returns an eagerly
-    # scope-checkpointed frame since c3db0f9 (dedup.py docstring), so
-    # no caller-side persistence is needed — the r14 caller-side
-    # scoped_local_checkpoint wrapper double-materialized the labels
-    # (round 15, ADVICE r14).
-    comp = connected_components(pairs)  # (node, component)
-    n_in_clusters = comp.count()
-    clusters = comp.groupBy("component").agg(F.min("node").alias("kept"))
-    n_clusters = clusters.count()
-
-    final = (survivors.join(comp.withColumnRenamed("node", "doc_id"),
-                            "doc_id", "left_anti").select("doc_id")
-             .unionByName(clusters.select(F.col("kept").alias("doc_id"))))
-    agg = final.agg(F.count("*").cast("long").alias("n_final"),
-                    F.sum("doc_id").cast("long").alias("final_id_sum"))
-    return agg.select(
-        F.lit(n_raw).cast("long").alias("n_raw"),
-        F.lit(n_exact).cast("long").alias("n_after_exact"),
-        F.lit(n_in_clusters).cast("long").alias("n_in_near_clusters"),
-        F.lit(n_clusters).cast("long").alias("n_clusters"),
-        "n_final", "final_id_sum")
+    return _curation_pipeline_agg(_planted_dup_corpus(docs))

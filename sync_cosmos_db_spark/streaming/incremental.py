@@ -75,18 +75,42 @@ def apply_batch_merge(spark: SparkSession, batch_df: DataFrame,
         bucketed.write.partitionBy(BUCKET_COL).parquet(target_path)
         return
 
-    touched = sorted(r[0] for r in
-                     bucketed.select(BUCKET_COL).distinct().collect())
-    # partition-pruned read: only the touched bucket directories
-    tgt = (spark.read.parquet(target_path)
-           .filter(F.col(BUCKET_COL).isin(touched))
-           .drop(BUCKET_COL))
+    # ONE pass over the micro-batch source (round 16, the graph/CC
+    # recompute class): the touched-bucket collect, the classify join
+    # and the untouched anti-join each consumed the batch plan afresh —
+    # 3 passes per batch, and a change-feed batch source is a fresh
+    # file scan every time.  The batch is micro-batch-sized by
+    # construction, so caching it for the merge window is cheap at any
+    # target scale.  The TARGET side is deliberately NOT cached: its
+    # two consumers read disjoint column sets (keys+compare_cols for
+    # the hash, keys only for the anti-join), so two column-pruned
+    # parquet scans of the touched buckets beat materializing
+    # bucket-sized rows.
+    bucketed = bucketed.persist()
+    try:
+        touched = sorted(r[0] for r in
+                         bucketed.select(BUCKET_COL).distinct().collect())
+        # partition-pruned read: only the touched bucket directories
+        tgt = (spark.read.parquet(target_path)
+               .filter(F.col(BUCKET_COL).isin(touched))
+               .drop(BUCKET_COL))
 
-    tagged = classify_actions(batch_df, tgt, keys)
-    untouched_keys = tgt.join(batch_df.select(*keys).distinct(), keys,
-                              "left_anti")
-    new_state = tagged.drop("action").unionByName(untouched_keys)
+        batch = bucketed.drop(BUCKET_COL)
+        tagged = classify_actions(batch, tgt, keys)
+        untouched_keys = tgt.join(batch.select(*keys).distinct(), keys,
+                                  "left_anti")
+        new_state = tagged.drop("action").unionByName(untouched_keys)
+        _write_new_state(spark, new_state, keys, n_buckets, target_path,
+                         reliable_checkpoint_dir)
+    finally:
+        bucketed.unpersist()
 
+
+def _write_new_state(spark: SparkSession, new_state: DataFrame,
+                     keys: list[str], n_buckets: int, target_path: str,
+                     reliable_checkpoint_dir: str | None) -> None:
+    """Checkpoint the merged state and dynamic-partition-overwrite the
+    touched buckets (the write tail of :func:`apply_batch_merge`)."""
     # The new state still reads the old target files; a checkpoint
     # materializes it (breaking file lineage) so the overwrite below can
     # safely delete the partitions it replaces. Scope: touched buckets
