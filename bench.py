@@ -134,6 +134,34 @@ def _live_spark_drivers() -> list[int]:
     return pids
 
 
+def _host_calibration_sec(spark) -> float:
+    """Fixed pure-JVM host-throughput probe (round-16 verdict item 5):
+    a constant-size in-memory aggregate — 200M-row range, xxhash64 +
+    sum, fixed 32 partitions, whole-stage codegen, zero I/O and zero
+    Python — so its runtime depends ONLY on host CPU throughput, never
+    on this repo's code or the data dir.  Best-of-3 (same statistic
+    BASELINE.md designates as stable for the suites).
+
+    Use (BASELINE.md "host calibration"): when a bench run's suite
+    numbers drift uniformly vs the recorded floor, divide the run's
+    calibration value by the floor row's calibration value — a ratio
+    matching the drift attributes it to the host (the run-4 r15
+    signature: +87%% headline at settled load); a ratio near 1 with
+    drifted suites means the code regressed."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # pmod bounds the summands (200M × 1e6 ≪ long max) so the sum
+        # cannot overflow under ANSI mode
+        (spark.range(0, 200_000_000, 1, 32)
+         .agg(F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_003))))
+         .collect())
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -202,9 +230,15 @@ def main() -> int:
             release_persisted()
         return timings, best_of, cold
 
+    # Host-throughput calibration BEFORE and AFTER the suites: the pre
+    # value normalizes this run against BASELINE.md floors; a post
+    # value far from the pre value flags mid-run host drift (neither is
+    # attributable to repo code — the probe never touches it).
+    calib_pre = _host_calibration_sec(spark)
     timings, best_of, cold = run_suite(HEADLINE)
     llm_timings, llm_best_of, llm_cold = run_suite(HEADLINE_LLM)
     sem_timings, sem_best_of, sem_cold = run_suite(SEMANTICS)
+    calib_post = _host_calibration_sec(spark)
 
     total = round(sum(timings.values()), 3)
     # Key order matters (round-6 verdict item 6): the driver records
@@ -220,6 +254,8 @@ def main() -> int:
         "llm_queries_best_of_3": llm_best_of,
         "semantics_queries_cold_run": sem_cold,
         "semantics_queries_best_of_3": sem_best_of,
+        "host_calibration_sec": calib_pre,
+        "host_calibration_post_sec": calib_post,
         "semantics_queries": sem_timings,
         "llm_queries": llm_timings,
         "queries": timings,

@@ -60,6 +60,22 @@ def main() -> None:
     # octave: 5x the sf0.5 notch).  Embedding rolls stay distinct as
     # long as copies < vector dim; id offsets k*D never collide.
     ap.add_argument("--copies", type=int, default=5)
+    # Round-16 probe knobs (r15 verdict item 4):
+    # --tables: generate only the named tables (a 125x lineitem concat
+    #   in pandas is pointless when the probe reads embeddings only).
+    # --namevar: ALSO write /tmp/sf{x}namevar/customer.parquet where
+    #   copy k's c_name gets a per-copy suffix of 3 IDENTICAL letters
+    #   (' aaa', ' bbb', ...): suffixes are pairwise edit distance 3,
+    #   so no cross-copy pair or FastSS deletion-variant collision
+    #   survives max_dist=1 — bucket COUNT scales with copies at
+    #   CONSTANT depth, the non-adversarial constant-density model of
+    #   real growth (within-copy distances are preserved exactly: both
+    #   members of a pair get the same suffix).  25 copies of the
+    #   default slice duplicate every c_name per copy instead —
+    #   deliberately adversarial depth x25.
+    ap.add_argument("--tables", nargs="+", default=None,
+                    help="subset of tables to generate (default: all)")
+    ap.add_argument("--namevar", action="store_true")
     args = ap.parse_args()
     K = args.copies
     if args.out is None:
@@ -69,6 +85,22 @@ def main() -> None:
     os.makedirs(args.out, exist_ok=True)
     os.makedirs(args.out_blocks, exist_ok=True)
 
+    def want(t: str) -> bool:
+        return args.tables is None or t in args.tables
+
+    if want("documents"):
+        _gen_documents(args, K)
+    if want("embeddings"):
+        _gen_embeddings(args, K)
+    if want("orders") or want("lineitem"):
+        _gen_tpch(args, K)
+    if want("events"):
+        _gen_events(args, K)
+    if want("customer"):
+        _gen_customer(args, K)
+
+
+def _gen_documents(args, K: int) -> None:
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     parts = []
     for k in range(K):
@@ -83,14 +115,26 @@ def main() -> None:
     pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
                    f"{args.out}/documents.parquet")
 
+
+def _gen_embeddings(args, K: int) -> None:
     emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    dim = len(np.asarray(emb["embedding"].iloc[0]))
     parts = []
     for k in range(K):
         c = emb.copy()
         c["vec_id"] = c["vec_id"] + k * D
         if k:
-            c["embedding"] = [np.roll(np.asarray(v), k).astype(np.float32)
-                              for v in c["embedding"]]
+            # roll by k mod dim; NEGATE on each wrap (round 16): a bare
+            # roll collides at k = dim (roll dim ≡ roll 0 → exact
+            # cross-copy duplicates), so copy counts past the vector
+            # dim — the 125x third-octave probe — would plant spurious
+            # cosine-1 pairs.  Negation preserves norms and within-copy
+            # cosines; wrapped copies score -1 against their unwrapped
+            # sibling, not +1.  Distinct for copies < 2*dim.
+            sgn = -1.0 if (k // dim) % 2 else 1.0
+            c["embedding"] = [
+                (sgn * np.roll(np.asarray(v), k % dim)).astype(np.float32)
+                for v in c["embedding"]]
         parts.append(c)
     out = pd.concat(parts, ignore_index=True)
     sch = pq.read_schema(f"{SRC}/embeddings.parquet")
@@ -98,6 +142,8 @@ def main() -> None:
     tbl = tbl.cast(pa.schema([sch.field(n) for n in tbl.schema.names]))
     pq.write_table(tbl, f"{args.out}/embeddings.parquet")
 
+
+def _gen_tpch(args, K: int) -> None:
     # TPC-H core: orders/lineitem 5x with MATCHED key offsets so every
     # join key resolves inside its copy; dimensions (region/nation/
     # part/supplier) ride along unchanged — at real 5x scale the
@@ -123,6 +169,8 @@ def main() -> None:
     for t in ("region", "nation", "part", "supplier"):
         shutil.copyfile(f"{SRC}/{t}.parquet", f"{args.out}/{t}.parquet")
 
+
+def _gen_events(args, K: int) -> None:
     # events 5x (round-14, r13 verdict item 5: the batch-merge
     # streaming twins read events): event_id AND user_id offset by
     # k*D, timestamps UNCHANGED — the constant-time-range model where
@@ -144,21 +192,32 @@ def main() -> None:
     t = t.cast(pa.schema([sch.field(n) for n in t.schema.names]))
     pq.write_table(t, f"{args.out}/events.parquet")
 
+
+def _gen_customer(args, K: int) -> None:
     cust = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
-    for dest, nk_shift in ((args.out, False), (args.out_blocks, True)):
+    dests = [(args.out, False, False), (args.out_blocks, True, False)]
+    if args.namevar:
+        nv = args.out.rstrip("/") + "namevar"
+        os.makedirs(nv, exist_ok=True)
+        dests.append((nv, False, True))
+    for dest, nk_shift, namevar in dests:
         parts = []
         for k in range(K):
             c = cust.copy()
             c["c_custkey"] = c["c_custkey"] + k * D
             if nk_shift:
                 c["c_nationkey"] = (c["c_nationkey"] + 25 * k).astype("int32")
+            if namevar:
+                # per-copy 3-letter suffix, pairwise edit distance 3 —
+                # see the --namevar help text for the model
+                c["c_name"] = c["c_name"] + " " + chr(ord("a") + k % 26) * 3
             parts.append(c)
         out = pd.concat(parts, ignore_index=True)
         sch = pq.read_schema(f"{SRC}/customer.parquet")
         t = pa.Table.from_pandas(out, preserve_index=False)
         t = t.cast(pa.schema([sch.field(n) for n in t.schema.names]))
         pq.write_table(t, f"{dest}/customer.parquet")
-    print("wrote", args.out, "and", args.out_blocks)
+    print("wrote", [d for d, _, _ in dests])
 
 
 if __name__ == "__main__":
