@@ -587,6 +587,12 @@ EDITED_ROUND.update(dict.fromkeys(
 EDITED_ROUND.update({"curation_pipeline_stats": 16,
                      "curation_pipeline_stats_sampled": 16,
                      "web_pipeline_stats": 16})
+# ... and fold_temporal_audit_orders, found by the round-16 AST audit
+# for the same class: its folds×months cells frame fed FOUR consumers
+# and each consumption re-executed the orders scan+aggregate (now one
+# checkpoint; accumulator-pinned).  Rows identical; body changed, so
+# it re-queues per policy.
+EDITED_ROUND.update({"fold_temporal_audit_orders": 16})
 
 # Round-16 notes (auditable no-entry decisions):
 #   * streaming/incremental.apply_batch_merge now caches the

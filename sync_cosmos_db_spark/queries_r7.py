@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.cache_scope import scoped_local_checkpoint
 from sync_cosmos_db_spark.queries import query
 from sync_cosmos_db_spark.queries_r6 import _CDC_ORACLE, build_cdc_changes
 from sync_cosmos_db_spark.session import load_table
@@ -4742,14 +4743,24 @@ def fold_temporal_audit_orders(spark: SparkSession,
     a chi²/dof ≤ 1.5 PASS bar — a fold scheme that correlates with
     time silently turns cross-validation into extrapolation; the
     hash splitter PASSes by construction, and that is the point of
-    auditing it."""
-    orders = load_table(spark, sf_dir, "orders")
+    auditing it.  Body in ``_fold_temporal_audit`` (round 16) so the
+    single-pass contract is accumulator-testable with an injected
+    source."""
+    return _fold_temporal_audit(load_table(spark, sf_dir, "orders"))
+
+
+def _fold_temporal_audit(orders: DataFrame) -> DataFrame:
     fold = F.pmod(
         F.translate(F.substring(F.sha2(F.concat(
             F.col("o_orderkey").cast("string"), F.lit(":fold")),
             256), 1, 3), "abcdef", "012345").cast("bigint"),
         F.lit(5))
-    cells = (orders.groupBy(
+    # cells is folds×months-sized (tiny at any SF) but feeds FOUR
+    # consumers (row totals, column totals, grand total, the chi²
+    # join) — without the checkpoint each consumption re-executed the
+    # full orders scan+aggregate (round 16, the single-pass class;
+    # accumulator-pinned in tests/test_single_pass.py).
+    cells = scoped_local_checkpoint(orders.groupBy(
         fold.alias("fold"),
         F.date_trunc("month", "o_orderdate").alias("m"))
         .agg(F.count("*").cast("double").alias("o")))

@@ -142,3 +142,22 @@ def test_apply_batch_merge_single_pass_over_batch(spark, tmp_path):
     out = {r.id: r.val for r in
            spark.read.parquet(target).select("id", "val").collect()}
     assert out == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+
+def test_fold_temporal_audit_single_pass_over_orders(spark):
+    # pre-fix: the folds×months cells frame fed four consumers (row
+    # totals, column totals, grand total, chi² join) and each
+    # consumption re-executed the orders scan+aggregate = 4 passes.
+    from datetime import date
+
+    from sync_cosmos_db_spark.cache_scope import release_persisted
+    from sync_cosmos_db_spark.queries_r7 import _fold_temporal_audit
+
+    rows = [(i, date(2024, 1 + i % 3, 1)) for i in range(12)]
+    orders, c = _tagged(spark, rows, "o_orderkey long, o_orderdate date")
+    out = _fold_temporal_audit(orders).collect()
+    release_persisted()
+    assert len(out) == 1 and out[0].n_months == 3
+    assert c.value == 12, (
+        f"orders source computed {c.value} rows for 12 input rows — "
+        "the contingency cells must be checkpointed once")
