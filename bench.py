@@ -162,6 +162,31 @@ def _host_calibration_sec(spark) -> float:
     return round(min(runs), 3)
 
 
+def _host_calibration_shuffle_sec(spark) -> float:
+    """Second calibration probe (round 16): 256 SHORT map tasks + one
+    exchange + a keyed aggregate — constant-size, in-memory, zero
+    repo code.  The r16 run-1 data point showed why one probe is not
+    enough: the suites sat +82% above floor while the single-long-stage
+    CPU probe read AT floor — that drift shape lives in task
+    scheduling / process churn / page-cache, which only a
+    many-short-tasks + shuffle workload exercises.  Read the pair
+    (cpu probe, shuffle probe) against their BASELINE.md references:
+    cpu high → raw throughput drift; cpu at floor + shuffle high →
+    scheduling-shaped drift (the r15 run-4 / r16 run-1 signature);
+    both at floor + suites high → suspect the code."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (spark.range(0, 4_000_000, 1, 256)
+         .groupBy(F.pmod(F.xxhash64("id"), F.lit(997)).alias("k"))
+         .agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.sum("n")).collect())
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -235,10 +260,12 @@ def main() -> int:
     # value far from the pre value flags mid-run host drift (neither is
     # attributable to repo code — the probe never touches it).
     calib_pre = _host_calibration_sec(spark)
+    calib_shuffle_pre = _host_calibration_shuffle_sec(spark)
     timings, best_of, cold = run_suite(HEADLINE)
     llm_timings, llm_best_of, llm_cold = run_suite(HEADLINE_LLM)
     sem_timings, sem_best_of, sem_cold = run_suite(SEMANTICS)
     calib_post = _host_calibration_sec(spark)
+    calib_shuffle_post = _host_calibration_shuffle_sec(spark)
 
     total = round(sum(timings.values()), 3)
     # Key order matters (round-6 verdict item 6): the driver records
@@ -256,6 +283,8 @@ def main() -> int:
         "semantics_queries_best_of_3": sem_best_of,
         "host_calibration_sec": calib_pre,
         "host_calibration_post_sec": calib_post,
+        "host_calibration_shuffle_sec": calib_shuffle_pre,
+        "host_calibration_shuffle_post_sec": calib_shuffle_post,
         "semantics_queries": sem_timings,
         "llm_queries": llm_timings,
         "queries": timings,
