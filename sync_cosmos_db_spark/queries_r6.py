@@ -2332,23 +2332,31 @@ def stream_rate_limit_hourly(spark: SparkSession,
     from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
 
     ev = load_table(spark, sf_dir, "events")
+    # persist the ntile slicing across the 4 slice writes: each write
+    # otherwise re-executes the single-partition global sort behind
+    # ntile (4 sorts + 4 scans per invocation — guide §2.4, remove
+    # repeated passes).  Released as soon as the slices are on disk.
     sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))).persist()
     tmp = tempfile.mkdtemp(prefix="rl_stream_")
-    for i in range(1, 5):
-        (sliced.filter(F.col("slice") == i).drop("slice")
-         .coalesce(1).write.mode("append").parquet(tmp))
-        # force strictly increasing mtimes so the file source replays
-        # slices in event-time order regardless of write latency —
-        # stamping ONLY files not yet in the forced 1e9 range, so slice
-        # i's file alone gets 1e9+i·1000 (re-stamping everything would
-        # leave all files on the last stamp; advisor r8 finding)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                full = os.path.join(tmp, f)
-                cur = os.stat(full)
-                if cur.st_mtime > 1_100_000_000:
-                    os.utime(full, (cur.st_atime, 1_000_000_000 + i * 1000))
+    try:
+        for i in range(1, 5):
+            (sliced.filter(F.col("slice") == i).drop("slice")
+             .coalesce(1).write.mode("append").parquet(tmp))
+            # force strictly increasing mtimes so the file source replays
+            # slices in event-time order regardless of write latency —
+            # stamping ONLY files not yet in the forced 1e9 range, so slice
+            # i's file alone gets 1e9+i·1000 (re-stamping everything would
+            # leave all files on the last stamp; advisor r8 finding)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    full = os.path.join(tmp, f)
+                    cur = os.stat(full)
+                    if cur.st_mtime > 1_100_000_000:
+                        os.utime(full,
+                                 (cur.st_atime, 1_000_000_000 + i * 1000))
+    finally:
+        sliced.unpersist()
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(tmp))
     emitted = run_stream_to_memory(

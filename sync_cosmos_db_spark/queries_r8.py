@@ -55,23 +55,30 @@ def stream_rate_limit_hourly_batchmerge(spark: SparkSession,
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # persist the ntile slicing across the 4 slice writes (guide §2.4):
+    # each write otherwise re-executes the single-partition global sort
+    # behind ntile — 4 sorts + 4 scans per invocation.
     sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))).persist()
     tmp = tempfile.mkdtemp(prefix="rl_bm_stream_")
-    for i in range(1, 5):
-        (sliced.filter(F.col("slice") == i).drop("slice")
-         .coalesce(1).write.mode("append").parquet(tmp))
-        # strictly increasing mtimes: the file source replays slices in
-        # event-time order regardless of write latency.  Only files NOT
-        # yet stamped (real 2020s mtime ≫ the forced 1e9 range) get
-        # slice i's stamp — re-stamping everything each iteration would
-        # leave all files sharing the LAST stamp (advisor r8 finding).
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                full = os.path.join(tmp, f)
-                cur = os.stat(full)
-                if cur.st_mtime > 1_100_000_000:
-                    os.utime(full, (cur.st_atime, 1_000_000_000 + i * 1000))
+    try:
+        for i in range(1, 5):
+            (sliced.filter(F.col("slice") == i).drop("slice")
+             .coalesce(1).write.mode("append").parquet(tmp))
+            # strictly increasing mtimes: the file source replays slices in
+            # event-time order regardless of write latency.  Only files NOT
+            # yet stamped (real 2020s mtime ≫ the forced 1e9 range) get
+            # slice i's stamp — re-stamping everything each iteration would
+            # leave all files sharing the LAST stamp (advisor r8 finding).
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    full = os.path.join(tmp, f)
+                    cur = os.stat(full)
+                    if cur.st_mtime > 1_100_000_000:
+                        os.utime(full,
+                                 (cur.st_atime, 1_000_000_000 + i * 1000))
+    finally:
+        sliced.unpersist()
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(tmp))
     state_dir = tempfile.mkdtemp(prefix="rl_bm_state_")
