@@ -203,21 +203,28 @@ def global_token_offsets(
     """
     bounds = df.approxQuantile(
         id_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    bucket = F.lit(0)
-    for i, b in enumerate(sorted(set(bounds))):
-        bucket = F.when(F.col(id_col) > b, F.lit(i + 1)).otherwise(bucket)
+    # bucket = number of boundaries strictly below the id — ONE
+    # array-literal HOF instead of an n_buckets-deep nested CASE WHEN
+    # chain (the chain re-paid ~1 s of driver-side analysis/codegen on
+    # EVERY invocation; same values, flat expression).
+    bnds = sorted(set(bounds))
+    bucket = F.size(F.filter(
+        F.array(*[F.lit(b) for b in bnds]),
+        lambda b: F.col(id_col) > b)) if bnds else F.lit(0)
     tagged = df.withColumn("__bucket", bucket)
     totals = {r["__bucket"]: r["__t"] for r in
               tagged.groupBy("__bucket")
               .agg(F.sum(n_tokens_col).alias("__t")).collect()}
-    prefix, acc = {}, 0
-    for b in sorted(totals):
-        prefix[b] = acc
-        acc += totals[b]
-    pref_expr = F.lit(0)
-    for b, off in sorted(prefix.items()):
-        pref_expr = F.when(F.col("__bucket") == b, F.lit(off)) \
-            .otherwise(pref_expr)
+    # exclusive prefix of per-bucket totals over the FULL bucket range
+    # (unobserved buckets have no rows; their entry is still the
+    # mathematically correct prefix), indexed in-row via element_at —
+    # the flat twin of the old per-observed-bucket WHEN chain.
+    pref_vals, acc = [], 0
+    for b in range(len(bnds) + 1):
+        pref_vals.append(acc)
+        acc += totals.get(b, 0)
+    pref_expr = F.element_at(F.array(*[F.lit(v) for v in pref_vals]),
+                             F.col("__bucket") + 1)
     from pyspark.sql import Window as W
     w = (W.partitionBy("__bucket").orderBy(id_col)
          .rowsBetween(W.unboundedPreceding, -1))
@@ -252,22 +259,22 @@ def global_sort_index(
 
     bounds = df.approxQuantile(
         value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    bucket = F.lit(0)
-    for i, b in enumerate(sorted(set(bounds))):
-        bucket = F.when(F.col(value_col) > b, F.lit(i + 1)) \
-            .otherwise(bucket)
+    # flat array-literal bucket + prefix lookup instead of two
+    # n_buckets-deep nested WHEN chains — see global_token_offsets.
+    bnds = sorted(set(bounds))
+    bucket = F.size(F.filter(
+        F.array(*[F.lit(b) for b in bnds]),
+        lambda b: F.col(value_col) > b)) if bnds else F.lit(0)
     tagged = df.withColumn("__bucket", bucket)
     counts = {r["__bucket"]: r["__c"] for r in
               tagged.groupBy("__bucket")
               .agg(F.count("*").alias("__c")).collect()}
-    prefix, acc = {}, 0
-    for b in sorted(counts):
-        prefix[b] = acc
-        acc += counts[b]
-    pref_expr = F.lit(0)
-    for b, off in sorted(prefix.items()):
-        pref_expr = F.when(F.col("__bucket") == b, F.lit(off)) \
-            .otherwise(pref_expr)
+    pref_vals, acc = [], 0
+    for b in range(len(bnds) + 1):
+        pref_vals.append(acc)
+        acc += counts.get(b, 0)
+    pref_expr = F.element_at(F.array(*[F.lit(v) for v in pref_vals]),
+                             F.col("__bucket") + 1)
     w = W.partitionBy("__bucket").orderBy(value_col, tiebreak_col)
     return (tagged.withColumn(
         out_col,

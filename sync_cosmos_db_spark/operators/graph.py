@@ -41,6 +41,19 @@ from sync_cosmos_db_spark.cache_scope import (
 )
 
 
+def _caller_cached(df: DataFrame) -> bool:
+    """True when ``df``'s PLAN is already cached (ADVICE r16):
+    ``DataFrame.is_cached`` is an object-local Python flag set only by
+    ``persist()`` on the exact handle, so a caller holding an
+    equivalent-plan cache under a DIFFERENT handle went undetected —
+    the operator's own persist was a CacheManager no-op and its
+    ``finally`` unpersist then dropped the CALLER's cache entry.
+    ``Dataset.storageLevel`` consults the CacheManager by canonicalized
+    plan, so it sees caches under any handle."""
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk or lvl.useOffHeap
+
+
 def symmetrize(edges: DataFrame, src: str = "src",
                dst: str = "dst") -> DataFrame:
     """Both edge directions in ONE pass over the input — the
@@ -231,7 +244,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3,
     # Skipped when the CALLER already cached the frame (ADVICE r15):
     # unpersisting a caller-owned cache here would silently drop it
     # for later operator calls sharing the same edge plan.
-    own_cache = not edges.is_cached
+    own_cache = not _caller_cached(edges)
     if own_cache:
         edges = edges.persist()
     try:
@@ -289,9 +302,16 @@ def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
     # aggregation, so the dominant stage ran 8 times.  Released before
     # return — dist is an eager checkpoint, independent of edges.
     # Caller-owned caches are left alone (ADVICE r15, see bfs_hops).
-    own_cache = not edges.is_cached
+    own_cache = not _caller_cached(edges)
     if own_cache:
         edges = edges.persist()
+        # eager materialization BEFORE the limit(1) probe: a limited
+        # scan stops mid-partition, and only FULLY computed partitions
+        # enter the cache — so the probe left the cache empty and the
+        # first relax round re-ran the whole edge plan (profiled: the
+        # lineitem⋈orders aggregation's 12.3 MB exchange written twice
+        # per call at sf0.1).
+        edges.count()
     try:
         if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
             raise ValueError(
@@ -387,7 +407,7 @@ def min_label_propagation(edges: DataFrame, rounds: int = 3,
     # computations per input row.  Released before return — labels is
     # an eager checkpoint, independent of edges.
     # Caller-owned caches are left alone (ADVICE r15, see bfs_hops).
-    own_cache = not edges.is_cached
+    own_cache = not _caller_cached(edges)
     if own_cache:
         edges = edges.persist()
     try:
@@ -494,7 +514,7 @@ def hits_scores(edges: DataFrame, src_col: str = "src",
     # persist (ADVICE r15): e is a narrow projection of the cached
     # frame, so every pass reads the caller's cache, and persisting /
     # unpersisting here would duplicate then drop nothing useful.
-    own_cache = not edges.is_cached
+    own_cache = not _caller_cached(edges)
     if own_cache:
         e = e.persist()
     try:

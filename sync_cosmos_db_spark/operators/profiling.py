@@ -605,14 +605,21 @@ def poisson_bootstrap_ci(df: DataFrame, key_col: str, value_col: str,
     2.5%/97.5% interpolated percentiles of the resample means."""
     import math
 
+    from sync_cosmos_db_spark.operators.dedup import spread
+
     p = 10 ** round_digits
     fr = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
     x = F.col(value_col).cast("double")
     n_chunks = math.ceil(n_resamples / 10)
     c = F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))).alias("c")
     j = F.explode(F.sequence(F.lit(0), F.lit(9))).alias("j")
-    drawn = (df.select(F.col(key_col).cast("string").alias("k"),
-                       x.alias("x"))
+    # spread() BEFORE the xB in-row expansion (guide §2.5 input skew):
+    # a compact input (one parquet split) otherwise runs the whole
+    # sha256 x n_resamples expansion on 1-2 cores — measured 4.4 s of
+    # the member's 5.3 s wall in a single task at sf0.1.  The shuffle
+    # moves only the (key, value) projection, never the expansion.
+    drawn = (spread(df.select(F.col(key_col).cast("string").alias("k"),
+                              x.alias("x")))
              .select("k", "x", c)
              .withColumn("__h", F.sha2(F.concat_ws(
                  ":", F.col("k"), F.col("c"), F.lit(salt)), 256))
