@@ -357,7 +357,15 @@ def doc_ngrams(df: DataFrame, id_col: str, text_col: str,
             starts, lambda s: F.concat_ws(" ", F.slice(toks, s, n))))
 
     grams = let(F.split(F.col(text_col), " "), body)
-    return df.select(F.col(id_col), F.explode(grams).alias(out_col))
+    # spread() first (guide §2.5): the gram build is CPU-dense per row
+    # and a compact input (one parquet split) otherwise runs it on 1-2
+    # cores — profiled as a 1-task stage feeding the decontam gram
+    # join.  Only the (id, text) projection is shuffled; at 100 TB the
+    # scan already yields >= parallelism splits and this is a no-op.
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    return (spread(df.select(F.col(id_col), F.col(text_col)), [id_col])
+            .select(F.col(id_col), F.explode(grams).alias(out_col)))
 
 
 def ngram_contamination(

@@ -207,10 +207,16 @@ def editdist_join(df: DataFrame, id_col: str, text_col: str,
     # pick builds the exploded probe side in executor heap and OOMs
     # (measured: 50k same-length shared-prefix SKUs OOM a 1 GiB
     # executor under broadcast, finish in ~21 s under SMJ).
+    # pair-keyed user repartition before the distinct, for the same
+    # reason as the FastSS path below: AQE would size the dedup+verify
+    # stage by candidate bytes, not the levenshtein CPU behind them.
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     cand = (segs.hint("shuffle_merge")
             .join(probes.hint("shuffle_merge"), ["l", "i", "seg"])
             .filter(F.col("id") != F.col("pid"))
-            .select("id", "pid").distinct())
+            .select("id", "pid")
+            .repartition(target, "id", "pid").distinct())
     sa = s.select(F.col("id"), F.col("txt").alias("ta"))
     sb = s.select(F.col("id").alias("pid"), F.col("txt").alias("tb"))
     verified = (cand.join(sa, "id").join(sb, "pid")
@@ -244,9 +250,19 @@ def _editdist_join_fastss(df: DataFrame, id_col: str,
     a = variants
     b = variants.select(F.col("id").alias("pid"),
                         F.col("var").alias("var"))
+    # Pin the dedup+verify stage's width with a user repartition on the
+    # pair key (exempt from AQE coalescing; it REPLACES the distinct's
+    # own exchange, so no extra shuffle): AQE sizes the post-shuffle
+    # stage by candidate-pair BYTES and is blind to the per-pair
+    # levenshtein CPU behind them — profiled 8 tasks on 9.1 MB with 24
+    # cores idle at sf0.1.  Floor semantics as in the JW scorer: never
+    # down-partition a wide pair stream.
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
     cand = (a.join(b, "var")
             .filter(F.col("id") < F.col("pid"))
-            .select("id", "pid").distinct())
+            .select("id", "pid")
+            .repartition(target, "id", "pid").distinct())
     sa = s.select(F.col("id"), F.col("txt").alias("ta"))
     sb = s.select(F.col("id").alias("pid"), F.col("txt").alias("tb"))
     return (cand.join(sa, "id").join(sb, "pid")
