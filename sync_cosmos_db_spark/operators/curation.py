@@ -201,6 +201,12 @@ def global_token_offsets(
     Returns the input columns plus ``__offset`` (tokens before this doc
     in id order).
     """
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    # spread() first (guide §2.5): a compact single-split input
+    # otherwise runs the bucket tagging + per-bucket totals (and the
+    # quantile pass) in ONE task; floor-only, a no-op on wide scans.
+    df = spread(df)
     bounds = df.approxQuantile(
         id_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
     # bucket = number of boundaries strictly below the id — ONE
@@ -257,6 +263,10 @@ def global_sort_index(
     """
     from pyspark.sql import Window as W
 
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    # spread() first — see global_token_offsets.
+    df = spread(df)
     bounds = df.approxQuantile(
         value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
     # flat array-literal bucket + prefix lookup instead of two

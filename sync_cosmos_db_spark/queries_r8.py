@@ -200,17 +200,37 @@ def sketch_profile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the exact distinct is itself a second hash shuffle that
     the production profile (``sketch_profile``) deliberately avoids —
     here it IS the point."""
-    ev = load_table(spark, sf_dir, "events")
-    prof = ev.groupBy("event_type").agg(
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    # spread() the projected scan (guide §2.5): the single-split events
+    # file otherwise runs the whole percentile/HLL partial aggregation
+    # in ONE task (profiled 3.2 s single-task at sf0.1).  Every output
+    # column is an EXACT aggregate (the approx sketches only feed the
+    # violation flags, whose error bounds hold under any partial-merge
+    # order), so the result is unchanged.
+    ev = spread(load_table(spark, sf_dir, "events")
+                .select("event_type", "user_id", "value"))
+    # one QuantileSummaries / one exact-percentile buffer per group
+    # instead of five: the array forms build a SINGLE state over the
+    # same input sequence and interpolate every requested quantile
+    # from it, so the values are bit-identical to the separate
+    # aggregates they replace — the per-group buffer work (the
+    # dominant cost of this 5-group aggregate) drops ~2x.
+    prof = (ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("ad"),
         F.count_distinct("user_id").cast("long").alias("n_users_exact"),
-        F.percentile_approx("value", 0.5).alias("ap50"),
-        F.percentile_approx("value", 0.99).alias("ap99"),
-        F.percentile("value", 0.40).alias("lo50"),
-        F.percentile("value", 0.60).alias("hi50"),
-        F.percentile("value", 0.97).alias("lo99"),
+        F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.99)))
+        .alias("__ap"),
+        F.percentile("value", F.array(F.lit(0.40), F.lit(0.60),
+                                      F.lit(0.97))).alias("__ex"),
         F.max("value").alias("hi99"),
         F.count(F.lit(1)).cast("long").alias("n"))
+        .select("event_type", "ad", "n_users_exact", "hi99", "n",
+                F.col("__ap")[0].alias("ap50"),
+                F.col("__ap")[1].alias("ap99"),
+                F.col("__ex")[0].alias("lo50"),
+                F.col("__ex")[1].alias("hi50"),
+                F.col("__ex")[2].alias("lo99")))
     viol = (
         F.when(F.col("ad") < 0.85 * F.col("n_users_exact"), 1).otherwise(0)
         + F.when(F.col("ad") > 1.15 * F.col("n_users_exact"), 1).otherwise(0)

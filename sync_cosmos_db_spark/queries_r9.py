@@ -1767,6 +1767,7 @@ def permutation_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     are 1e-6-rounded before the extreme count so both engines compare
     identical values."""
     from sync_cosmos_db_spark.operators.curation import hash_bucket
+    from sync_cosmos_db_spark.operators.dedup import spread
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", F.col("o_totalprice").alias("v"))
@@ -1778,7 +1779,11 @@ def permutation_test_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = o.agg(r6(F.avg(F.when(arm == 1, F.col("v")))
                    - F.avg(F.when(arm == 0, F.col("v"))))
                 .alias("diff_obs"))
-    exploded = o.withColumn(
+    # spread() BEFORE the xB explode (guide §2.5, the X140 bootstrap
+    # fix's twin): the single-split orders scan otherwise runs all
+    # B x rows sha2 bucketings in ONE task (profiled 8.4 s single-task
+    # at sf0.1); only the 2-column projection is shuffled.
+    exploded = spread(o).withColumn(
         "b", F.explode(F.array(*[F.lit(i) for i in range(1, _PERM_B + 1)])))
     parm = hash_bucket(
         F.concat(F.col("o_custkey").cast("string"), F.lit("#"),
