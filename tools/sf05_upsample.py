@@ -98,6 +98,14 @@ def main() -> None:
         _gen_events(args, K)
     if want("customer"):
         _gen_customer(args, K)
+    elif args.namevar:
+        # --namevar only has an effect inside the customer generator
+        # (ADVICE r16): passing it while --tables excludes customer
+        # would otherwise silently do nothing.
+        raise SystemExit(
+            "--namevar requires 'customer' in --tables (the namevar "
+            "slice is a customer.parquet variant)")
+    print("done: tables", args.tables or "ALL", "->", args.out)
 
 
 def _gen_documents(args, K: int) -> None:
