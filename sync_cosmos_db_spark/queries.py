@@ -488,6 +488,46 @@ EDITED_ROUND.update(dict.fromkeys(
 # one task); 76.8 s → 9.5 s at sf0.1.
 EDITED_ROUND.update({"jaro_winkler_customers": 12})
 
+# Round-17 edits (the optimization round — every change is
+# result-identical and was hash-verified in-round, but the driver
+# sweep must still re-row post-edit; OPTIMIZATION_r17.md):
+#   * streaming/stateful.py per-key Python-boundary cuts + the slice-
+#     write persist in the wrappers — all six streaming forms + the
+#     user-totals demo;
+#   * profiling.poisson_bootstrap_ci + queries_r9 permutation test +
+#     queries_r8 sketch bounds: spread() before compact-scan
+#     expansions (+ array quantile forms for the sketch bounds);
+#   * setsim_join: int64-id verify with injectivity guard;
+#   * graph.bellman_ford: eager edge-cache materialization before the
+#     limit(1) probe;
+#   * linkage.editdist_join: pair-keyed repartition before the verify;
+#   * curation.doc_ngrams spread + global_sort_index /
+#     global_token_offsets flattened bucket exprs + spread — every
+#     query flowing through those helpers (directly or via
+#     roc_auc / feature_screen_auc / equi_depth_histogram /
+#     chunk_documents / build_dimension / token_budget_select /
+#     quantile_normalize / pack_sequences / zone_map_skip_audit).
+EDITED_ROUND.update(dict.fromkeys(
+    ["stream_rate_limit_hourly", "stream_rate_limit_hourly_tws",
+     "stream_rate_limit_hourly_batchmerge", "stream_cdc_apply_orders",
+     "stream_cdc_apply_orders_tws", "stream_stateful_user_totals",
+     "bootstrap_ci_order_price", "permutation_test_orders",
+     "sketch_profile_bounds", "setsim_join_docs",
+     "bellman_ford_trade_distance", "editdist_pairs_customers",
+     "decontam_eval_train_overlap", "decontam_flagged_evals",
+     "pack_sequences_64", "quantile_normalize_doc_lengths",
+     "token_budget_select_documents", "chunk_documents_overlap",
+     "equi_depth_orders_price", "roc_auc_orders",
+     "feature_screen_orders", "zone_map_audit_lineitem",
+     "woe_price_deciles", "gains_table_orders",
+     "dimension_orders_priority_status"], 17))
+# Round-17 no-entry decisions: graph.py's caller-cache detection fix
+# (storageLevel instead of is_cached) changes NOTHING for the
+# registered graph queries (no registered caller pre-caches edges), so
+# bfs_3hop_nation1 / label_propagation_docs / hits_customer_supplier /
+# pagerank_customer_supplier carry no entry; all four were
+# hash-re-verified this round anyway.
+
 # Round-12 note (auditable no-entry decision): the ADVICE-r11 JPEG
 # decoder hardening (fill-byte skip, multi-scan rejection, 1<<24 dim
 # cap in operators/jpeg.py) is NOT query-visible for
