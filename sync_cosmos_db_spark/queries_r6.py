@@ -2028,24 +2028,41 @@ def build_cdc_changes(snap: DataFrame) -> DataFrame:
     """The deterministic I/U/D change log both X156 forms replay (and
     X53's oracle describes): mod-7 keys get two competing upserts at
     seq 1 and 3, mod-11 keys a tombstone at seq 2, mod-13 keys an
-    insert under a fresh negative key."""
+    insert under a fresh negative key.
+
+    ONE pass over the snapshot (round 17, guide §2.4 — the symmetrize
+    pattern): the previous 4-branch union executed the orders scan
+    once per branch in every consumer job.  Each row conditionally
+    emits its 0–3 events via an in-row build + null-filter + explode;
+    per-event arithmetic is unchanged, so the ROW SET is identical
+    (event order is irrelevant — every consumer repartitions, and the
+    (seq DESC, op ASC) collapse is an order-independent fold)."""
     k, p, s = (F.col("o_orderkey"), F.col("o_totalprice"),
                F.col("o_orderstatus"))
 
-    def ev(df, key, price, status, seq, op):
-        return df.select(key.alias("o_orderkey"),
-                         price.alias("o_totalprice"),
-                         status.alias("o_orderstatus"),
-                         F.lit(seq).cast("long").alias("seq"),
-                         F.lit(op).alias("op"))
+    def ev(cond, key, price, status, seq, op):
+        return F.when(cond, F.struct(
+            key.alias("o_orderkey"),
+            price.alias("o_totalprice"),
+            status.alias("o_orderstatus"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op")))
 
-    base7 = snap.filter(k % 7 == 0)
-    return (
-        ev(base7, k, p * 1.1, s, 1, "U")
-        .unionAll(ev(base7, k, p + 55.5, s, 3, "U"))
-        .unionAll(ev(snap.filter(k % 11 == 0), k, p, s, 2, "D"))
-        .unionAll(ev(snap.filter(k % 13 == 0), -k, p / 2, F.lit("N"),
-                     1, "U")))
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    events = F.array(
+        ev(k % 7 == 0, k, p * 1.1, s, 1, "U"),
+        ev(k % 7 == 0, k, p + 55.5, s, 3, "U"),
+        ev(k % 11 == 0, k, p, s, 2, "D"),
+        ev(k % 13 == 0, -k, p / 2, F.lit("N"), 1, "U"))
+    # spread() so the conditional emit parallelizes off the compact
+    # single-split scan (the union it replaced got its wall-clock from
+    # running the SAME scan 4x on idle cores — fine locally, 4 full
+    # scans at 100 TB)
+    return (spread(snap)
+            .select(F.explode(F.filter(
+                events, lambda x: x.isNotNull())).alias("__ev"))
+            .select("__ev.*"))
 
 
 @query("stream_cdc_apply_orders", _CDC_ORACLE)
