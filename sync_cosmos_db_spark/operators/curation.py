@@ -209,15 +209,11 @@ def global_token_offsets(
     df = spread(df)
     bounds = df.approxQuantile(
         id_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    # bucket = number of boundaries strictly below the id — ONE
-    # array-literal HOF instead of an n_buckets-deep nested CASE WHEN
-    # chain (the chain re-paid ~1 s of driver-side analysis/codegen on
-    # EVERY invocation; same values, flat expression).
+    # bucket = number of boundaries strictly below the id — the shared
+    # array-literal filter() HOF (see _flat_bucket for why that form
+    # beat both the nested WHEN chains and a flat CaseWhen ladder).
     bnds = sorted(set(bounds))
-    bucket = F.size(F.filter(
-        F.array(*[F.lit(b) for b in bnds]),
-        lambda b: F.col(id_col) > b)) if bnds else F.lit(0)
-    tagged = df.withColumn("__bucket", bucket)
+    tagged = df.withColumn("__bucket", _flat_bucket(F.col(id_col), bnds))
     totals = {r["__bucket"]: r["__t"] for r in
               tagged.groupBy("__bucket")
               .agg(F.sum(n_tokens_col).alias("__t")).collect()}
@@ -239,6 +235,29 @@ def global_token_offsets(
         (pref_expr + F.coalesce(F.sum(n_tokens_col).over(w), F.lit(0)))
         .cast("long"))
         .drop("__bucket"))
+
+
+def _flat_bucket(value: Column, bnds: list) -> Column:
+    """Number of ``bnds`` entries strictly below ``value`` — the r17
+    array-literal ``filter()`` HOF, now the ONE shared bucket-tagging
+    expression for every two-phase-scan helper (curation + profiling).
+
+    Why this form and not a CASE WHEN ladder (r18, measured): a flat
+    63-branch CaseWhen IS codegen-capable and linear to analyze, but
+    it still costs ~0.3–0.4 s of serial driver-side analysis/codegen
+    wall per invocation (measured on pack_sequences_64 1.33→1.76 s and
+    quantile_normalize 1.51→1.80 s warm bo3 — reverted same round),
+    while the HOF's interpreted per-row × per-boundary cost lives on
+    the EXECUTORS and parallelizes: the heaviest consumer (zone-map,
+    600k rows × 63 boundaries) profiles ~4 s CPU per tagging pass ≈
+    0.13 s wall at 32-way parallelism.  The nested when/otherwise
+    chains both forms replaced cost ~1 s driver analysis per
+    invocation (r17).  ``bnds`` must be sorted ascending and
+    duplicate-free."""
+    if not bnds:
+        return F.lit(0)
+    return F.size(F.filter(F.array(*[F.lit(b) for b in bnds]),
+                           lambda b: value > b))
 
 
 def global_sort_index(
@@ -269,13 +288,11 @@ def global_sort_index(
     df = spread(df)
     bounds = df.approxQuantile(
         value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    # flat array-literal bucket + prefix lookup instead of two
-    # n_buckets-deep nested WHEN chains — see global_token_offsets.
+    # shared array-literal HOF bucket (see _flat_bucket) + element_at
+    # prefix lookup instead of two n_buckets-deep nested WHEN chains.
     bnds = sorted(set(bounds))
-    bucket = F.size(F.filter(
-        F.array(*[F.lit(b) for b in bnds]),
-        lambda b: F.col(value_col) > b)) if bnds else F.lit(0)
-    tagged = df.withColumn("__bucket", bucket)
+    tagged = df.withColumn("__bucket",
+                           _flat_bucket(F.col(value_col), bnds))
     counts = {r["__bucket"]: r["__c"] for r in
               tagged.groupBy("__bucket")
               .agg(F.count("*").alias("__c")).collect()}

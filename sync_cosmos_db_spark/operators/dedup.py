@@ -63,10 +63,28 @@ def spread(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     semantics throughout (the ADVICE r12 linkage lesson generalized,
     round 13): only a frame measured narrower than the target is
     repartitioned, file-backed or derived alike."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    target, narrow = floor_width(df)
+    if not narrow:
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def floor_width(df: DataFrame) -> tuple[int, bool]:
+    """The shared floor-semantics width decision (ADVICE r17: this
+    lived inline in ``spread()`` and twice in ``operators/linkage``):
+    ``(max(defaultParallelism, measured splits), measured < default
+    parallelism)``.  The first element is the partition count a
+    CPU-dense stage over ``df`` (or a pair stream derived from it)
+    should be pinned to — floor-only, wide frames keep their own width
+    so nothing is ever down-partitioned (the ADVICE r12/r13 lineage);
+    the second says whether the frame measured NARROW (``spread()``
+    no-ops when it didn't).  The measurement is ONE
+    ``df.rdd.getNumPartitions()`` call — a plan→RDD conversion, no job
+    on a narrow plan; see :func:`spread` for why file count is
+    deliberately not consulted."""
+    dp = df.sparkSession.sparkContext.defaultParallelism
+    parts = df.rdd.getNumPartitions()
+    return max(dp, parts), parts < dp
 
 
 # ---------------------------------------------------------------------------

@@ -131,14 +131,16 @@ def pagerank(
             base.count()
             nodes = nodes.persist()
             e = e.persist()
+        # One action instead of three (guide §2.6 / r17 verdict item 8
+        # — the member was scheduling-bound across 9 sequential jobs):
+        # nodes.count() is the ONLY driver-side scalar the plan needs;
+        # e is persisted LAZILY and fills from base's cache inside the
+        # final materialization job below, so its separate eager
+        # count() job is gone.  base stays cached until then.
         n_nodes = nodes.count()  # scalar to the driver — bounded by design
-        if persist_each_iter:
-            e.count()  # fill e's cache from base's, then drop base
-            base.unpersist()
         teleport = (1.0 - damping) / n_nodes
 
         pr = nodes.withColumn("pr", F.lit(1.0 / n_nodes))
-        prev = None
         for _ in range(n_iter):
             contrib = (e.join(pr.withColumnRenamed("node", "__src"),
                               "__src")
@@ -151,19 +153,33 @@ def pagerank(
                             + damping * F.coalesce(F.col("__c"),
                                                    F.lit(0.0)))
                            .alias("pr")))
-            if persist_each_iter:
-                nxt = nxt.persist()
-                nxt.count()  # materialize; keeps lineage one-hop deep
-                if prev is not None:
-                    prev.unpersist()
-                prev = nxt
             pr = nxt
+        if persist_each_iter and n_iter > 0:
+            # The iteration chain is LINEAR — each pr(k) is referenced
+            # exactly once (by contrib(k+1)), and the multiply-
+            # referenced relations (e ×n_iter, nodes ×n_iter+1) are
+            # cached above — so the per-iteration persist+count jobs
+            # that kept "lineage one-hop deep" were pure scheduling
+            # overhead for a bounded n_iter: ONE materialization job
+            # here runs the whole chain, computing every operator
+            # exactly once (e fills its cache on first use inside this
+            # job; iterations are sequential shuffle stages).  The
+            # result must be materialized BEFORE the finally drops the
+            # e/nodes caches, or a later consumer would recompute e
+            # once per iteration (the r17 bellman_ford limit(1)
+            # lesson: only a full action populates a persist).  For
+            # UNBOUNDED iteration counts the per-round checkpoint
+            # discipline of bfs_hops/bellman_ford still applies — at
+            # n_iter ≈ 3–20 the plan depth is trivially safe.
+            pr = pr.persist()
+            pr.count()
+            base.unpersist()
     finally:
         if persist_each_iter:
             base.unpersist()  # idempotent if already released above
             nodes.unpersist()
             e.unpersist()
-    if persist_each_iter and prev is not None:
+    if persist_each_iter and n_iter > 0:
         register_persisted(pr)
     return pr
 
@@ -313,6 +329,14 @@ def bellman_ford(edges: DataFrame, seeds: DataFrame, rounds: int = 3,
         # per call at sf0.1).
         edges.count()
     try:
+        # The probe deliberately runs AFTER the eager count: on the
+        # (overwhelmingly common) all-non-negative path it must scan
+        # every row anyway to conclude none is negative, so reading the
+        # cache is optimal; probing FIRST would double-pay the edge
+        # plan (limit-probe partial scans don't populate the persist).
+        # The cost accepted in exchange (ADVICE r17): the ERROR path —
+        # a ValueError raised here — has already materialized the full
+        # edge plan once.
         if edges.filter(F.col(weight) < 0).limit(1).count() > 0:
             raise ValueError(
                 "bellman_ford: negative edge weights are not supported — "

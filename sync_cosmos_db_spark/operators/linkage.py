@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sync_cosmos_db_spark.operators.dedup import floor_width
+
 
 def blocking_keys(name: Column | str, key_len: int = 5) -> Column:
     """Array of blocking keys for a name: ``key_len``-char prefix and
@@ -210,8 +212,11 @@ def editdist_join(df: DataFrame, id_col: str, text_col: str,
     # pair-keyed user repartition before the distinct, for the same
     # reason as the FastSS path below: AQE would size the dedup+verify
     # stage by candidate bytes, not the levenshtein CPU behind them.
-    sc = df.sparkSession.sparkContext
-    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    # Floor semantics via the shared helper (ADVICE r17 — one place
+    # owns the getNumPartitions caveats); the floor is derived from the
+    # INPUT frame, a deliberate proxy for the pair stream it sizes
+    # (the pair stream's own split count is not knowable pre-shuffle).
+    target, _ = floor_width(df)
     cand = (segs.hint("shuffle_merge")
             .join(probes.hint("shuffle_merge"), ["l", "i", "seg"])
             .filter(F.col("id") != F.col("pid"))
@@ -255,10 +260,9 @@ def _editdist_join_fastss(df: DataFrame, id_col: str,
     # own exchange, so no extra shuffle): AQE sizes the post-shuffle
     # stage by candidate-pair BYTES and is blind to the per-pair
     # levenshtein CPU behind them — profiled 8 tasks on 9.1 MB with 24
-    # cores idle at sf0.1.  Floor semantics as in the JW scorer: never
-    # down-partition a wide pair stream.
-    sc = df.sparkSession.sparkContext
-    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    # cores idle at sf0.1.  Floor semantics via the shared helper
+    # (ADVICE r17): never down-partition a wide pair stream.
+    target, _ = floor_width(df)
     cand = (a.join(b, "var")
             .filter(F.col("id") < F.col("pid"))
             .select("id", "pid")

@@ -963,30 +963,36 @@ def value_midranks(vc: DataFrame, value_col: str = "v",
     vc = scoped_persist(vc)
     bounds = vc.approxQuantile(
         value_col, [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    bucket = F.lit(0)
-    for i, b in enumerate(sorted(set(bounds))):
-        bucket = F.when(F.col(value_col) > b, F.lit(i + 1)) \
-            .otherwise(bucket)
-    tagged = vc.withColumn("__bucket", bucket)
+    # bucket = number of boundaries strictly below the value — the
+    # shared flat HOF (r18, curation._flat_bucket), replacing the
+    # n_buckets-deep nested WHEN chain (same per-row values by
+    # boundary monotonicity; ~1 s driver analysis saved/invocation).
+    from sync_cosmos_db_spark.operators.curation import _flat_bucket
+    bnds = sorted(set(bounds))
+    tagged = vc.withColumn("__bucket",
+                           _flat_bucket(F.col(value_col), bnds))
     totals = {r["__bucket"]: {c: r[f"__t_{c}"] for c in all_counts}
               for r in tagged.groupBy("__bucket")
               .agg(*[F.sum(c).alias(f"__t_{c}") for c in all_counts])
               .collect()}
+    # exclusive prefix over the FULL bucket range (unobserved buckets
+    # contribute 0 — the same mathematically-correct prefix the old
+    # observed-buckets-only chain produced), indexed in-row via
+    # element_at (codegen-capable) instead of a per-bucket WHEN chain.
     prefix: dict = {}
     acc = {c: 0.0 for c in all_counts}
-    for b in sorted(totals):
+    for b in range(len(bnds) + 1):
         prefix[b] = dict(acc)
         for c in all_counts:
-            acc[c] += totals[b][c]
+            acc[c] += totals.get(b, {}).get(c, 0.0)
     w = (W.partitionBy("__bucket").orderBy(value_col)
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     out = tagged
     for c in all_counts:
-        pref_expr = F.lit(0.0)
-        for b, offs in sorted(prefix.items()):
-            pref_expr = (F.when(F.col("__bucket") == b,
-                                F.lit(float(offs[c])))
-                         .otherwise(pref_expr))
+        pref_expr = F.element_at(
+            F.array(*[F.lit(float(prefix[b][c]))
+                      for b in range(len(bnds) + 1)]),
+            F.col("__bucket") + 1)
         col_name = out_col if c == count_col else f"{out_col}_{c}"
         out = out.withColumn(
             col_name,
@@ -1555,23 +1561,37 @@ def abc_classification(df: DataFrame, key_col: str, value_col: str,
     n_buckets = 64
     bounds = cents.approxQuantile(
         "__c", [i / n_buckets for i in range(1, n_buckets)], 0.001)
-    # descending order: bucket 0 holds the LARGEST values
-    bucket = F.lit(len(set(bounds)))
-    for i, b in enumerate(sorted(set(bounds), reverse=True)):
-        bucket = F.when(F.col("__c") > b, F.lit(i)).otherwise(bucket)
-    tagged = cents.withColumn("__bucket", bucket)
+    # descending order: bucket 0 holds the LARGEST values.  bucket =
+    # number of boundaries AT OR ABOVE the value = m − (boundaries
+    # strictly below), via the shared flat HOF
+    # (r18, curation._flat_bucket).  The previous nested WHEN chain had its cascade
+    # backwards — the OUTERMOST when tested the SMALLEST boundary, so
+    # every value above the 1/64 quantile landed in one bucket and the
+    # "two-phase" cumsum ran effectively single-partition (results
+    # were still exact: totals/prefix/window were computed from the
+    # same tagging, and the bucket order invariant — all values in
+    # bucket i ≥ all values in bucket j>i, ties co-located because the
+    # predicate reads only __c — held for the two occupied buckets).
+    # This form restores the intended 64-way spread; per-row cum
+    # values are identical because the window's global (value DESC,
+    # key) order and the per-bucket prefix reconstruction are
+    # unchanged under ANY bucketing that respects that invariant.
+    from sync_cosmos_db_spark.operators.curation import _flat_bucket
+    bnds = sorted(set(bounds))
+    tagged = cents.withColumn(
+        "__bucket", F.lit(len(bnds)) - _flat_bucket(F.col("__c"), bnds))
     sums = {r["__bucket"]: r["__s"] for r in
             tagged.groupBy("__bucket")
             .agg(F.sum("__c").alias("__s")).collect()}
-    prefix, acc = {}, 0
-    for b in sorted(sums):
-        prefix[b] = acc
-        acc += sums[b]
+    # exclusive prefix over the FULL bucket range (unobserved buckets
+    # sum 0), indexed via element_at instead of a WHEN chain
+    pref_vals, acc = [], 0
+    for b in range(len(bnds) + 1):
+        pref_vals.append(acc)
+        acc += sums.get(b, 0)
     total = acc
-    pref_expr = F.lit(0)
-    for b, off in sorted(prefix.items()):
-        pref_expr = F.when(F.col("__bucket") == b, F.lit(off)) \
-            .otherwise(pref_expr)
+    pref_expr = F.element_at(F.array(*[F.lit(v) for v in pref_vals]),
+                             F.col("__bucket") + 1)
     w = (W.partitionBy("__bucket")
          .orderBy(F.col("__c").desc(), "__key")
          .rowsBetween(W.unboundedPreceding, 0))

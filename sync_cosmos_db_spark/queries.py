@@ -521,6 +521,36 @@ EDITED_ROUND.update(dict.fromkeys(
      "feature_screen_orders", "zone_map_audit_lineitem",
      "woe_price_deciles", "gains_table_orders",
      "dimension_orders_priority_status"], 17))
+# Round 18 (optimization round 2) — execution paths changed, results
+# hash-verified identical (OPTIMIZATION_r18.md):
+#   * graph.pagerank: iteration-chain materialized by ONE job (the
+#     per-iteration persist+count jobs removed; linear lineage);
+#   * the rate-limit stream wrappers: ntile(4) single-partition sort +
+#     4 filtered writes → two-phase-rank slicer + one partitioned
+#     write (streaming.windows.write_event_time_slices — slice
+#     membership bit-identical to ntile, unit-tested);
+#   * sinks.zone_map_skip_audit: per-predicate union branches → ONE
+#     aggregate per layout evaluating all predicates;
+#   * profiling.value_midranks / abc_classification: nested WHEN
+#     bucket/prefix chains → the shared flat HOF + element_at (abc's
+#     descending chain was additionally cascade-reversed — everything
+#     above the 1/64 quantile landed in one window partition; values
+#     unchanged, see the operator comment).
+EDITED_ROUND.update(dict.fromkeys(
+    ["pagerank_customer_supplier", "stream_rate_limit_hourly",
+     "stream_rate_limit_hourly_tws", "stream_rate_limit_hourly_batchmerge",
+     "zone_map_audit_lineitem", "abc_parts_revenue",
+     "kruskal_wallis_priority_price", "cvm_two_sample_arms",
+     "ranksum_building_machinery"], 18))
+# Round-18 no-entry decisions: operators/linkage + dedup.spread now
+# share the floor_width() helper (ADVICE r17) — the decision and the
+# resulting plans are bit-identical (plans/r18/editdist_* diff = expr
+# IDs only); curation.global_sort_index/global_token_offsets route
+# their bucket expression through the shared _flat_bucket, which IS
+# the r17 array-literal HOF expression (a flat-CaseWhen variant was
+# measured slower and reverted in-round), so their consumers' plans
+# are unchanged from r17.
+
 # Round-17 no-entry decisions: graph.py's caller-cache detection fix
 # (storageLevel instead of is_cached) changes NOTHING for the
 # registered graph queries (no registered caller pre-caches edges), so

@@ -2341,39 +2341,22 @@ def stream_rate_limit_hourly(spark: SparkSession,
     summed per window.  The oracle is X131's batch SQL verbatim —
     the streaming limiter must admit exactly the rows the batch
     row_number form admits."""
-    import os
     import tempfile
     import uuid
 
     from sync_cosmos_db_spark.streaming.stateful import rate_limit_stream
-    from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
+    from sync_cosmos_db_spark.streaming.windows import (
+        run_stream_to_memory,
+        write_event_time_slices,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    # persist the ntile slicing across the 4 slice writes: each write
-    # otherwise re-executes the single-partition global sort behind
-    # ntile (4 sorts + 4 scans per invocation — guide §2.4, remove
-    # repeated passes).  Released as soon as the slices are on disk.
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))).persist()
     tmp = tempfile.mkdtemp(prefix="rl_stream_")
-    try:
-        for i in range(1, 5):
-            (sliced.filter(F.col("slice") == i).drop("slice")
-             .coalesce(1).write.mode("append").parquet(tmp))
-            # force strictly increasing mtimes so the file source replays
-            # slices in event-time order regardless of write latency —
-            # stamping ONLY files not yet in the forced 1e9 range, so slice
-            # i's file alone gets 1e9+i·1000 (re-stamping everything would
-            # leave all files on the last stamp; advisor r8 finding)
-            for f in os.listdir(tmp):
-                if f.endswith(".parquet"):
-                    full = os.path.join(tmp, f)
-                    cur = os.stat(full)
-                    if cur.st_mtime > 1_100_000_000:
-                        os.utime(full,
-                                 (cur.st_atime, 1_000_000_000 + i * 1000))
-    finally:
-        sliced.unpersist()
+    # r18 (r17 verdict item 4): the slice ranks come from the two-phase
+    # range-partitioned scan and all 4 slices are written in ONE job —
+    # the previous ntile(4) form was an O(N) single-partition global
+    # sort + 4 filtered writes (see write_event_time_slices).
+    write_event_time_slices(ev, tmp, n_slices=4)
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(tmp))
     emitted = run_stream_to_memory(

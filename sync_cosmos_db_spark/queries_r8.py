@@ -47,38 +47,21 @@ def stream_rate_limit_hourly_batchmerge(spark: SparkSession,
     ``applyInPandasWithState`` live form it twins
     (``stream_rate_limit_hourly``, same 4-batch event-time-ordered
     replay, same X131 batch row_number oracle)."""
-    import os
     import tempfile
 
     from sync_cosmos_db_spark.streaming.stateful import (
         run_rate_limit_batchmerge,
     )
+    from sync_cosmos_db_spark.streaming.windows import (
+        write_event_time_slices,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    # persist the ntile slicing across the 4 slice writes (guide §2.4):
-    # each write otherwise re-executes the single-partition global sort
-    # behind ntile — 4 sorts + 4 scans per invocation.
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(Window.orderBy("ts", "event_id"))).persist()
     tmp = tempfile.mkdtemp(prefix="rl_bm_stream_")
-    try:
-        for i in range(1, 5):
-            (sliced.filter(F.col("slice") == i).drop("slice")
-             .coalesce(1).write.mode("append").parquet(tmp))
-            # strictly increasing mtimes: the file source replays slices in
-            # event-time order regardless of write latency.  Only files NOT
-            # yet stamped (real 2020s mtime ≫ the forced 1e9 range) get
-            # slice i's stamp — re-stamping everything each iteration would
-            # leave all files sharing the LAST stamp (advisor r8 finding).
-            for f in os.listdir(tmp):
-                if f.endswith(".parquet"):
-                    full = os.path.join(tmp, f)
-                    cur = os.stat(full)
-                    if cur.st_mtime > 1_100_000_000:
-                        os.utime(full,
-                                 (cur.st_atime, 1_000_000_000 + i * 1000))
-    finally:
-        sliced.unpersist()
+    # r18 (r17 verdict item 4): two-phase-scan slice ranks + ONE
+    # slice-partitioned write replace the single-partition ntile sort
+    # and the 4 filtered writes (see write_event_time_slices).
+    write_event_time_slices(ev, tmp, n_slices=4)
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(tmp))
     state_dir = tempfile.mkdtemp(prefix="rl_bm_state_")
@@ -193,8 +176,14 @@ def sketch_profile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``percentile_approx(0.99)`` between the exact 0.97 percentile and
       the max.
 
-    The sketches are deterministic for fixed data, so violations are
-    repeatable, not flaky.  Emits per-group ``n_violations`` (must be
+    The invariant relies on the sketch ERROR BOUNDS holding under any
+    partial-merge order, not on bit-deterministic sketch values: since
+    the r17 ``spread()`` the partitioning (and therefore the
+    HLL/QuantileSummaries merge order) depends on the host's
+    defaultParallelism, so the sketch values themselves may vary
+    between hosts — ``n_violations`` stays 0 because the 3-sigma /
+    exact-bracket margins hold for every merge order (ADVICE r17).
+    Emits per-group ``n_violations`` (must be
     0 — the oracle hard-codes it) plus the exact distinct count, which
     DuckDB recomputes independently.  One scan, one group-keyed
     aggregate; the exact distinct is itself a second hash shuffle that

@@ -2311,7 +2311,6 @@ def stream_rate_limit_hourly_tws(spark: SparkSession,
     hash-match the identical admission semantics.  Runs under the
     RocksDB state store provider (TWS needs column families), scoped
     to this query."""
-    import os
     import tempfile
     import uuid
 
@@ -2319,30 +2318,17 @@ def stream_rate_limit_hourly_tws(spark: SparkSession,
         _ROCKSDB_PROVIDER,
         rate_limit_stream_tws,
     )
-    from sync_cosmos_db_spark.streaming.windows import run_stream_to_memory
+    from sync_cosmos_db_spark.streaming.windows import (
+        run_stream_to_memory,
+        write_event_time_slices,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    from pyspark.sql import Window as W
-
-    # persist the ntile slicing across the 4 slice writes (guide §2.4):
-    # each write otherwise re-executes the single-partition global sort
-    # behind ntile — 4 sorts + 4 scans per invocation.
-    sliced = ev.withColumn(
-        "slice", F.ntile(4).over(W.orderBy("ts", "event_id"))).persist()
     tmp = tempfile.mkdtemp(prefix="rl_tws_stream_")
-    try:
-        for i in range(1, 5):
-            (sliced.filter(F.col("slice") == i).drop("slice")
-             .coalesce(1).write.mode("append").parquet(tmp))
-            for f in os.listdir(tmp):
-                if f.endswith(".parquet"):
-                    full = os.path.join(tmp, f)
-                    cur = os.stat(full)
-                    if cur.st_mtime > 1_100_000_000:
-                        os.utime(full,
-                                 (cur.st_atime, 1_000_000_000 + i * 1000))
-    finally:
-        sliced.unpersist()
+    # r18 (r17 verdict item 4): two-phase-scan slice ranks + ONE
+    # slice-partitioned write replace the single-partition ntile sort
+    # and the 4 filtered writes (see write_event_time_slices).
+    write_event_time_slices(ev, tmp, n_slices=4)
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1).parquet(tmp))
     key = "spark.sql.streaming.stateStore.providerClass"

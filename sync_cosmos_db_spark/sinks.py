@@ -206,17 +206,33 @@ def zone_map_skip_audit(df, sort_col: str, probe_col: str,
             .groupBy("__grp")
             .agg(F.min(probe_col).alias("__lo"),
                  F.max(probe_col).alias("__hi")))
-        for lo, hi in predicates:
+        # ONE aggregate evaluates every predicate (r18, guide §2.4):
+        # the previous per-predicate `groups.agg(...)` union branches
+        # each re-derived the whole two-phase rank + group min/max
+        # subtree, so the consumer job recomputed the heavy scan
+        # len(predicates) times per layout.  The per-predicate sums
+        # are the SAME exact integer aggregates over the same group
+        # rows, built side by side in one pass; the explode re-shapes
+        # the single aggregate row into the identical one-row-per-
+        # (layout, predicate) output.
+        aggs = [F.count("*").cast("long").alias("__n")]
+        for j, (lo, hi) in enumerate(predicates):
             skip = (F.col("__hi") < lo) | (F.col("__lo") > hi)
-            outs.append(groups.agg(
+            aggs.append(F.sum(skip.cast("long")).cast("long")
+                        .alias(f"__s{j}"))
+        rows = [
+            F.struct(
                 F.lit(layout).alias("layout"),
                 F.lit(float(lo)).alias("probe_lo"),
                 F.lit(float(hi)).alias("probe_hi"),
-                F.count("*").cast("long").alias("n_groups"),
-                F.sum(skip.cast("long")).cast("long")
-                .alias("n_skipped"),
-                (F.floor(F.sum(skip.cast("long")) / F.count("*")
-                         * p + F.lit(0.5)) / p).alias("skip_rate")))
+                F.col("__n").alias("n_groups"),
+                F.col(f"__s{j}").alias("n_skipped"),
+                (F.floor(F.col(f"__s{j}") / F.col("__n")
+                         * p + F.lit(0.5)) / p).alias("skip_rate"))
+            for j, (lo, hi) in enumerate(predicates)]
+        outs.append(groups.agg(*aggs)
+                    .select(F.explode(F.array(*rows)).alias("__r"))
+                    .select("__r.*"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)

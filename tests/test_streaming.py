@@ -492,3 +492,55 @@ def test_changelog_compact_tws_matches_live_form(spark, tmp_path):
     assert tws == live
     assert [(k, s, o) for k, s, o, *_ in tws] == [
         (1, 3, "d"), (2, 5, "d"), (3, 1, "u")]
+
+
+def test_write_event_time_slices_matches_ntile(spark, sf_dir, tmp_path):
+    """r18: the two-phase-rank slicer must reproduce EXACT ntile(4)
+    slice membership under the global (ts, event_id) order — one file
+    per slice, strictly increasing forced mtimes, schema = input
+    columns (no slice column leaks into the data files)."""
+    import glob
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "slices")
+    os.makedirs(out)
+    SW.write_event_time_slices(ev, out, n_slices=4)
+    files = sorted(glob.glob(os.path.join(out, "slice_*.parquet")))
+    assert [os.path.basename(f) for f in files] == [
+        f"slice_{i}.parquet" for i in range(1, 5)]
+    mtimes = [os.stat(f).st_mtime for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
+    assert mtimes[-1] < 1_100_000_000  # forced, below any real mtime
+    want = ev.withColumn(
+        "s", F.ntile(4).over(W.orderBy("ts", "event_id")))
+    for i, f in enumerate(files, start=1):
+        got = spark.read.parquet(f)
+        assert got.columns == ev.columns
+        assert (sorted(r.event_id for r in got.select("event_id").collect())
+                == sorted(r.event_id for r in
+                          want.filter(F.col("s") == i)
+                          .select("event_id").collect()))
+
+
+def test_write_event_time_slices_fewer_rows_than_slices(spark, tmp_path):
+    """n < n_slices: ntile gives the first n rows one slice each and
+    the trailing slices produce no files."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    df = (spark.range(2)
+          .select((F.col("id") + 1).alias("event_id"),
+                  F.timestamp_micros(F.col("id") * 1_000_000)
+                  .alias("ts")))
+    out = str(tmp_path / "tiny")
+    os.makedirs(out)
+    SW.write_event_time_slices(df, out, n_slices=4)
+    files = sorted(glob.glob(os.path.join(out, "slice_*.parquet")))
+    assert [os.path.basename(f) for f in files] == [
+        "slice_1.parquet", "slice_2.parquet"]
+    assert [r.event_id for f in files
+            for r in spark.read.parquet(f).collect()] == [1, 2]
