@@ -137,6 +137,26 @@ def setsim_join(
         .dropDuplicates(["sig"])
         .withColumn("__ti", F.array_sort(
             F.transform("tk", lambda t: F.xxhash64(t)))))
+    # Long signature keys (r18): every downstream shuffle and hash
+    # join — prefix postings, the candidate equi-join, the 6.57M-pair
+    # distinct, the two verify joins, the two member expansions, the
+    # same-signature branch — keys on ``sig``, and as a 64-char sha2
+    # hex STRING it pays per-row string hashing + equality in each
+    # (the verify stage profiled 71 s executor CPU at sf0.1 AFTER the
+    # in-row intersect was reduced to a bitmask AND — the join
+    # machinery, not the intersect, is the cost).  When ``xxhash64``
+    # is injective over THIS corpus's distinct signatures (one tiny
+    # aggregate over the cached set-cardinality table — the same
+    # guarded-exactness pattern as the token-id verify), the mapping
+    # sig → xxhash64(sig) is a bijection and every join/distinct on
+    # the long key returns the identical pair set; on the
+    # (astronomically unlikely) collision the string keys stay.
+    sg = dsets.agg(
+        F.count(F.lit(1)).alias("n_sig"),
+        F.countDistinct(F.xxhash64("sig")).alias("n_sigh")).first()
+    if sg["n_sig"] == sg["n_sigh"]:
+        dsets = dsets.withColumn("sig", F.xxhash64("sig"))
+        members = members.withColumn("sig", F.xxhash64("sig"))
 
     # global canonical order: ascending set-frequency df, then token
     dtoks = dsets.select("sig", "sz", F.explode("tk").alias("tok"))
@@ -147,6 +167,32 @@ def setsim_join(
         F.count(F.lit(1)).alias("n_tok"),
         F.countDistinct(F.xxhash64("tok")).alias("n_hash")).first()
     ints_ok = vc["n_tok"] == vc["n_hash"]
+    # Third verify tier (r18): SMALL-DOMAIN BITSET.  When the whole
+    # vocabulary fits one machine word (≤ 64 distinct tokens — tag /
+    # category / enum-like set domains), each distinct set is exactly
+    # one int64 bitmask under a fixed token→bit bijection, and the
+    # verify becomes bit_count(mask_a & mask_b) — one AND+popcount per
+    # candidate pair in whole-stage codegen.  The array tiers below
+    # profile ~11.6 µs/pair (array_intersect builds a hash set and an
+    # output array per pair — 76 s executor CPU over the 6.57M
+    # candidate pairs at sf0.1, THE dominant stage of the whole join);
+    # the bitset tier is ~3 orders cheaper per pair and exact by
+    # construction (|A∩B| = popcount of the AND of two exact
+    # characteristic vectors).  Guarded by the same vocabulary-sized
+    # aggregate as the injectivity check — no extra action; the ≤64
+    # collect is bounded by the guard.  At web-corpus vocabularies the
+    # guard never fires and the r17 int64-array tier stays the
+    # operative path.
+    bitset_ok = vc["n_tok"] <= 64
+    if bitset_ok:
+        vocab = sorted(r["tok"] for r in dfreq.select("tok").collect())
+        bitmap = F.create_map(
+            *[x for i, t in enumerate(vocab)
+              for x in (F.lit(t), F.lit(1 << i))])
+        mask = F.aggregate(
+            F.col("tk"), F.lit(0).cast("long"),
+            lambda acc, t: acc.bitwiseOR(F.element_at(bitmap, t)))
+        dsets = dsets.withColumn("__mask", mask)
     ranked = (dtoks.join(dfreq, "tok")
               .withColumn("__rk", F.row_number().over(
                   W.partitionBy("sig").orderBy(F.col("__df").asc(),
@@ -181,22 +227,25 @@ def setsim_join(
              .select("sig_a", "sig_b")
              .distinct())
 
-    # in-row exact verify: both sorted arrays ride the candidate row.
-    # Intersect the int64 id arrays when the hash is injective on this
-    # vocabulary (the guarded common case — primitive array_intersect,
-    # measured the dominant CPU of the whole join at sf0.1); fall back
-    # to the string arrays otherwise.
-    vcol = "__ti" if ints_ok else "tk"
+    # in-row exact verify, tiered (cheapest exact representation that
+    # applies): ≤64-token vocabulary → one int64 bitmask per set,
+    # inter = bit_count(mask_a & mask_b); else sorted int64 id arrays
+    # when the hash is injective on this vocabulary (the guarded
+    # common case at corpus scale — primitive array_intersect); else
+    # the string arrays.
+    vcol = "__mask" if bitset_ok else ("__ti" if ints_ok else "tk")
     ta = dsets.select(F.col("sig").alias("sig_a"),
                       F.col(vcol).alias("__tka"),
                       F.col("sz").alias("__sza"))
     tb = dsets.select(F.col("sig").alias("sig_b"),
                       F.col(vcol).alias("__tkb"),
                       F.col("sz").alias("__szb"))
+    inter_expr = (
+        F.bit_count(F.col("__tka").bitwiseAND(F.col("__tkb")))
+        if bitset_ok
+        else F.size(F.array_intersect("__tka", "__tkb")))
     verified = (cands.join(ta, "sig_a").join(tb, "sig_b")
-                .withColumn("inter",
-                            F.size(F.array_intersect("__tka", "__tkb"))
-                            .cast("long"))
+                .withColumn("inter", inter_expr.cast("long"))
                 .withColumn("n_union",
                             (F.col("__sza") + F.col("__szb")
                              - F.col("inter")).cast("long"))

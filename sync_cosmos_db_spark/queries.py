@@ -536,12 +536,16 @@ EDITED_ROUND.update(dict.fromkeys(
 #     descending chain was additionally cascade-reversed — everything
 #     above the 1/64 quantile landed in one window partition; values
 #     unchanged, see the operator comment).
+#   * setsim_join: tiered verify (≤64-token-vocabulary bitset /
+#     int64-id arrays / strings) + guarded-injective xxhash64(sig)
+#     long join keys through postings/candidates/verify/expansion
+#     (sf0.1 output checksum-identical; cross-tier parity unit test).
 EDITED_ROUND.update(dict.fromkeys(
     ["pagerank_customer_supplier", "stream_rate_limit_hourly",
      "stream_rate_limit_hourly_tws", "stream_rate_limit_hourly_batchmerge",
      "zone_map_audit_lineitem", "abc_parts_revenue",
      "kruskal_wallis_priority_price", "cvm_two_sample_arms",
-     "ranksum_building_machinery"], 18))
+     "ranksum_building_machinery", "setsim_join_docs"], 18))
 # Round-18 no-entry decisions: operators/linkage + dedup.spread now
 # share the floor_width() helper (ADVICE r17) — the decision and the
 # resulting plans are bit-identical (plans/r18/editdist_* diff = expr

@@ -76,3 +76,22 @@ def test_no_cartesian_in_plan(spark):
 
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
+
+
+def test_parity_across_verify_tiers(spark):
+    """r18: the three verify tiers (≤64-vocab bitset / int64-id arrays
+    / string arrays) must agree pair-for-pair.  A 70-token vocabulary
+    forces the array tier; the same corpus restricted to 30 tokens
+    takes the bitset tier — both checked against the n² reference."""
+    import random
+
+    rng = random.Random(7)
+    big_vocab = [f"tok{i}" for i in range(70)]     # > 64 → array tier
+    small_vocab = big_vocab[:30]                   # ≤ 64 → bitset tier
+    for vocab in (big_vocab, small_vocab):
+        rows = [(i, " ".join(rng.sample(vocab, 10))) for i in range(1, 31)]
+        rows += [(100 + i, txt) for i, (j, txt) in enumerate(rows[:5])]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r.id_a, r.id_b, r.inter, r.n_union) for r in
+               setsim_join(df, "doc_id", "text", 0.5).collect()}
+        assert got == _brute(spark, rows, 0.5), f"vocab={len(vocab)}"
