@@ -782,7 +782,18 @@ JPEG_DECODED_SCHEMA = T.StructType([
 def synth_jpeg_assets(params: DataFrame, quality: int = 50) -> DataFrame:
     """Encode one solid-gray baseline JPEG per row of
     ``(asset_id, width, height, gray)`` — the distributed encode half
-    of the roundtrip query."""
+    of the roundtrip query.
+
+    ``spread()`` first (r18, guide §2.5): the params projection of a
+    compact single-split scan otherwise runs the WHOLE Python
+    encode+decode roundtrip in ONE task — profiled 2.67 s single-task
+    (the member's entire wall) at sf0.1; mapInPandas is opaque to the
+    planner, so nothing downstream re-partitions.  Floor-only: a wide
+    scan at corpus scale is left alone.  The decode inherits the
+    spread partitioning (same stage, no extra shuffle)."""
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    params = spread(params)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd

@@ -376,7 +376,14 @@ def synth_png_assets(params: DataFrame) -> DataFrame:
     parameter columns (asset_id, width, height, r, g, b). The binary
     payloads these produce are REAL PNGs — the roundtrip query decodes
     them with ``decode_png_assets`` and checks the recovered values
-    against an independent SQL oracle."""
+    against an independent SQL oracle.
+
+    ``spread()`` first (r18, guide §2.5 — see jpeg.synth_jpeg_assets):
+    a compact params scan otherwise runs the whole Python
+    encode(+decode) chain in one task."""
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    params = spread(params)
     schema = T.StructType([
         T.StructField("asset_id", T.LongType()),
         T.StructField("content", T.BinaryType()),
@@ -397,7 +404,11 @@ def synth_png_assets(params: DataFrame) -> DataFrame:
 
 def synth_wav_assets(params: DataFrame) -> DataFrame:
     """Harness adapter: encode one constant-amplitude WAV per row from
-    (asset_id, n_samples, sample_rate, n_audio_channels, amplitude)."""
+    (asset_id, n_samples, sample_rate, n_audio_channels, amplitude).
+    ``spread()`` first (r18, guide §2.5 — see jpeg.synth_jpeg_assets)."""
+    from sync_cosmos_db_spark.operators.dedup import spread
+
+    params = spread(params)
     schema = T.StructType([
         T.StructField("asset_id", T.LongType()),
         T.StructField("content", T.BinaryType()),

@@ -545,7 +545,11 @@ EDITED_ROUND.update(dict.fromkeys(
      "stream_rate_limit_hourly_tws", "stream_rate_limit_hourly_batchmerge",
      "zone_map_audit_lineitem", "abc_parts_revenue",
      "kruskal_wallis_priority_price", "cvm_two_sample_arms",
-     "ranksum_building_machinery", "setsim_join_docs"], 18))
+     "ranksum_building_machinery", "setsim_join_docs",
+     # spread() before the synth-encoder mapInPandas (the whole Python
+     # encode/decode roundtrip ran in ONE task — guide §2.5)
+     "multimodal_jpeg_roundtrip", "multimodal_png_roundtrip",
+     "multimodal_wav_roundtrip"], 18))
 # Round-18 no-entry decisions: operators/linkage + dedup.spread now
 # share the floor_width() helper (ADVICE r17) — the decision and the
 # resulting plans are bit-identical (plans/r18/editdist_* diff = expr
