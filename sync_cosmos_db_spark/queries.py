@@ -549,7 +549,12 @@ EDITED_ROUND.update(dict.fromkeys(
      # spread() before the synth-encoder mapInPandas (the whole Python
      # encode/decode roundtrip ran in ONE task — guide §2.5)
      "multimodal_jpeg_roundtrip", "multimodal_png_roundtrip",
-     "multimodal_wav_roundtrip"], 18))
+     "multimodal_wav_roundtrip",
+     # docstring-only edit (ADVICE r17 wording fix) — execution path
+     # identical; registered because the textual-edit tripwire
+     # (test_edited_queries_registered) correctly cannot tell a doc
+     # edit from a logic edit, and a redundant re-row is the safe side
+     "sketch_profile_bounds"], 18))
 # Round-18 no-entry decisions: operators/linkage + dedup.spread now
 # share the floor_width() helper (ADVICE r17) — the decision and the
 # resulting plans are bit-identical (plans/r18/editdist_* diff = expr
